@@ -1,0 +1,212 @@
+"""Unit tests for the pure-Python extraction kernel.
+
+Expectations are hand-derived from the reference semantics
+(SURVEY.md §8; reference crawler.go:97-147, metadata.go:24-220) —
+including the golden micro-fixtures from the reference's own tests
+(crawler_test.go, crawler2_test.go, metadata_test.go shapes).
+"""
+
+from geospatial_web_scraper_spark.kernel import (
+    add_to_stringbuilder,
+    extract_links,
+    extract_metadata,
+    go_path_base,
+    go_path_ext,
+)
+from geospatial_web_scraper_spark.kernel.html_kernel import filename_for_download
+
+
+# ---------------------------------------------------------------- path helpers
+def test_go_path_ext():
+    assert go_path_ext("/a/b/file.zip") == ".zip"
+    assert go_path_ext("/a/b/file") == ""
+    assert go_path_ext("/a.b/c") == ""
+    assert go_path_ext(".bashrc") == ".bashrc"
+    assert go_path_ext("/x/archive.tar.gz") == ".gz"
+    assert go_path_ext("") == ""
+    assert go_path_ext("/dir/") == ""
+
+
+def test_go_path_base():
+    assert go_path_base("/a/b/file.zip") == "file.zip"
+    assert go_path_base("/a/b/") == "b"
+    assert go_path_base("/") == "/"
+    assert go_path_base("") == "."
+    assert go_path_base("plain") == "plain"
+
+
+def test_filename_for_download():
+    # crawler.go:208-211 fallback rules
+    assert filename_for_download("https://x.org/data/f.zip") == "f.zip"
+    assert filename_for_download("https://x.org/") == "download"
+    assert filename_for_download("https://x.org") == "download"
+
+
+# ---------------------------------------------------------------- link walk
+BASE = "https://host0.example.com/page/1.html"
+
+
+def test_links_10_fixture():
+    """Reference crawler_test.go:22-23: page with exactly 10 links."""
+    links = "".join(f'<a href="/links/10/{i}">l{i}</a>' for i in range(10))
+    html = f"<html><body>{links}</body></html>"
+    out = extract_links(html, BASE)
+    assert [o["url"] for o in out] == [
+        f"https://host0.example.com/links/10/{i}" for i in range(10)
+    ]
+    assert [o["pos"] for o in out] == list(range(10))
+    assert not any(o["is_geo"] for o in out)
+
+
+def test_one_zip_fixture():
+    """Reference crawler2_test.go:45-67: single '/file.zip' anchor resolves
+    absolute and classifies geo."""
+    html = "<html><body><a href='/file.zip'>data</a></body></html>"
+    out = extract_links(html, BASE)
+    assert out == [
+        {"url": "https://host0.example.com/file.zip", "is_geo": True, "pos": 0}
+    ]
+
+
+def test_scheme_and_malformed_filters():
+    html = (
+        "<body>"
+        "<a href='mailto:x@y.org'>m</a>"
+        "<a href='tel:+1555'>t</a>"
+        "<a href='http://['>bad</a>"
+        "<a href='ok.html'>ok</a>"
+        "</body>"
+    )
+    out = extract_links(html, BASE)
+    assert [o["url"] for o in out] == ["https://host0.example.com/page/ok.html"]
+
+
+def test_geo_ext_classification_is_case_insensitive_and_query_safe():
+    html = (
+        "<body>"
+        "<a href='/d/F.ZIP'>z</a>"
+        "<a href='/d/f.geojson?v=2'>g</a>"
+        "<a href='/d/f.html'>h</a>"
+        "</body>"
+    )
+    out = extract_links(html, BASE)
+    assert [(o["url"].rsplit("/", 1)[-1], o["is_geo"]) for o in out] == [
+        ("F.ZIP", True),
+        ("f.geojson?v=2", True),
+        ("f.html", False),
+    ]
+
+
+def test_boilerplate_subtree_pruning():
+    """crawler.go:126-130: gate applies to element children during recursion —
+    the anchor inside class='nav-menu' is never visited; gate is substring,
+    case-insensitive, on class/id only."""
+    html = (
+        "<body>"
+        "<div class='NAV-menu'><a href='/hidden1.html'>x</a></div>"
+        "<div id='page-footer'><a href='/hidden2.html'>x</a></div>"
+        "<div class='content'><a href='/kept.html'>x</a></div>"
+        "<a href='/kept2.html' class='share-btn'>self-gated</a>"
+        "</body>"
+    )
+    out = extract_links(html, BASE)
+    assert [o["url"].rsplit("/", 1)[-1] for o in out] == ["kept.html"]
+
+
+def test_document_order_with_nesting():
+    html = (
+        "<body><div><a href='/a.html'>a</a>"
+        "<ul><li><a href='/b.zip'>b</a></li></ul></div>"
+        "<a href='/c.html'>c</a></body>"
+    )
+    out = extract_links(html, BASE)
+    assert [o["url"].rsplit("/", 1)[-1] for o in out] == ["a.html", "b.zip", "c.html"]
+
+
+# ---------------------------------------------------------------- stringbuilder
+def test_add_to_stringbuilder_substring_dedup():
+    # metadata.go:24-36: order-dependent, asymmetric
+    buf = ""
+    buf = add_to_stringbuilder(buf, "  hello world  ")
+    assert buf == "hello world"
+    buf = add_to_stringbuilder(buf, "world")  # substring → dropped
+    assert buf == "hello world"
+    buf = add_to_stringbuilder(buf, "hello world and more")  # superstring → kept
+    assert buf == "hello world hello world and more"
+    buf = add_to_stringbuilder(buf, "")  # empty → dropped
+    assert buf == "hello world hello world and more"
+
+
+# ---------------------------------------------------------------- metadata
+def test_metadata_precedence_and_accumulation():
+    html = (
+        "<html><head>"
+        "<title>Main Title</title>"
+        "<meta name='description' content='First desc.'>"
+        "<meta property='og:description' content='Second desc.'>"
+        "<meta property='og:title' content='OG Title'>"
+        "<meta name='keywords' content='a, b ,c'>"
+        "<meta name='keywords' content='ignored, later'>"
+        "</head><body>"
+        "<p>Visible paragraph.</p>"
+        "<h2>Heading two.</h2>"
+        "<li>List item.</li>"
+        "<span>span text is NOT collected</span>"
+        "<div class='footer'><p>boilerplate text</p></div>"
+        "<script>var x = 'script text must not leak';</script>"
+        "</body></html>"
+    )
+    md = extract_metadata(html, BASE)
+    # All title sources accumulate (md.Title=='' guard is vacuous in the walk)
+    assert md["title"] == "Main Title OG Title"
+    assert (
+        md["description"]
+        == "First desc. Second desc. Visible paragraph. Heading two. List item."
+    )
+    # keywords are genuinely first-wins, comma-split + trimmed
+    assert md["keywords"] == ["a", "b", "c"]
+
+
+def test_metadata_jsonld():
+    html = (
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"name": "LD Name", "description": "LD desc", "keywords": "k1 , k2"}'
+        "</script>"
+        "</head><body><p>Body text.</p></body></html>"
+    )
+    md = extract_metadata(html, BASE)
+    assert md["title"] == "LD Name"
+    assert md["description"] == "LD desc Body text."
+    assert md["keywords"] == ["k1", "k2"]
+
+
+def test_metadata_boilerplate_gate_uses_meta_list():
+    # 'usa-banner' is only in the metadata-side list; tag names gate too.
+    html = (
+        "<body>"
+        "<nav><p>nav text</p></nav>"
+        "<div class='usa-banner'><p>banner text</p></div>"
+        "<p>kept text</p>"
+        "</body>"
+    )
+    md = extract_metadata(html, BASE)
+    assert md["description"] == "kept text"
+
+
+def test_metadata_whitespace_normalization():
+    html = "<body><p>  a\n\t b   c  </p></body>"
+    md = extract_metadata(html, BASE)
+    assert md["description"] == "a b c"
+
+
+def test_metadata_substring_dedup_shapes_text():
+    html = "<body><p>alpha beta</p><p>beta</p><p>alpha beta gamma</p></body>"
+    md = extract_metadata(html, BASE)
+    assert md["description"] == "alpha beta alpha beta gamma"
+
+
+def test_xml_links_collected_not_fetched():
+    html = "<head><link type='application/rss+xml' href='/feed.xml'></head>"
+    md = extract_metadata(html, BASE)
+    assert md["xml_links"] == ["/feed.xml"]
