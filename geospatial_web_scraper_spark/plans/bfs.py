@@ -1,0 +1,357 @@
+"""Round-synchronous BFS crawl engine — engine #1 re-expressed Spark-first.
+
+The reference's racy channel loop (``internal/crawler/crawler.go:26-80``)
+becomes a deterministic driver loop where each round is one DataFrame DAG
+(SURVEY.md §3.3)::
+
+    frontier_r
+      → within-round first-wins dedup          (Window on url)        [F1]
+      → left-anti join vs seen set (± bloom prefilter)                [J1]
+      → global seq assignment (two-pass distributed rank)             [§8.2]
+      → budget cut                                                    [F10]
+      → fetch = left join against the pages table                     [S1]
+      → branch: geo-MIME → downloads sink; non-200 → leaf             [F5/F7]
+      → extract_links (Arrow UDF) + posexplode, depth gate            [X1/F4]
+      → next frontier; seen ∪ recorded; lineage row                   [U1/K4]
+      → (optional) snapshot commit → exact resume                     [K5]
+
+Scale notes (the 1000-executor / 10^10-frontier design point):
+
+* the only Python on the hot path is the Arrow-batched extraction UDF;
+* no driver-side loops over rows — driver actions are per-round counts only;
+* seq assignment avoids the single-reducer global window (functions.ordering);
+* the seen set is keyed by ``xxhash64(canonical_url)`` and the anti-join can
+  be preceded by a sharded Bloom prefilter (operators.seen) so that in the
+  steady state — where most candidates are duplicates — the exact join only
+  sees the bloom-positive slice;
+* per-round state is localCheckpoint'ed (or written to the snapshot store)
+  to truncate lineage growth across rounds;
+* per-host politeness/priority dequeue plugs in between dedup and budget
+  (operators.politeness), replacing FIFO order by (priority desc, url_hash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import GEO_MIME_TYPES, MAX_CRAWL_ENGINE1, MAX_DEPTH
+from ..functions.ordering import with_global_seq
+from ..functions.urls import url_hash, url_host
+from ..operators.extract import extract_links_udf, extract_meta_udf
+from .store import SnapshotStore
+
+TRACE_SCHEMA = (
+    "seq long, url string, depth int, parent_url string, round int, host string"
+)
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("parent_seq", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+    ]
+)
+LINEAGE_SCHEMA = (
+    "round int, partition_id int, urls_fetched long, bytes_fetched long, "
+    "dedup_hits long, candidates long, recorded long"
+)
+
+
+@dataclass
+class CrawlRun:
+    trace: DataFrame  # seq,url,depth,parent_url,round,host — the golden trace
+    downloads: DataFrame  # url — terminal geo-MIME fetches (F7 branch)
+    texts: DataFrame | None  # url,title,text — byte-identical invariant surface
+    lineage: DataFrame  # per round/partition metrics
+    rounds: int
+    recorded: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        *,
+        max_depth: int = MAX_DEPTH,
+        max_crawl: int | None = MAX_CRAWL_ENGINE1,
+        collect_text: bool = False,
+        lineage_detail: bool = True,
+        store: SnapshotStore | None = None,
+        seen_filter=None,  # operators.seen.ShardedBloomSeenFilter or None
+        scheduler=None,  # operators.politeness.PolitenessScheduler or None (FIFO)
+        max_rounds: int = 64,
+    ):
+        self.spark = spark
+        # column-prune the scan once; Catalyst pushes this into parquet/Iceberg
+        self.pages = pages.select("url", "status", "content_type", "html")
+        self.max_depth = max_depth
+        self.max_crawl = max_crawl
+        self.collect_text = collect_text
+        self.lineage_detail = lineage_detail
+        self.store = store
+        self.seen_filter = seen_filter
+        self.scheduler = scheduler
+        self.max_rounds = max_rounds
+
+    # ------------------------------------------------------------------ API
+    def run(self, seeds: DataFrame) -> CrawlRun:
+        """``seeds``: (seed_order int, url string, …). Depth-0 entry order is
+        seed_order (``crawler.go:37-43``)."""
+        frontier = seeds.select(
+            F.col("url"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(-1).cast("long").alias("parent_seq"),
+            F.col("seed_order").cast("int").alias("pos"),
+        )
+        seen = self.spark.createDataFrame([], "url string, url_hash long")
+        return self._loop(frontier, seen, start_round=0, recorded_total=0,
+                          trace_parts=[], download_parts=[], text_parts=[],
+                          lineage_rows=[])
+
+    def resume(self) -> CrawlRun:
+        """Restart from the last committed snapshot (exactly-once rounds)."""
+        if self.store is None:
+            raise ValueError("resume requires a SnapshotStore")
+        last = self.store.last_committed()
+        if last < 0:
+            raise ValueError("nothing committed yet")
+        meta = self.store.manifest()["rounds"][str(last)]
+        frontier = self.store.read("frontier", last + 1)
+        seen = self.store.read("seen", last)
+        trace_parts = [self.store.read("trace", r) for r in range(last + 1)]
+        download_parts = [self.store.read("downloads", r) for r in range(last + 1)]
+        text_parts = (
+            [self.store.read("texts", r) for r in range(last + 1)]
+            if self.collect_text
+            else []
+        )
+        lineage_rows = [
+            tuple(row)
+            for r in range(last + 1)
+            for row in self.store.manifest()["rounds"][str(r)]["lineage"]
+        ]
+        return self._loop(
+            frontier,
+            seen,
+            start_round=last + 1,
+            recorded_total=int(meta["recorded_total"]),
+            trace_parts=trace_parts,
+            download_parts=download_parts,
+            text_parts=text_parts,
+            lineage_rows=lineage_rows,
+        )
+
+    # ----------------------------------------------------------------- loop
+    def _loop(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        *,
+        start_round: int,
+        recorded_total: int,
+        trace_parts: list[DataFrame],
+        download_parts: list[DataFrame],
+        text_parts: list[DataFrame],
+        lineage_rows: list[tuple],
+    ) -> CrawlRun:
+        rnd = start_round
+        while rnd < start_round + self.max_rounds:
+            if self.max_crawl is not None and recorded_total > self.max_crawl:
+                break  # budget exhausted (crawler.go:52-55)
+
+            candidates = frontier
+            n_candidates = candidates.count() if self.lineage_detail else -1
+            if n_candidates == 0:
+                break
+
+            # F1 within-round first-wins dedup, deterministic order
+            w = Window.partitionBy("url").orderBy("parent_seq", "pos")
+            first = (
+                candidates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+            # J1: candidates ∖ seen — bloom prefilter (when configured) routes
+            # definitely-new rows around the exact anti-join
+            if self.seen_filter is not None:
+                definitely_new, maybe_seen = self.seen_filter.split(first)
+                new = definitely_new.unionByName(
+                    maybe_seen.join(seen.select("url"), "url", "left_anti")
+                )
+            else:
+                new = first.join(seen.select("url"), "url", "left_anti")
+
+            # scheduler hook: priority/politeness reorder-and-cap (M5);
+            # default FIFO keeps (parent_seq, pos) total order (§8.2)
+            if self.scheduler is not None:
+                new = self.scheduler.apply(new, rnd)
+                order_cols = self.scheduler.order_cols
+            else:
+                order_cols = ["parent_seq", "pos"]
+
+            new_seq, n_new = with_global_seq(
+                new, order_cols, seq_col="seq", start=recorded_total
+            )
+
+            # F10 budget: the reference records while pre-increment
+            # count <= max_crawl, i.e. keeps 0-based seq <= max_crawl
+            if self.max_crawl is not None:
+                recorded_df = new_seq.filter(F.col("seq") <= F.lit(self.max_crawl))
+                n_recorded = min(n_new, self.max_crawl + 1 - recorded_total)
+            else:
+                recorded_df = new_seq
+                n_recorded = n_new
+            n_recorded = max(n_recorded, 0)
+
+            recorded_df = recorded_df.withColumn("host", url_host(F.col("url")))
+            recorded_df = recorded_df.localCheckpoint(eager=True)
+            recorded_total += n_recorded
+
+            trace_r = recorded_df.select(
+                "seq", "url", "depth", "parent_url",
+                F.lit(rnd).cast("int").alias("round"), "host",
+            )
+            trace_parts.append(trace_r)
+
+            # S1 fetch = join frontier slice against the pages corpus.
+            # At 10^10 scale this is the big sort-merge join; AQE handles
+            # post-shuffle sizing, and the url key hashes uniformly (no salt
+            # needed for the join itself — host skew matters only for the
+            # politeness window, handled in the scheduler).
+            fetched = recorded_df.join(self.pages, "url", "left").persist()
+
+            is_downloadable = (F.col("status") == 200) & F.col("content_type").isin(
+                *GEO_MIME_TYPES
+            )
+            downloads_r = (
+                fetched.filter(is_downloadable).select("url").localCheckpoint(eager=True)
+            )
+            download_parts.append(downloads_r)
+
+            html_pages = fetched.filter(
+                (F.col("status") == 200)
+                & ~F.col("content_type").isin(*GEO_MIME_TYPES)
+                & F.col("html").isNotNull()
+            )
+
+            if self.collect_text:
+                meta = html_pages.withColumn(
+                    "_m", extract_meta_udf(F.col("html"), F.col("url"))
+                )
+                text_parts.append(
+                    meta.select(
+                        "url",
+                        F.col("_m.title").alias("title"),
+                        F.col("_m.description").alias("text"),
+                    ).localCheckpoint(eager=True)
+                )
+
+            # X1 extraction — only pages whose children survive the depth
+            # gate are parsed (depth + 1 < max_depth), saving the final-round
+            # parse entirely
+            expandable = html_pages.filter(F.col("depth") + 1 < self.max_depth)
+            links = expandable.withColumn(
+                "_links", extract_links_udf(F.col("html"), F.col("url"))
+            ).select(
+                F.col("url").alias("parent_url"),
+                F.col("seq").alias("parent_seq"),
+                (F.col("depth") + 1).alias("depth"),
+                F.explode("_links").alias("link"),
+            )
+            next_frontier = links.select(
+                F.col("link.url").alias("url"),
+                F.col("depth").cast("int").alias("depth"),
+                "parent_url",
+                "parent_seq",
+                F.col("link.pos").alias("pos"),
+            ).localCheckpoint(eager=True)
+
+            # lineage (north rule): per-partition fetch metrics + round totals
+            if self.lineage_detail:
+                n_first = first.count()
+                dedup_hits = (n_candidates - n_first) + (n_first - n_new)
+                part_rows = [
+                    (rnd, int(r["pid"]), int(r["n"]), int(r["b"] or 0), 0,
+                     -1, -1)
+                    for r in fetched.groupBy(
+                        F.spark_partition_id().alias("pid")
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.length("html")).alias("b"),
+                    )
+                    .collect()
+                ]
+                lineage_rows.extend(part_rows)
+                lineage_rows.append(
+                    (rnd, -1, n_recorded, -1, dedup_hits, n_candidates, n_recorded)
+                )
+            else:
+                lineage_rows.append((rnd, -1, n_recorded, -1, -1, -1, n_recorded))
+
+            # U1/A5 seen merge
+            seen = (
+                seen.unionByName(
+                    recorded_df.select("url", url_hash(F.col("url")).alias("url_hash"))
+                )
+            ).localCheckpoint(eager=True)
+            if self.seen_filter is not None:
+                self.seen_filter.update(recorded_df.select("url"))
+
+            # K5 snapshot commit (exact resume boundary)
+            if self.store is not None:
+                self.store.write("trace", trace_r, rnd)
+                self.store.write("downloads", downloads_r, rnd)
+                if self.collect_text:
+                    self.store.write("texts", text_parts[-1], rnd)
+                self.store.write("seen", seen, rnd)
+                self.store.write("frontier", next_frontier, rnd + 1)
+                self.store.commit(
+                    rnd,
+                    {
+                        "recorded_total": recorded_total,
+                        "lineage": [list(t) for t in lineage_rows if t[0] == rnd],
+                    },
+                )
+
+            fetched.unpersist()
+            frontier = next_frontier
+            rnd += 1
+            if not self.lineage_detail and n_recorded == 0:
+                break
+
+        spark = self.spark
+        empty_trace = spark.createDataFrame([], TRACE_SCHEMA)
+        trace = reduce(DataFrame.unionByName, trace_parts, empty_trace)
+        downloads = reduce(
+            DataFrame.unionByName,
+            download_parts,
+            spark.createDataFrame([], "url string"),
+        )
+        texts = (
+            reduce(
+                DataFrame.unionByName,
+                text_parts,
+                spark.createDataFrame([], "url string, title string, text string"),
+            )
+            if self.collect_text
+            else None
+        )
+        lineage = spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
+        return CrawlRun(
+            trace=trace,
+            downloads=downloads,
+            texts=texts,
+            lineage=lineage,
+            rounds=rnd - start_round,
+            recorded=recorded_total,
+        )

@@ -1,0 +1,101 @@
+"""Engine-vs-oracle golden-trace parity (the correctness bar of the north
+rule: exact crawl ordering + URL-seen set + byte-identical text per url)."""
+
+import pytest
+
+from geospatial_web_scraper_spark import corpus
+from geospatial_web_scraper_spark.oracle import crawl_oracle
+from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
+from geospatial_web_scraper_spark.plans.store import SnapshotStore
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def oracle_run():
+    pages = corpus.pages_dict(N)
+    seeds = [corpus.url_of(i) for i in corpus.seed_ids(N)]
+    return crawl_oracle(pages, seeds, max_crawl=400)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark):
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=400,
+        collect_text=True,
+    )
+    return eng.run(corpus.seeds_df(spark, N))
+
+
+def _trace_rows(df):
+    return [
+        (r["seq"], r["url"], r["depth"], r["parent_url"], r["round"])
+        for r in df.orderBy("seq").collect()
+    ]
+
+
+def test_exact_trace_parity(engine_run, oracle_run):
+    assert _trace_rows(engine_run.trace) == oracle_run.trace
+
+
+def test_seen_set_parity(engine_run, oracle_run):
+    got = {r["url"] for r in engine_run.trace.collect()}
+    assert got == set(oracle_run.seen)
+
+
+def test_downloads_parity(engine_run, oracle_run):
+    got = sorted(r["url"] for r in engine_run.downloads.collect())
+    assert got == sorted(oracle_run.downloads)
+
+
+def test_byte_identical_text(engine_run, oracle_run):
+    got = {r["url"]: r["text"] for r in engine_run.texts.collect()}
+    assert got == oracle_run.texts
+    # and the corpus golden text column agrees (three-way check)
+    for url, text in got.items():
+        i = int(url.rsplit("/", 1)[-1].removesuffix(".html"))
+        assert text == corpus.text_of(i)
+
+
+def test_budget_cut_exact(spark, oracle_run):
+    """Budget B records exactly the first B+1 of the unbudgeted total order."""
+    budget = 30
+    eng = CrawlEngine(spark, corpus.corpus_df(spark, N), max_crawl=budget)
+    run = eng.run(corpus.seeds_df(spark, N))
+    pages = corpus.pages_dict(N)
+    seeds = [corpus.url_of(i) for i in corpus.seed_ids(N)]
+    oracle_capped = crawl_oracle(pages, seeds, max_crawl=budget)
+    assert _trace_rows(run.trace) == oracle_capped.trace
+    assert run.recorded == budget + 1
+
+
+def test_lineage_partition_rows(engine_run):
+    rows = engine_run.lineage.collect()
+    per_round = [r for r in rows if r["partition_id"] == -1]
+    assert [r["round"] for r in sorted(per_round, key=lambda r: r["round"])] == list(
+        range(engine_run.rounds)
+    )
+    # per-partition fetch rows exist and bytes are positive where pages matched
+    part = [r for r in rows if r["partition_id"] >= 0]
+    assert part and any(r["bytes_fetched"] > 0 for r in part)
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_path_factory, oracle_run):
+    """Run 2 rounds with a store, then resume in a fresh engine: the final
+    trace must equal an uninterrupted run (north rule: exact resume)."""
+    base = str(tmp_path_factory.mktemp("snap"))
+    store = SnapshotStore(spark, base)
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, store=store, max_rounds=2
+    )
+    partial = eng.run(corpus.seeds_df(spark, N))
+    assert partial.rounds == 2
+    assert store.last_committed() == 1
+
+    eng2 = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, store=store
+    )
+    resumed = eng2.resume()
+    assert _trace_rows(resumed.trace) == oracle_run.trace
