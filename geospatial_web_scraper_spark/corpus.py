@@ -353,8 +353,37 @@ def corpus_df(spark: SparkSession, n: int = N_DEFAULT, partitions: int | None = 
     )
 
 
-def seeds_df(spark: SparkSession, n: int = N_DEFAULT) -> DataFrame:
-    ids = seed_ids(n)
+def edges_df(spark: SparkSession, n: int = N_DEFAULT) -> DataFrame:
+    """The formula link graph as a DataFrame, built natively (the relational
+    twin of what extract_links produces from the HTML): one row per
+    (src_id, src_url, pos, dst_url, is_geo), only from fetchable pages.
+    ``pos`` is the plain-link index j (geo link gets pos = outdeg)."""
+    base = spark.range(0, n)
+    i = F.col("id")
+    fetchable = base.filter((i % 97 != 1) & (i % 41 != 2))
+    plain = fetchable.select(
+        i.alias("src_id"),
+        _url_col(i).alias("src_url"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), (2 + i % 4 - 1)),
+                lambda j: _url_col((7 * i + 13 * j + 1) % n),
+            )
+        ).alias("pos", "dst_url"),
+        F.lit(False).alias("is_geo"),
+    )
+    geo = fetchable.filter(i % 3 == 0).select(
+        i.alias("src_id"),
+        _url_col(i).alias("src_url"),
+        (2 + i % 4).cast("int").alias("pos"),
+        _geo_url_col(i).alias("dst_url"),
+        F.lit(True).alias("is_geo"),
+    )
+    return plain.unionByName(geo)
+
+
+def seeds_df(spark: SparkSession, n: int = N_DEFAULT, k: int = N_SEEDS) -> DataFrame:
+    ids = seed_ids(n, k)
     rows = [
         (order, url_of(i), f"Seed {i} geospatial portal topic {i % 7}")
         for order, i in enumerate(ids)
@@ -385,16 +414,16 @@ pgu AS (
          'https://host' || h || '.example.org/page/' || i || '.html' AS url
   FROM pg),
 plain_edges AS (
-  SELECT p.i AS src,
+  SELECT p.i AS src, p.url AS src_url, t.j AS pos,
          'https://host' || (CASE WHEN t.tgt % 10 < 3 THEN 0 ELSE 1 + (t.tgt % 9) END)
            || '.example.org/page/' || t.tgt || '.html' AS dst,
          FALSE AS is_geo
   FROM pgu p, LATERAL (
-      SELECT ((7 * p.i + 13 * u.j + 1) % {n}) AS tgt
+      SELECT u.j, ((7 * p.i + 13 * u.j + 1) % {n}) AS tgt
       FROM (SELECT unnest(range(2 + (p.i % 4))) AS j) u) t
   WHERE p.status = 200 AND p.content_type = 'text/html'),
 geo_edges AS (
-  SELECT i AS src,
+  SELECT i AS src, url AS src_url, (2 + (i % 4)) AS pos,
          'https://host' || h || '.example.org/data/file_' || i || '.' ||
            (['zip','csv','geojson','kml','tif'][(i % 5)::INT + 1]) AS dst,
          TRUE AS is_geo

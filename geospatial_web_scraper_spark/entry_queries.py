@@ -1,0 +1,768 @@
+"""The driver-contract query catalog: every operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable, with a DuckDB-runnable ANSI-SQL oracle
+wherever the semantics are SQL-expressible (the rest are rows-only checked
+and covered by pytest goldens instead).
+
+Naming convention: keys carry the SURVEY §2 operator ids (f1_, j1_, x1_, …)
+so the inventory can be checked line by line. Crawl-semantics queries run
+over the deterministic arithmetic corpus (fixed N=300 — sf-independent, so
+the oracle SQL is a static self-contained string, see corpus.sql_prelude);
+training-data queries run over the driver's parquet tables.
+
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before value-hashing). Floating-point outputs are
+rounded to 6 (scores) or 2 (money sums) decimals on both sides; ranks are
+cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import corpus
+from .constants import GEO_FILE_EXTENSIONS
+from .functions.ordering import with_global_seq
+from .functions.urls import (
+    canonicalize_url,
+    filename_for_download,
+    go_ext,
+    url_host,
+    url_path,
+)
+from .operators import dedup, similarity, textstats
+from .operators.extract import extract_links_udf, extract_meta_udf
+from .operators.multimodal import decode_features
+from .operators.politeness import priority_expr
+from .plans.bfs import CrawlEngine
+
+N = 300
+PRE = corpus.sql_prelude(N)
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect, mirroring the native Spark exprs)
+# --------------------------------------------------------------------------
+
+# whitespace-normalized token list of a text column (mirrors tokens_expr)
+def _sql_toks(col: str) -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim({col}), '\\s+') END"
+    )
+
+
+def _sql_norm(col: str) -> str:
+    return f"array_to_string({_sql_toks(col)}, ' ')"
+
+
+def _sql_canon(x: str) -> str:
+    nofrag = f"split_part({x}, '#', 1)"
+    head = f"array_to_string((str_split({nofrag}, '/'))[1:3], '/')"
+    return f"(lower({head}) || substr({nofrag}, length({head}) + 1))"
+
+
+_SQL_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+_SQL_PRIO = (
+    "(CASE WHEN is_geo THEN 100.0 ELSE 0.0 END)"
+    " + 10.0 * (contains(lower(path), '/data/')::INT"
+    " + contains(lower(path), '/download')::INT"
+    " + contains(lower(path), '/dataset')::INT"
+    " + contains(lower(path), '/geodata')::INT"
+    " + contains(lower(path), '/gis/')::INT)"
+    " - depth"
+)
+
+
+def _fetchable_pages(spark: SparkSession) -> DataFrame:
+    return corpus.corpus_df(spark, N).filter(
+        (F.col("status") == 200) & (F.col("content_type") == "text/html")
+    )
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BFS engine, budget off: the reachable seen set with min-depth.
+    [J1+F1+F4+F5+F7+X1+U1 end-to-end]"""
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=None, lineage_detail=False
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("url", F.col("depth").cast("int").alias("depth"))
+
+
+def q_crawl_trace_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted FIFO crawl trace (seq order is iterative — rows-only here;
+    exact trace parity vs the oracle is pinned in tests/test_bfs_engine.py)."""
+    eng = CrawlEngine(spark, corpus.corpus_df(spark, N), max_crawl=400,
+                      lineage_detail=False)
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_x1_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _fetchable_pages(spark)
+    links = pages.withColumn(
+        "_links", extract_links_udf(F.col("html"), F.col("url"))
+    ).select(F.col("url").alias("src_url"), F.explode("_links").alias("link"))
+    return links.select(
+        "src_url",
+        F.col("link.url").alias("dst_url"),
+        F.col("link.is_geo").alias("is_geo"),
+    ).distinct()
+
+
+def q_x2_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _fetchable_pages(spark)
+    meta = pages.withColumn("_m", extract_meta_udf(F.col("html"), F.col("url")))
+    return meta.select(
+        "url",
+        F.col("_m.title").alias("title"),
+        F.col("_m.description").alias("text"),
+    )
+
+
+def q_f6_geo_ext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
+    ext = go_ext(url_path(F.col("url")))
+    return urls.select(
+        "url",
+        ext.alias("ext"),
+        ext.isin(*GEO_FILE_EXTENSIONS).alias("is_geo_ext"),
+    )
+
+
+def q_c3_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = corpus.corpus_df(spark, N).select("page_id", "url")
+    return base.select(
+        "page_id",
+        canonicalize_url(F.col("url")).alias("canon_plain"),
+        canonicalize_url(F.upper(F.col("url"))).alias("canon_upper"),
+        canonicalize_url(F.concat(F.col("url"), F.lit("#frag"))).alias("canon_frag"),
+    )
+
+
+_FILENAME_CASES = [
+    "https://x.org/data/f.zip",
+    "https://x.org/",
+    "https://x.org",
+    "https://x.org/a/b/",
+    "https://x.org/a/b.CSV?q=1",
+    "https://x.org/a/.",
+]
+_FILENAME_GOLDEN = ["f.zip", "download", "download", "b", "b.CSV", "download"]
+
+
+def q_c4_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(u,) for u in _FILENAME_CASES], "url string")
+    return df.select("url", filename_for_download(F.col("url")).alias("filename"))
+
+
+def q_t3_priority_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = (
+        corpus.edges_df(spark, N)
+        .select(F.col("dst_url").alias("url"), "is_geo")
+        .distinct()
+        .withColumn("host", url_host(F.col("url")))
+        .withColumn(
+            "prio", priority_expr(F.col("url"), F.col("is_geo"), F.lit(1))
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("prio"), F.asc("url"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("host", "url", "rk")
+    )
+
+
+def q_j1_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
+    seen = (
+        corpus.corpus_df(spark, N)
+        .filter(F.col("page_id") % 2 == 0)
+        .select("url")
+    )
+    return cand.join(seen, "url", "left_anti")
+
+
+def q_f1_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = corpus.edges_df(spark, N)
+    w = Window.partitionBy("dst_url").orderBy("src_id", "pos")
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("dst_url").alias("url"),
+            F.col("src_id").alias("parent_id"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+
+
+def q_u2_except_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dsts = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
+    return dsts.subtract(corpus.seeds_df(spark, N).select("url"))
+
+
+# ----------------------------------------------------------- documents table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return dedup.wordset_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return dedup.minhash_neardup_pairs(docs, threshold=0.3)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return dedup.simhash_neardup_pairs(docs, max_hamming=6)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.token_count_expr(F.col("text")).cast("long").alias("n_tok")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.quality_score_expr(F.col("text")).alias("q")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fp")
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )
+    return decode_features(media).select("asset_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------- embeddings table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+def q_a2_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.crossJoin(F.broadcast(_query_vec(spark, sf_dir))).select(
+        "vec_id",
+        F.round(similarity.cosine_expr(F.col("embedding"), F.col("qv")), 6).alias(
+            "score"
+        ),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_bruteforce_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_t1_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_a2_cosine_scores(spark, sf_dir).filter(F.col("score").isNotNull())
+    ranked, _ = with_global_seq(scored, ["score", "vec_id"], seq_col="rank")
+    return ranked.select("vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_t2_topk_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T2 off-by-one (crawler2.go:67-72): the slice keeps descending
+    ranks 2..11, discarding the single best match."""
+    scored = q_a2_cosine_scores(spark, sf_dir).filter(F.col("score").isNotNull())
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") >= 2) & (F.col("rk") <= 11))
+        .select("vec_id", "score")
+    )
+
+
+# --------------------------------------------------------------- TPC-H-ish
+
+
+def q_q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- events
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_a1_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+    )
+
+
+def q_f10_global_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).orderBy(F.desc("value"), F.asc("event_id")).limit(50)
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "event_id", "value", "rk"
+    )
+
+
+def q_a3_multiset_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .filter(F.col("n_a") != F.col("n_b"))
+    )
+
+
+def q_u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    part_a = ev.filter(F.col("value") > 10).select("event_id", "event_type")
+    part_b = ev.filter(F.col("user_id") < 50).select("event_id", "event_type")
+    return (
+        part_a.unionByName(part_b)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# catalogs
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "crawl_bfs_seen": q_crawl_bfs_seen,
+    "crawl_trace_budget": q_crawl_trace_budget,
+    "x1_extract_links": q_x1_extract_links,
+    "x2_extract_text": q_x2_extract_text,
+    "f6_geo_ext_classify": q_f6_geo_ext_classify,
+    "c3_canonicalize": q_c3_canonicalize,
+    "c4_filename": q_c4_filename,
+    "t3_priority_dequeue": q_t3_priority_dequeue,
+    "j1_seen_anti_join": q_j1_seen_anti_join,
+    "f1_first_wins": q_f1_first_wins,
+    "u2_except_seeds": q_u2_except_seeds,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "a2_cosine_scores": q_a2_cosine_scores,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "t1_sort_rank": q_t1_sort_rank,
+    "t2_topk_quirk": q_t2_topk_quirk,
+    "q1_lineitem_agg": q_q1_lineitem_agg,
+    "q3_topk_join": q_q3_topk_join,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "a1_event_counters": q_a1_event_counters,
+    "c9_json_extract": q_c9_json_extract,
+    "f10_global_budget": q_f10_global_budget,
+    "a3_multiset_equality": q_a3_multiset_equality,
+    "u1_union_dedup": q_u1_union_dedup,
+}
+
+
+ORACLES: dict[str, str] = {
+    "crawl_bfs_seen": f"""
+WITH RECURSIVE {PRE},
+walk(url, depth) AS (
+  SELECT url, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN pgu p ON p.url = w.url JOIN edges e ON e.src = p.i
+  WHERE w.depth + 1 < 4
+)
+SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
+""",
+    "x1_extract_links": f"""
+WITH {PRE}
+SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges
+""",
+    "x2_extract_text": f"""
+WITH {PRE}
+SELECT url,
+  'Page ' || i || ' host ' || h || ' Portal ' || (i % 7)
+    || CASE WHEN i % 17 = 4 THEN ' LD ' || i ELSE '' END AS title,
+  'Catalog entry ' || i || ' for topic ' || (i % 7) || '.'
+    || CASE WHEN i % 17 = 4 THEN ' Meta entry ' || i || '.' ELSE '' END
+    || ' Dataset ' || i || ' covers region ' || (i % 13)
+    || '. Theme ' || (i % 5) || ' records.' AS text
+FROM pgu WHERE status = 200 AND content_type = 'text/html'
+""",
+    "f6_geo_ext_classify": f"""
+WITH {PRE},
+urls AS (SELECT DISTINCT dst AS url FROM edges),
+parts AS (SELECT url, split_part(url, '/', -1) AS base FROM urls),
+exts AS (
+  SELECT url,
+    CASE WHEN regexp_matches(base, '\\.[^./]*$')
+         THEN lower('.' || regexp_extract(base, '\\.([^./]*)$', 1))
+         ELSE '' END AS ext
+  FROM parts)
+SELECT url, ext,
+  ext IN ('.zip','.csv','.json','.geojson','.kml','.kmz','.tif','.tiff','.nc','.grib','.xml')
+    AS is_geo_ext
+FROM exts
+""",
+    "c3_canonicalize": f"""
+WITH {PRE}
+SELECT i AS page_id,
+  {_sql_canon('url')} AS canon_plain,
+  {_sql_canon('upper(url)')} AS canon_upper,
+  {_sql_canon("url || '#frag'")} AS canon_frag
+FROM pgu
+""",
+    "c4_filename": "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{u}', '{g}')" for u, g in zip(_FILENAME_CASES, _FILENAME_GOLDEN)
+    )
+    + ") t(url, filename)",
+    "t3_priority_dequeue": f"""
+WITH {PRE},
+cand AS (SELECT DISTINCT dst AS url, is_geo FROM edges),
+scored AS (
+  SELECT url, is_geo,
+    split_part(url, '/', 3) AS host,
+    '/' || array_to_string((str_split(url, '/'))[4:], '/') AS path,
+    1 AS depth
+  FROM cand),
+prio AS (SELECT host, url, {_SQL_PRIO} AS p FROM scored)
+SELECT host, url,
+  row_number() OVER (PARTITION BY host ORDER BY p DESC, url ASC) AS rk
+FROM prio QUALIFY rk <= 3
+""",
+    "j1_seen_anti_join": f"""
+WITH {PRE}
+SELECT DISTINCT dst AS url FROM edges
+WHERE dst NOT IN (SELECT url FROM pgu WHERE i % 2 = 0)
+""",
+    "f1_first_wins": f"""
+WITH {PRE}
+SELECT dst AS url, src AS parent_id, pos::BIGINT AS pos FROM edges
+QUALIFY row_number() OVER (PARTITION BY dst ORDER BY src, pos) = 1
+""",
+    "u2_except_seeds": f"""
+WITH {PRE}
+SELECT DISTINCT dst AS url FROM edges
+EXCEPT
+SELECT url FROM seeds
+""",
+    "dedup_exact": f"""
+SELECT md5({_sql_norm('text')}) AS content_hash,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+    "jaccard_pairs": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+toks AS (SELECT DISTINCT doc_id, unnest({_sql_toks('text')}) AS w FROM d),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) >= 0.5
+""",
+    "lang_id": f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform({_sql_toks('text')}, x -> lower(x)) AS toks
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','in','is','for','with','that','are'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','los','en','un','por','con'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','de','et','un','une','dans','pour','que'], x))) AS h_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang
+FROM hits
+""",
+    "token_count": f"""
+SELECT doc_id, len({_sql_toks('text')})::BIGINT AS n_tok FROM documents
+""",
+    "quality_score": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    len({_sql_toks('text')})::DOUBLE AS n_tok,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+         ELSE 0.0 END AS alpha,
+    len(list_filter(list_transform({_sql_toks('text')}, x -> lower(x)),
+        x -> list_contains(
+          ['the','and','of','to','in','is','for','with','that','are'], x)))::DOUBLE
+      AS stop_hits
+  FROM documents)
+SELECT doc_id,
+  round(0.4 * least(n_tok / 100.0, 1.0)
+      + 0.3 * alpha
+      + 0.3 * least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END * 5.0, 1.0),
+    6) AS q
+FROM t
+""",
+    "fingerprint": f"""
+SELECT doc_id, substr(md5({_sql_norm('text')}), 1, 16) AS fp FROM documents
+""",
+    "multimodal_decode": """
+SELECT doc_id AS asset_id,
+  (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+""",
+    "a2_cosine_scores": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+              AND list_dot_product(q.qv, q.qv) > 0
+        THEN {_SQL_COS} ELSE NULL END, 6) AS score
+FROM embeddings e, q
+""",
+    "ann_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id, {_SQL_COS} AS score
+      FROM embeddings e, q
+      WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0),
+r AS (SELECT query_id, vec_id, round(score, 6) AS score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+""",
+    "t1_sort_rank": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, round({_SQL_COS}, 6) AS score FROM embeddings e, q
+      WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+        AND list_dot_product(q.qv, q.qv) > 0)
+SELECT vec_id, score,
+  (row_number() OVER (ORDER BY score ASC, vec_id ASC) - 1)::BIGINT AS rank
+FROM s
+""",
+    "t2_topk_quirk": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, round({_SQL_COS}, 6) AS score FROM embeddings e, q
+      WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+        AND list_dot_product(q.qv, q.qv) > 0),
+r AS (SELECT vec_id, score,
+        row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk FROM s)
+SELECT vec_id, score FROM r WHERE rk BETWEEN 2 AND 11
+""",
+    "q1_lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+    "q3_topk_join": """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "broadcast_dim_join": """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+    "a1_event_counters": """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+""",
+    "c9_json_extract": """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events WHERE event_id < 1000
+""",
+    "f10_global_budget": """
+SELECT event_id, value,
+  row_number() OVER (ORDER BY value DESC, event_id ASC) AS rk
+FROM events QUALIFY rk <= 50
+""",
+    "a3_multiset_equality": """
+WITH a AS (SELECT event_type, count(*) AS n_a FROM events
+           WHERE user_id % 2 = 0 GROUP BY 1),
+b AS (SELECT event_type, count(*) AS n_b FROM events
+      WHERE user_id % 2 = 1 GROUP BY 1)
+SELECT coalesce(a.event_type, b.event_type) AS event_type,
+  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
+""",
+    "u1_union_dedup": """
+SELECT event_type, count(*) AS n FROM (
+  SELECT DISTINCT event_id, event_type FROM (
+    SELECT event_id, event_type FROM events WHERE value > 10
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE user_id < 50
+  )
+) GROUP BY 1
+""",
+}

@@ -1,0 +1,275 @@
+"""Deduplication operators for web-scale training data.
+
+Four families, each a standard large-corpus technique re-expressed as
+DataFrame dataflow (no per-row Python except the SimHash pandas UDF, which
+is Arrow-batched numpy):
+
+* **exact** — md5 of normalized text, first-wins by min id. One shuffle.
+* **MinHash + LSH** — word-shingle minhash signatures (k independent hash
+  families via xxhash64(i || ':' || shingle), all native higher-order
+  functions), banded into b buckets; candidate pairs are bucket collisions
+  (self-join on band hash), then verified with exact word-set Jaccard.
+  This is the canonical near-dup pipeline at 10^10 docs: the band join
+  replaces the quadratic pairwise scan, and the verify join only sees
+  collision candidates.
+* **SimHash** — 64-bit sign-aggregated token hashes (Arrow/numpy UDF),
+  near-dups = signatures within a Hamming radius, bucketed by the 4×16-bit
+  block trick (Manku et al., WWW'07) so the comparison is again an
+  equi-join, not a scan.
+* **n-gram / word-set Jaccard** — exact similarity on exploded distinct
+  tokens: explode → self-join on token → |A∩B| / (|A|+|B|−|A∩B|).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textstats import tokens_expr, word_ngrams_expr
+
+
+# --------------------------------------------------------------------- exact
+def normalized_text_expr(text: Column) -> Column:
+    return F.array_join(tokens_expr(text), " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (content_hash, n_dups, keep_id): one row per distinct content,
+    keep_id = lowest id (first-wins, the crawl F1 policy applied to content)."""
+    return (
+        df.select(
+            F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signature_expr(text: Column, k: int = 16, ngram: int = 3) -> Column:
+    """k-element minhash signature over word n-gram shingles, fully native:
+    sig[i] = min over shingles of xxhash64(i || ':' || shingle)."""
+    shingles = word_ngrams_expr(text, ngram)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """→ candidate near-dup pairs (id_a < id_b) from LSH band collisions."""
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature_expr(F.col(text_col), k, ngram).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- jaccard
+def wordset_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set Jaccard over all pairs via token explode + equi-join
+    (|A∩B| from the join, sizes from a groupBy) — the verify stage for LSH
+    candidates, or standalone on bounded subsets."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("w")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: LSH candidates → exact n-gram-set Jaccard verify."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, ngram)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))).alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("g"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("g"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------- simhash
+@F.pandas_udf(T.LongType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token array column. Arrow-batched numpy; token
+    hashes via blake2b-8 (deterministic across sessions, unlike Python's
+    builtin hash)."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for row_idx, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for bit_idx in range(64):
+            if acc[bit_idx] > 0:
+                sig |= np.uint64(1) << np.uint64(bit_idx)
+        out[row_idx] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ radius. Blocking uses the
+    Manku 4-block trick: signatures within distance ≤3 must agree exactly on
+    at least one of 4 16-bit blocks → equi-join per block, then exact
+    Hamming verify via bit_count(xor)."""
+    sigs = df.select(
+        F.col(id_col),
+        simhash64_udf(tokens_expr(F.col(text_col))).alias("sig"),
+    )
+    blocks = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

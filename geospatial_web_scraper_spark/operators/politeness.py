@@ -1,0 +1,161 @@
+"""Per-host politeness + salted priority dequeue (north rule M5).
+
+Generalizes the reference's two 40-slot semaphores (``crawler.go:16-17`` —
+global concurrency caps with no per-host fairness) into data-driven,
+deterministic per-round scheduling:
+
+* **robots rules** — ``robots(host, disallow_prefixes array<string>)``:
+  candidates whose URL path starts with a disallowed prefix are dropped
+  before recording (broadcast join on host + native ``F.exists`` prefix
+  test; no UDF).
+* **token budgets** — ``host_budget(host, tokens_per_round int)`` with a
+  default for unlisted hosts: at most that many URLs of a host are admitted
+  per round; the overflow is **deferred** to the next round (politeness
+  delays, never drops).
+* **priority** — geo-dataset link signals rank first (``is_geo`` from the
+  extraction kernel = the 11-extension allow-list F6, plus open-data path
+  patterns), tie-broken by ``url_hash`` for determinism.
+
+Skew note (hot host ≈30% of the frontier): a single
+``Window.partitionBy(host)`` puts the hot host on one task. The dequeue is
+therefore two-phase: phase A ranks within (host, salt) — ``n_salts``-way
+split of every host — and keeps ``rank <= budget`` per salt, bounding any
+host's survivors to ``budget × n_salts``; phase B ranks the survivors
+exactly per host. Phase B's per-host input is bounded by construction, so
+the hot host can no longer dominate a partition regardless of frontier skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_hash, url_host, url_path
+
+OPEN_DATA_PATTERNS = ("/data/", "/download", "/dataset", "/geodata", "/gis/")
+
+
+def priority_expr(url: Column, is_geo: Column, depth: Column) -> Column:
+    """Geo-signal priority: geo-extension anchors first (north rule), then
+    open-data portal path patterns, shallow before deep."""
+    path = F.lower(url_path(url))
+    pattern_hits = sum(
+        (F.when(path.contains(p), F.lit(1)).otherwise(F.lit(0)) for p in OPEN_DATA_PATTERNS),
+        F.lit(0),
+    )
+    return (
+        F.when(is_geo, F.lit(100.0)).otherwise(F.lit(0.0))
+        + pattern_hits.cast("double") * 10.0
+        - depth.cast("double")
+    )
+
+
+class PolitenessScheduler:
+    """Plugs into CrawlEngine between dedup and seq assignment.
+
+    ``apply(df, round)`` → admitted rows carrying ``_ord1``/`_ord2``
+    (priority desc, url_hash asc) for the engine's global seq; the deferred
+    overflow is exposed as ``self.deferred`` for the engine to merge into
+    the next frontier.
+    """
+
+    order_cols = ("_ord1", "_ord2")
+
+    def __init__(
+        self,
+        robots: DataFrame | None = None,
+        host_budget: DataFrame | None = None,
+        default_tokens_per_round: int = 40,  # the reference's semaphore width
+        n_salts: int = 8,
+        defer_overflow: bool = True,
+    ):
+        self.robots = robots
+        self.host_budget = host_budget
+        self.default_tokens = default_tokens_per_round
+        self.n_salts = n_salts
+        self.defer_overflow = defer_overflow
+        self.deferred: DataFrame | None = None
+
+    def apply(self, df: DataFrame, rnd: int) -> DataFrame:
+        d = df.withColumn("_host", url_host(F.col("url"))).withColumn(
+            "_uh", url_hash(F.col("url"))
+        )
+
+        # robots prefix filter — tiny table, broadcast join, native exists()
+        if self.robots is not None:
+            d = (
+                d.join(
+                    F.broadcast(self.robots.select("host", "disallow_prefixes")),
+                    d["_host"] == F.col("host"),
+                    "left",
+                )
+                .filter(
+                    F.col("disallow_prefixes").isNull()
+                    | ~F.exists(
+                        "disallow_prefixes",
+                        lambda p: F.startswith(url_path(F.col("url")), p),
+                    )
+                )
+                .drop("host", "disallow_prefixes")
+            )
+
+        is_geo = F.col("is_geo") if "is_geo" in df.columns else F.lit(False)
+        d = d.withColumn(
+            "_prio", priority_expr(F.col("url"), is_geo, F.col("depth"))
+        )
+
+        # per-host token budget
+        if self.host_budget is not None:
+            d = (
+                d.join(
+                    F.broadcast(
+                        self.host_budget.select(
+                            F.col("host"), F.col("tokens_per_round").alias("_budget")
+                        )
+                    ),
+                    d["_host"] == F.col("host"),
+                    "left",
+                )
+                .drop("host")
+                .withColumn(
+                    "_budget", F.coalesce(F.col("_budget"), F.lit(self.default_tokens))
+                )
+            )
+        else:
+            d = d.withColumn("_budget", F.lit(self.default_tokens))
+
+        # two-phase skew-safe dequeue
+        d = d.withColumn("_salt", F.pmod(F.col("_uh"), F.lit(self.n_salts)))
+        wa = Window.partitionBy("_host", "_salt").orderBy(
+            F.desc("_prio"), F.asc("_uh")
+        )
+        phase_a = d.withColumn("_ra", F.row_number().over(wa)).filter(
+            F.col("_ra") <= F.col("_budget")
+        )
+        wb = Window.partitionBy("_host").orderBy(F.desc("_prio"), F.asc("_uh"))
+        ranked = phase_a.withColumn("_rb", F.row_number().over(wb)).persist()
+
+        admitted = ranked.filter(F.col("_rb") <= F.col("_budget"))
+        if self.defer_overflow:
+            # overflow candidates wait for a later round (politeness delay);
+            # phase-A casualties of the same host+salt also re-enter next
+            # round via re-extraction of their parents being unnecessary —
+            # they are deferred directly here
+            over_b = ranked.filter(F.col("_rb") > F.col("_budget"))
+            over_a = d.join(
+                phase_a.select("url", "parent_seq", "pos"),
+                ["url", "parent_seq", "pos"],
+                "left_anti",
+            )
+            self.deferred = (
+                over_b.select(*df.columns)
+                .unionByName(over_a.select(*df.columns))
+            )
+        else:
+            self.deferred = None
+
+        return admitted.select(
+            *df.columns,
+            (-F.col("_prio")).alias("_ord1"),
+            F.col("_uh").alias("_ord2"),
+        )

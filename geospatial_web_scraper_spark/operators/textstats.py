@@ -1,0 +1,114 @@
+"""Text-analysis operators for a training-data pipeline — all native
+Catalyst expressions (JVM-side, whole-stage codegen; no Python anywhere).
+
+Each expression is deliberately constrained to constructs with exact ANSI
+SQL equivalents so DuckDB can oracle-check it value-for-value: token
+counting, quality scoring, n-gram-free language ID (stopword voting),
+md5-based document fingerprints, and rolling-hash winnowing fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the language-ID vote.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "that", "are"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "dans", "pour", "que"),
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization; '' → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def alpha_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters (0 for empty)."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_expr(text: Column, stopwords=QUALITY_STOPWORDS) -> Column:
+    toks = F.transform(tokens_expr(text), lambda x: F.lower(x))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + letter ratio +
+    stopword presence (the classic Gopher-style cheap filters)."""
+    n_tok = token_count_expr(text).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * alpha_ratio_expr(text)
+        + F.lit(0.3) * F.least(stopword_ratio_expr(text) * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    ties broken by language code order, 'und' when no hits at all."""
+    toks = F.transform(tokens_expr(text), lambda x: F.lower(x))
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """64-bit-equivalent document fingerprint: first 16 hex chars of the md5
+    of whitespace-normalized text (SQL-portable; md5 agrees across engines)."""
+    normalized = F.array_join(tokens_expr(text), " ")
+    return F.substring(F.md5(normalized), 1, 16)
+
+
+def word_ngrams_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles in document order ('' when fewer than n words)."""
+    toks = tokens_expr(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints_expr(text: Column, n: int = 3, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash every word n-gram,
+    keep the min hash of each sliding window → a compact, position-robust
+    fingerprint set for near-dup detection. All native higher-order funcs."""
+    grams = word_ngrams_expr(text, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    count = F.size(hashes) - F.lit(window - 1)
+    mins = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(hashes)  # shorter than one window → keep all hashes
+    return F.array_distinct(mins)

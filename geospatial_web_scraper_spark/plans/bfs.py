@@ -110,6 +110,7 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("parent_url"),
             F.lit(-1).cast("long").alias("parent_seq"),
             F.col("seed_order").cast("int").alias("pos"),
+            F.lit(False).alias("is_geo"),
         )
         seen = self.spark.createDataFrame([], "url string, url_hash long")
         return self._loop(frontier, seen, start_round=0, recorded_total=0,
@@ -273,7 +274,14 @@ class CrawlEngine:
                 "parent_url",
                 "parent_seq",
                 F.col("link.pos").alias("pos"),
-            ).localCheckpoint(eager=True)
+                F.col("link.is_geo").alias("is_geo"),
+            )
+            # politeness deferral: host-budget overflow re-enters the frontier
+            if self.scheduler is not None and getattr(self.scheduler, "deferred", None) is not None:
+                next_frontier = next_frontier.unionByName(
+                    self.scheduler.deferred.select(*next_frontier.columns)
+                )
+            next_frontier = next_frontier.localCheckpoint(eager=True)
 
             # lineage (north rule): per-partition fetch metrics + round totals
             if self.lineage_detail:

@@ -1,0 +1,196 @@
+"""Training-data operators: dedup families, ANN similarity, text stats,
+multimodal plumbing — micro-fixtures with hand-checked goldens plus
+sf0.001 smoke."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark.operators import dedup, similarity, textstats
+from geospatial_web_scraper_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (
+                0,
+                "the quick brown fox jumps over the lazy dog "
+                "and then runs far away into the deep dark forest today",
+            ),
+            (
+                1,  # exact dup of 0
+                "the quick brown fox jumps over the lazy dog "
+                "and then runs far away into the deep dark forest today",
+            ),
+            (
+                2,  # true near dup of 0: long shared prefix, one-word suffix edit
+                "the quick brown fox jumps over the lazy dog "
+                "and then runs far away into the deep dark forest tonight",
+            ),
+            (3, "completely different content about spark engines"),
+            (4, ""),
+            (
+                5,  # whitespace-only variant of 0 → exact dup after normalize
+                "  the   quick brown fox jumps over the lazy dog \n"
+                "and then runs far  away into the deep dark forest today  ",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    rows = {r["content_hash"]: r for r in dedup.exact_dedup(docs).collect()}
+    by_keep = {r["keep_id"]: r["n_dups"] for r in rows.values()}
+    assert by_keep[0] == 3  # 0, 1, 5 normalize identically
+    assert by_keep[2] == 1 and by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (0, 2) in pairs  # near dup shares most 3-gram shingles
+    assert not any(3 in p for p in pairs)
+
+
+def test_wordset_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.wordset_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0
+    # 0 vs 2: 18 distinct words each, 17 shared (today/tonight differ)
+    assert abs(pairs[(0, 2)] - round(17 / 19, 6)) < 1e-9
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0
+    assert (0, 2) in pairs  # one word swap → small hamming distance
+    assert not any(3 in p and 4 in p for p in pairs)
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [
+        r["c"]
+        for r in df.select(
+            F.round(similarity.cosine_expr(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    ]
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] is None  # zero-vector → null
+
+
+def test_ann_bruteforce_and_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.ann_bruteforce_topk(emb, queries, k=5)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(ex) == 15
+    # self-match must rank first
+    firsts = {
+        r["query_id"]: r["vec_id"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    assert all(q == v for q, v in firsts.items())
+    # NOTE: the test embeddings are uniform random vectors, so "neighbors"
+    # are near-orthogonal and LSH recall ≈ fraction of buckets probed
+    # ((1+n_planes)/2^n_planes with multiprobe=1); real embedding spaces
+    # cluster and recall is far higher. 3 planes → probe 4/8 of the space.
+    approx = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=3, multiprobe=1)
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ap & ex) / len(ex)
+    assert recall >= 0.45, recall
+    # every LSH hit self-matches too
+    assert all((q, q) in ap for q in firsts)
+
+
+def test_textstats_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox and the lazy dog are in the yard"),
+            (1, "el perro y el gato en la casa de la playa"),
+            (2, ""),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.token_count_expr(F.col("text")).alias("n_tok"),
+            textstats.lang_id_expr(F.col("text")).alias("lang"),
+            textstats.quality_score_expr(F.col("text")).alias("q"),
+            textstats.fingerprint_expr(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert got[0]["n_tok"] == 12 and got[0]["lang"] == "en"
+    assert got[1]["lang"] == "es"
+    assert got[2]["n_tok"] == 0 and got[2]["lang"] == "und" and got[2]["q"] == 0.0
+    assert got[3]["lang"] == "und"
+    assert len(got[0]["fp"]) == 16 and got[0]["fp"] != got[3]["fp"]
+    assert 0 < got[0]["q"] <= 1.0
+
+
+def test_winnow_fingerprints_robust_to_prefix(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "PREFIX " + a
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", textstats.winnow_fingerprints_expr(F.col("text")).alias("fp")
+        ).collect()
+    }
+    overlap = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    assert overlap >= 0.5, overlap
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(b"\x01\x02\x03\x04"), 10, 10, None),
+            (1, "video", bytearray(b"\x05" * 100), 64, 48, 3500),
+            (2, "audio", bytearray(b""), None, None, 2000),
+        ],
+        "asset_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    feats = {r["asset_id"]: r for r in decode_features(media).collect()}
+    assert feats[0]["n_bytes"] == 4 and len(feats[0]["feature"]) == 8
+    assert feats[2]["n_bytes"] == 0
+    # deterministic: same payload → same feature
+    feats2 = {r["asset_id"]: r for r in decode_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["ts_ms"])] == [0, 1, 2, 3]
+    assert all(r["asset_id"] == 1 for r in frames)
+
+
+def test_docs_table_smoke(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.exact_dedup(docs).count()
+    assert out > 0
+    stats = docs.select(
+        textstats.token_count_expr(F.col("text")).alias("n"),
+        textstats.lang_id_expr(F.col("text")).alias("lang"),
+    ).collect()
+    assert all(r["n"] >= 0 for r in stats)
