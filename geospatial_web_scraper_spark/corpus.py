@@ -107,7 +107,11 @@ def _href_of(i: int, t: int, n: int) -> str:
     return url_of(t)
 
 
-def html_of(i: int, n: int) -> str:
+def html_of(i: int, n: int, filler_paras: int = 0) -> str:
+    """``filler_paras`` adds deterministic boilerplate-gated filler blocks
+    (class contains 'sidebar' → skipped by BOTH extraction gates), so page
+    weight approaches real Common-Crawl pages without changing extracted
+    links or text — the oracles stay valid at any filler level."""
     head = [
         "<html><head>",
         f"<title>Page {i} host {host_of(i)}</title>",
@@ -142,8 +146,17 @@ def html_of(i: int, n: int) -> str:
         f"<li>Theme {i % 5} records.</li>",
         f"<p>topic {i % 7}.</p>",
         f'<div class="sidebar"><p>sidebar junk {i}</p></div>',
-        "</body></html>",
     ]
+    for j in range(filler_paras):
+        body.append(
+            f'<div class="sidebar-f{j}"><p>filler block {i} {j} '
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+            "enim ad minim veniam quis nostrud exercitation ullamco</p>"
+            f'<a href="/page/{(i + j) % n}.html">decoy {j}</a>'
+            f"<ul><li>item {i} {j} a</li><li>item {i} {j} b</li></ul></div>"
+        )
+    body.append("</body></html>")
     return "\n".join(head + body)
 
 
@@ -219,7 +232,7 @@ def _anchor(href: Column, label: Column | str) -> Column:
     return F.concat(F.lit('<a href="'), href, F.lit('">'), label_col, F.lit("</a>"))
 
 
-def _html_col(i: Column, n: int) -> Column:
+def _html_col(i: Column, n: int, filler_paras: int = 0) -> Column:
     istr = i.cast("string")
     topic = (i % 7).cast("string")
     nl = F.lit("\n")
@@ -310,8 +323,31 @@ def _html_col(i: Column, n: int) -> Column:
             F.lit('<div class="sidebar"><p>sidebar junk '), istr, F.lit("</p></div>")
         ),
         nl,
-        F.lit("</body></html>"),
     ]
+    if filler_paras > 0:
+        filler = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(filler_paras - 1).cast("long")),
+                lambda j: F.concat(
+                    F.lit('<div class="sidebar-f'), j.cast("string"),
+                    F.lit('"><p>filler block '), istr, F.lit(" "), j.cast("string"),
+                    F.lit(
+                        " lorem ipsum dolor sit amet consectetur adipiscing elit"
+                        " sed do eiusmod tempor incididunt ut labore et dolore"
+                        " magna aliqua ut enim ad minim veniam quis nostrud"
+                        " exercitation ullamco</p>"
+                    ),
+                    F.lit('<a href="/page/'), ((i + j) % n).cast("string"),
+                    F.lit('.html">decoy '), j.cast("string"), F.lit("</a>"),
+                    F.lit("<ul><li>item "), istr, F.lit(" "), j.cast("string"),
+                    F.lit(" a</li><li>item "), istr, F.lit(" "), j.cast("string"),
+                    F.lit(" b</li></ul></div>"),
+                ),
+            ),
+            "\n",
+        )
+        body += [filler, nl]
+    body.append(F.lit("</body></html>"))
     return F.concat(*head, *body)
 
 
@@ -328,7 +364,12 @@ def _text_col(i: Column) -> Column:
     )
 
 
-def corpus_df(spark: SparkSession, n: int = N_DEFAULT, partitions: int | None = None) -> DataFrame:
+def corpus_df(
+    spark: SparkSession,
+    n: int = N_DEFAULT,
+    partitions: int | None = None,
+    filler_paras: int = 0,
+) -> DataFrame:
     """The `pages` table, generated natively (whole-stage codegen, no UDFs).
 
     At bench scale this produces millions of rows/sec per core; at test scale
@@ -340,7 +381,7 @@ def corpus_df(spark: SparkSession, n: int = N_DEFAULT, partitions: int | None = 
         i.cast("long").alias("page_id"),
         _url_col(i).alias("url"),
         F.timestamp_seconds(F.lit(EPOCH_2024) + i).alias("warc_ts"),
-        F.encode(_html_col(i, n), "UTF-8").alias("html"),
+        F.encode(_html_col(i, n, filler_paras), "UTF-8").alias("html"),
         _text_col(i).alias("text"),
         F.lit("en").alias("lang"),
         F.when(i % 97 == 1, F.lit(404)).otherwise(F.lit(200)).alias("status"),

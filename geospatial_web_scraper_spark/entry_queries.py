@@ -37,6 +37,9 @@ from .operators.extract import extract_links_udf, extract_meta_udf
 from .operators.multimodal import decode_features
 from .operators.politeness import priority_expr
 from .plans.bfs import CrawlEngine
+from .plans.harvest import harvest
+
+HARVEST_QUERY = "geospatial dataset download"
 
 N = 300
 PRE = corpus.sql_prelude(N)
@@ -207,6 +210,19 @@ def q_f1_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_id").alias("parent_id"),
             F.col("pos").cast("long").alias("pos"),
         )
+    )
+
+
+def q_harvest_engine2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine #2 end-to-end: pseudo-embed seeds, cosine-rank vs the query,
+    T2 quirk slice (ranks 2..11), 1-round link harvest. [J2+A2+T1+T2+S2]"""
+    return harvest(
+        spark,
+        corpus.corpus_df(spark, N),
+        corpus.seeds_df(spark, N, k=13),
+        HARVEST_QUERY,
+        top_k=10,
+        quirk_compat=True,
     )
 
 
@@ -486,6 +502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_seen_anti_join": q_j1_seen_anti_join,
     "f1_first_wins": q_f1_first_wins,
     "u2_except_seeds": q_u2_except_seeds,
+    "harvest_engine2": q_harvest_engine2,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
@@ -595,6 +612,30 @@ WITH {PRE}
 SELECT DISTINCT dst AS url FROM edges
 EXCEPT
 SELECT url FROM seeds
+""",
+    "harvest_engine2": f"""
+WITH {PRE},
+seeds_all AS (
+  SELECT i, url,
+    'Seed ' || i || ' geospatial portal topic ' || (i % 7) AS description
+  FROM pgu WHERE i % 23 = 3),
+emb AS (
+  SELECT url, list_transform(range(0, 8),
+    d -> ('0x' || substr(md5(description || ':' || d), 1, 4))::INT / 65535.0) AS v
+  FROM seeds_all),
+qv AS (
+  SELECT list_transform(range(0, 8),
+    d -> ('0x' || substr(md5('{HARVEST_QUERY}' || ':' || d), 1, 4))::INT / 65535.0) AS q),
+scored AS (
+  SELECT url, list_dot_product(v, q)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS score
+  FROM emb, qv),
+sel AS (
+  SELECT url FROM (
+    SELECT url, row_number() OVER (ORDER BY score DESC, url ASC) AS rk FROM scored)
+  WHERE rk BETWEEN 2 AND 11)
+SELECT DISTINCT s.url AS seed_url, e.dst AS url, e.is_geo
+FROM sel s JOIN pgu p ON p.url = s.url JOIN edges e ON e.src = p.i
 """,
     "dedup_exact": f"""
 SELECT md5({_sql_norm('text')}) AS content_hash,

@@ -69,11 +69,14 @@ def ann_bruteforce_topk(
         corpus_id,
         cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
     )
+    # NULL scores (zero vectors) sort last under desc, so filtering AFTER the
+    # rank cut is equivalent — and keeps the isNotNull predicate from being
+    # pushed into the join condition, where Catalyst would re-evaluate the
+    # whole cosine aggregate a second time per pair.
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
-        scored.filter(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
     )
 
 

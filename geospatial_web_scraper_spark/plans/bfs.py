@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 from ..constants import GEO_MIME_TYPES, MAX_CRAWL_ENGINE1, MAX_DEPTH
 from ..functions.ordering import with_global_seq
 from ..functions.urls import url_hash, url_host
-from ..operators.extract import extract_links_udf, extract_meta_udf
+from ..operators.extract import extract_links_flat, extract_meta_udf
 from .store import SnapshotStore
 
 TRACE_SCHEMA = (
@@ -87,6 +87,7 @@ class CrawlEngine:
         seen_filter=None,  # operators.seen.ShardedBloomSeenFilter or None
         scheduler=None,  # operators.politeness.PolitenessScheduler or None (FIFO)
         max_rounds: int = 64,
+        broadcast_fetch_limit: int = 1_000_000,
     ):
         self.spark = spark
         # column-prune the scan once; Catalyst pushes this into parquet/Iceberg
@@ -99,6 +100,7 @@ class CrawlEngine:
         self.seen_filter = seen_filter
         self.scheduler = scheduler
         self.max_rounds = max_rounds
+        self.broadcast_fetch_limit = broadcast_fetch_limit
 
     # ------------------------------------------------------------------ API
     def run(self, seeds: DataFrame) -> CrawlRun:
@@ -214,7 +216,9 @@ class CrawlEngine:
             n_recorded = max(n_recorded, 0)
 
             recorded_df = recorded_df.withColumn("host", url_host(F.col("url")))
-            recorded_df = recorded_df.localCheckpoint(eager=True)
+            # no materialization here: recorded_df sits on top of the
+            # seq-assignment checkpoint; recomputing the partition-local
+            # window is cheaper than another full copy of the round state
             recorded_total += n_recorded
 
             trace_r = recorded_df.select(
@@ -224,15 +228,30 @@ class CrawlEngine:
             trace_parts.append(trace_r)
 
             # S1 fetch = join frontier slice against the pages corpus.
-            # At 10^10 scale this is the big sort-merge join; AQE handles
-            # post-shuffle sizing, and the url key hashes uniformly (no salt
-            # needed for the join itself — host skew matters only for the
-            # politeness window, handled in the scheduler).
-            fetched = recorded_df.join(self.pages, "url", "left").persist()
+            # HTML bytes are the dominant data volume; the plan is chosen so
+            # they are NEVER shuffled or persisted:
+            #  * frontier-side broadcast (the round's recorded slice is small
+            #    relative to the corpus) → BroadcastHashJoin streams the
+            #    pages scan in place; the extraction UDF inherits the scan's
+            #    partitioning, so no repartition of HTML either;
+            #  * beyond broadcast_fetch_limit (huge rounds on a real
+            #    cluster), fall back to the shuffle join + explicit re-fan
+            #    of the parse stage (AQE coalesces by shuffle bytes and
+            #    would otherwise serialize the Arrow UDF).
+            # Fetch misses (frontier URLs absent from the corpus) are leaves:
+            # already recorded in the trace, they produce no downloads/links,
+            # so the inner broadcast join is semantically the left join.
+            rec_small = recorded_df.select("url", "seq", "depth")
+            if n_recorded <= self.broadcast_fetch_limit:
+                fetched = self.pages.join(F.broadcast(rec_small), "url", "inner")
+            else:
+                par = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                fetched = rec_small.join(self.pages, "url", "inner").repartition(par)
 
             is_downloadable = (F.col("status") == 200) & F.col("content_type").isin(
                 *GEO_MIME_TYPES
             )
+            # column pruning keeps this branch off the html bytes entirely
             downloads_r = (
                 fetched.filter(is_downloadable).select("url").localCheckpoint(eager=True)
             )
@@ -260,21 +279,14 @@ class CrawlEngine:
             # gate are parsed (depth + 1 < max_depth), saving the final-round
             # parse entirely
             expandable = html_pages.filter(F.col("depth") + 1 < self.max_depth)
-            links = expandable.withColumn(
-                "_links", extract_links_udf(F.col("html"), F.col("url"))
-            ).select(
+            flat = extract_links_flat(expandable, carry_cols=["url", "seq", "depth"])
+            next_frontier = flat.select(
+                F.col("link_url").alias("url"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
                 F.col("url").alias("parent_url"),
                 F.col("seq").alias("parent_seq"),
-                (F.col("depth") + 1).alias("depth"),
-                F.explode("_links").alias("link"),
-            )
-            next_frontier = links.select(
-                F.col("link.url").alias("url"),
-                F.col("depth").cast("int").alias("depth"),
-                "parent_url",
-                "parent_seq",
-                F.col("link.pos").alias("pos"),
-                F.col("link.is_geo").alias("is_geo"),
+                F.col("link_pos").alias("pos"),
+                F.col("link_is_geo").alias("is_geo"),
             )
             # politeness deferral: host-budget overflow re-enters the frontier
             if self.scheduler is not None and getattr(self.scheduler, "deferred", None) is not None:
@@ -331,7 +343,6 @@ class CrawlEngine:
                     },
                 )
 
-            fetched.unpersist()
             frontier = next_frontier
             rnd += 1
             if not self.lineage_detail and n_recorded == 0:

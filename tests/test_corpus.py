@@ -23,6 +23,25 @@ def test_python_html_matches_spark_html(spark):
         assert rows[i]["text"] == corpus.text_of(i), f"text mismatch @ {i}"
 
 
+def test_filler_parity_and_invariance(spark):
+    """Filler blocks change bytes, not semantics: Spark==Python bytes, and
+    extraction output is identical with and without filler."""
+    rows = {
+        r["page_id"]: r
+        for r in corpus.corpus_df(spark, 40, filler_paras=3)
+        .select("page_id", "html", "text")
+        .collect()
+    }
+    for i in range(40):
+        assert rows[i]["html"] == corpus.html_of(i, 40, filler_paras=3).encode("utf-8")
+        assert (
+            extract_links(corpus.html_of(i, 40, filler_paras=3), corpus.url_of(i))
+            == extract_links(corpus.html_of(i, 40), corpus.url_of(i))
+        )
+        md = extract_metadata(corpus.html_of(i, 40, filler_paras=3), corpus.url_of(i))
+        assert md["description"] == corpus.text_of(i)
+
+
 def test_kernel_extraction_matches_edge_formula():
     for i in range(N):
         got = [(l["url"], l["is_geo"]) for l in extract_links(corpus.html_of(i, N), corpus.url_of(i))]
