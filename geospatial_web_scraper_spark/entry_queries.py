@@ -281,6 +281,30 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c1_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (methods.go:13-20): case-insensitive index-of in a string array;
+    0 when absent (Spark array_position semantics = DuckDB list_position
+    with coalesce)."""
+    toks = textstats.tokens_expr(F.col("text"))
+    head = F.slice(toks, 1, 10)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_position(
+            F.transform(head, lambda x: F.lower(x)), F.lower(F.lit("THE"))
+        ).alias("pos_the"),
+    )
+
+
+def q_c8_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 (metadata.go:218): JSON-serialize the extracted metadata struct.
+    Field order fixed by the struct; corpus values are quote-free so the
+    oracle can build the identical JSON string with concatenation."""
+    meta = q_x2_extract_text(spark, sf_dir)
+    return meta.select(
+        "url", F.to_json(F.struct("url", "title")).alias("meta_json")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"),
@@ -512,6 +536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "c1_contains": q_c1_contains,
+    "c8_metadata_json": q_c8_metadata_json,
     "a2_cosine_scores": q_a2_cosine_scores,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -656,6 +682,63 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) >= 0.5
+""",
+    "c1_contains": f"""
+SELECT doc_id,
+  coalesce(list_position(
+    list_transform(({_sql_toks('text')})[1:10], x -> lower(x)), 'the'), 0)::BIGINT
+    AS pos_the
+FROM documents
+""",
+    "c8_metadata_json": f"""
+WITH {PRE}
+SELECT url,
+  '{{"url":"' || url || '","title":"'
+    || 'Page ' || i || ' host ' || h || ' Portal ' || (i % 7)
+    || CASE WHEN i % 17 = 4 THEN ' LD ' || i ELSE '' END
+    || '"}}' AS meta_json
+FROM pgu WHERE status = 200 AND content_type = 'text/html'
+""",
+    "minhash_neardup": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(a) >= 3
+         THEN list_transform(range(1, len(a) - 1),
+                             i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+         ELSE []::VARCHAR[] END AS g
+  FROM toks),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i -> list_min(list_transform(g,
+      s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS sig
+  FROM grams WHERE len(g) > 0),
+bands AS (
+  SELECT doc_id, u.b AS band_idx,
+    ('0x' || substr(md5(array_to_string(
+       list_transform(sig[u.b*4 + 1 : u.b*4 + 4], h -> h::VARCHAR), ',')),
+       1, 15))::BIGINT AS band_hash
+  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS b) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+gset AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gset GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN gset ga ON ga.doc_id = c.id_a
+  JOIN gset gb ON gb.doc_id = c.id_b AND gb.s = ga.s
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) >= 0.3
 """,
     "lang_id": f"""
 WITH t AS (

@@ -55,16 +55,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ------------------------------------------------------------------- minhash
+def _md5_hash64_expr(s: Column) -> Column:
+    """60-bit positive hash from md5 (first 15 hex chars). Chosen over
+    xxhash64 because md5 is bit-identical in every SQL engine, which lets
+    DuckDB oracle-check the whole MinHash+LSH pipeline value-for-value."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature_expr(text: Column, k: int = 16, ngram: int = 3) -> Column:
     """k-element minhash signature over word n-gram shingles, fully native:
-    sig[i] = min over shingles of xxhash64(i || ':' || shingle)."""
+    sig[i] = min over shingles of md5-hash64(i || ':' || shingle)."""
     shingles = word_ngrams_expr(text, ngram)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
             F.transform(
                 shingles,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit(":"), s)),
+                lambda s: _md5_hash64_expr(
+                    F.concat(i.cast("string"), F.lit(":"), s)
+                ),
             )
         ),
     )
@@ -83,13 +92,13 @@ def minhash_lsh_candidates(
     sig = df.select(
         F.col(id_col),
         minhash_signature_expr(F.col(text_col), k, ngram).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    ).filter(F.col("sig").getItem(0).isNotNull())  # docs with ≥1 shingle
     banded = sig.select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: _md5_hash64_expr(
                     F.concat_ws(
                         ",",
                         F.transform(

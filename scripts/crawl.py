@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Cluster entry point — run the crawl via spark-submit.
+
+Package the engine and submit::
+
+    python scripts/package.py                       # → dist/gwss.zip
+    spark-submit --py-files dist/gwss.zip scripts/crawl.py \
+        --pages  s3://bucket/pages_iceberg_or_parquet \
+        --seeds  s3://bucket/seeds.parquet \
+        --output s3://bucket/crawl_out \
+        --budget 400 --max-depth 4 \
+        --checkpoint-dir s3://bucket/crawl_ckpt \
+        --scheduler priority --default-tokens 40 --n-salts 8 \
+        [--robots s3://bucket/robots.parquet] [--resume] [--collect-text] \
+        [--synthetic-pages N]        # generate the arithmetic corpus instead
+
+On a cluster the SparkSession comes from spark-submit's conf (master,
+executors, memory); locally this falls back to local[*]. Outputs: trace/,
+downloads/, lineage/ (+ texts/ with --collect-text) under --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="BFS crawl over a pages table")
+    ap.add_argument("--pages", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--synthetic-pages", type=int, default=0,
+                    help="generate the deterministic corpus with N pages")
+    ap.add_argument("--seeds", help="seeds parquet (seed_order, url, description)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, default=400)
+    ap.add_argument("--max-depth", type=int, default=4)
+    ap.add_argument("--max-rounds", type=int, default=64)
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--collect-text", action="store_true")
+    ap.add_argument("--scheduler", choices=["fifo", "priority"], default="fifo")
+    ap.add_argument("--default-tokens", type=int, default=40)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--robots", help="robots parquet (host, disallow_prefixes)")
+    ap.add_argument("--host-budgets", help="parquet (host, tokens_per_round)")
+    ap.add_argument("--bloom-shards", type=int, default=0,
+                    help=">0 enables the sharded bloom seen prefilter")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("gwss-crawl").getOrCreate()
+
+    from geospatial_web_scraper_spark import corpus
+    from geospatial_web_scraper_spark.operators.politeness import (
+        PolitenessScheduler,
+    )
+    from geospatial_web_scraper_spark.operators.seen import (
+        ShardedBloomSeenFilter,
+    )
+    from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
+    from geospatial_web_scraper_spark.plans.store import SnapshotStore
+
+    if args.synthetic_pages:
+        pages = corpus.corpus_df(spark, args.synthetic_pages)
+        seeds = corpus.seeds_df(spark, args.synthetic_pages)
+    else:
+        if not args.pages or not args.seeds:
+            ap.error("--pages and --seeds required without --synthetic-pages")
+        pages = spark.read.parquet(args.pages)
+        seeds = spark.read.parquet(args.seeds)
+
+    scheduler = None
+    if args.scheduler == "priority":
+        robots = spark.read.parquet(args.robots) if args.robots else None
+        budgets = (
+            spark.read.parquet(args.host_budgets) if args.host_budgets else None
+        )
+        scheduler = PolitenessScheduler(
+            robots=robots,
+            host_budget=budgets,
+            default_tokens_per_round=args.default_tokens,
+            n_salts=args.n_salts,
+        )
+
+    seen_filter = (
+        ShardedBloomSeenFilter(spark, n_shards=args.bloom_shards)
+        if args.bloom_shards
+        else None
+    )
+    store = SnapshotStore(spark, args.checkpoint_dir) if args.checkpoint_dir else None
+
+    eng = CrawlEngine(
+        spark,
+        pages,
+        max_depth=args.max_depth,
+        max_crawl=args.budget,
+        collect_text=args.collect_text,
+        store=store,
+        seen_filter=seen_filter,
+        scheduler=scheduler,
+        max_rounds=args.max_rounds,
+    )
+    run = eng.resume() if args.resume else eng.run(seeds)
+
+    run.trace.write.mode("overwrite").parquet(f"{args.output}/trace")
+    run.downloads.write.mode("overwrite").parquet(f"{args.output}/downloads")
+    run.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
+    if run.texts is not None:
+        run.texts.write.mode("overwrite").parquet(f"{args.output}/texts")
+    print(
+        f"crawl done: recorded={run.recorded} rounds={run.rounds} "
+        f"output={args.output}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

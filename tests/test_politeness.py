@@ -100,6 +100,50 @@ def test_determinism(spark):
     assert ta == tb
 
 
+def test_priority_mode_exact_trace_parity(spark):
+    """Scheduler-enabled engine must match the oracle's priority/politeness
+    mode EXACTLY: same admission (two-phase host budgets), same total order
+    (priority desc, xxhash64(canonical url) asc), same deferral, same
+    budget-cut semantics, same robots drops."""
+    from geospatial_web_scraper_spark.oracle import crawl_oracle
+
+    robots_df = spark.createDataFrame(
+        [("host0.example.org", ["/data/"])],
+        "host string, disallow_prefixes array<string>",
+    )
+    budget_df = spark.createDataFrame(
+        [("host0.example.org", 2)], "host string, tokens_per_round int"
+    )
+    cfg = dict(
+        default_tokens=5,
+        n_salts=4,
+        host_budgets={"host0.example.org": 2},
+        robots={"host0.example.org": ["/data/"]},
+    )
+    for max_crawl in (None, 50):
+        sched = PolitenessScheduler(
+            robots=robots_df, host_budget=budget_df,
+            default_tokens_per_round=5, n_salts=4,
+        )
+        eng = CrawlEngine(
+            spark, corpus.corpus_df(spark, N), max_crawl=max_crawl,
+            scheduler=sched, max_rounds=10,
+        )
+        run = eng.run(corpus.seeds_df(spark, N))
+        got = [
+            (r["seq"], r["url"], r["depth"], r["parent_url"], r["round"])
+            for r in run.trace.orderBy("seq").collect()
+        ]
+        want = crawl_oracle(
+            corpus.pages_dict(N),
+            [corpus.url_of(i) for i in corpus.seed_ids(N)],
+            max_crawl=max_crawl,
+            scheduler=cfg,
+            max_rounds=10,
+        ).trace
+        assert got == want, (max_crawl, got[:5], want[:5])
+
+
 def test_priority_expr_values(spark):
     df = spark.createDataFrame(
         [
