@@ -226,6 +226,11 @@ def q_harvest_engine2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p1_to_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (crawler2.go:120-126): project the harvest down to plain URLs."""
+    return q_harvest_engine2(spark, sf_dir).select("url").distinct()
+
+
 def q_u2_except_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsts = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
     return dsts.subtract(corpus.seeds_df(spark, N).select("url"))
@@ -527,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_first_wins": q_f1_first_wins,
     "u2_except_seeds": q_u2_except_seeds,
     "harvest_engine2": q_harvest_engine2,
+    "p1_to_links": q_p1_to_links,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
@@ -661,6 +667,30 @@ sel AS (
     SELECT url, row_number() OVER (ORDER BY score DESC, url ASC) AS rk FROM scored)
   WHERE rk BETWEEN 2 AND 11)
 SELECT DISTINCT s.url AS seed_url, e.dst AS url, e.is_geo
+FROM sel s JOIN pgu p ON p.url = s.url JOIN edges e ON e.src = p.i
+""",
+    "p1_to_links": f"""
+WITH {PRE},
+seeds_all AS (
+  SELECT i, url,
+    'Seed ' || i || ' geospatial portal topic ' || (i % 7) AS description
+  FROM pgu WHERE i % 23 = 3),
+emb AS (
+  SELECT url, list_transform(range(0, 8),
+    d -> ('0x' || substr(md5(description || ':' || d), 1, 4))::INT / 65535.0) AS v
+  FROM seeds_all),
+qv AS (
+  SELECT list_transform(range(0, 8),
+    d -> ('0x' || substr(md5('{HARVEST_QUERY}' || ':' || d), 1, 4))::INT / 65535.0) AS q),
+scored AS (
+  SELECT url, list_dot_product(v, q)
+    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))) AS score
+  FROM emb, qv),
+sel AS (
+  SELECT url FROM (
+    SELECT url, row_number() OVER (ORDER BY score DESC, url ASC) AS rk FROM scored)
+  WHERE rk BETWEEN 2 AND 11)
+SELECT DISTINCT e.dst AS url
 FROM sel s JOIN pgu p ON p.url = s.url JOIN edges e ON e.src = p.i
 """,
     "dedup_exact": f"""

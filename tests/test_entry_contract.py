@@ -4,13 +4,14 @@ row multisets (order-insensitive, column-name-aligned) — exactly what
 CORRECTNESS_r{N}.json will measure at sf0.01."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("GWSS_TEST_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
