@@ -129,6 +129,11 @@ class CrawlEngine:
         meta = self.store.manifest()["rounds"][str(last)]
         frontier = self.store.read("frontier", last + 1)
         seen = self.store.read("seen", last)
+        if self.seen_filter is not None:
+            # the bloom's bits are in-memory state: rebuild from the seen
+            # snapshot, else resumed rounds would route already-seen URLs
+            # down the definitely-new path (false negatives)
+            self.seen_filter.update(seen.select("url"))
         trace_parts = [self.store.read("trace", r) for r in range(last + 1)]
         download_parts = [self.store.read("downloads", r) for r in range(last + 1)]
         text_parts = (
