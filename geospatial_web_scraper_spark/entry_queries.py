@@ -258,8 +258,21 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-native 48-bit SimHash + Manku block join (oracle-checked); the
+    numpy-UDF 64-bit variant (`dedup.simhash_neardup_pairs`) is pinned in
+    tests/test_training_ops.py."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    return dedup.simhash_neardup_pairs(docs, max_hamming=6)
+    return dedup.simhash_neardup_pairs_native(docs, max_hamming=6)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
+    gram hash so DuckDB reproduces every fingerprint value."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    fps = textstats.winnow_fingerprints_expr(
+        F.col("text"), n=3, window=4, hash_fn=lambda g: dedup._md5_hash64_expr(g)
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,15 +376,45 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN with md5-derived hyperplanes: the bucket
+    assignment is reproducible in DuckDB, so the whole approximate pipeline
+    (buckets → probes → rerank) is oracle-checked value-for-value."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
+    out = similarity.ann_lsh_topk(
+        emb, queries, k=5, planes=similarity.md5_planes(64, 4)
+    )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned into Voronoi cells around 8 deterministic
+    centroids (the first 8 vectors — a k-means stand-in that keeps the
+    assignment oracle-checkable), queries probe the 2 nearest cells."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_ivf_topk(emb, cent, queries, k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the 4th dedup family): all pairs with
+    cosine ≥ 0.4. Exact self-join here; `embedding_neardup_pairs(planes=...)`
+    is the LSH-blocked form for 10^10-row corpora."""
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_t1_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +580,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "neardup_embedding": q_neardup_embedding,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -769,6 +815,129 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) >= 0.3
+""",
+    "simhash_neardup": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
+hs AS (SELECT doc_id,
+  list_transform(a, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS h FROM toks),
+sigs AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 48), b ->
+      CASE WHEN list_sum(list_transform(h,
+             x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sig
+  FROM hs),
+blocks AS (
+  SELECT doc_id, sig, u.b AS block_idx, (sig >> (u.b * 12)::INT) & 4095 AS block_val
+  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS b) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
+    "winnow_fingerprints": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(a) >= 3
+         THEN list_transform(range(1, len(a) - 1),
+                             i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+         ELSE []::VARCHAR[] END AS g
+  FROM toks),
+hs AS (SELECT doc_id,
+  list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM grams),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN len(h) - 3 > 0
+         THEN list_transform(range(1, len(h) - 2), i -> list_min(h[i : i+3]))
+         ELSE h END AS m
+  FROM hs)
+SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins
+""",
+    "neardup_embedding": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(CASE WHEN list_dot_product(a.v, a.v) > 0
+                AND list_dot_product(b.v, b.v) > 0
+          THEN list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          ELSE NULL END, 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+""",
+    "ann_ivf_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+casg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+             THEN list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+             ELSE NULL END DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0)
+  WHERE rn = 1),
+qasg AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CASE WHEN list_dot_product(q.v, q.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+             THEN list_dot_product(q.v, c.cv)
+                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+             ELSE NULL END DESC, c.cid ASC) AS rn
+    FROM e q CROSS JOIN cent c
+    WHERE q.vec_id < 3
+      AND list_dot_product(q.v, q.v) > 0 AND list_dot_product(c.cv, c.cv) > 0)
+  WHERE rn <= 2),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN list_dot_product(c.v, c.v) > 0 AND list_dot_product(q.qv, q.qv) > 0
+         THEN list_dot_product(c.v, q.qv)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+         ELSE NULL END AS score
+  FROM casg c JOIN qasg q ON c.cid = q.cid),
+r AS (
+  SELECT query_id, vec_id, round(score, 6) AS score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s WHERE score IS NOT NULL)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+""",
+    "ann_lsh_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(range(0, 4), p ->
+      CASE WHEN list_dot_product(v, list_transform(range(0, 64), d ->
+             ('0x' || substr(md5(p || ':' || d), 1, 4))::INT / 65535.0 - 0.5)) >= 0
+           THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+  FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM cb WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv,
+    unnest([b0, xor(b0, 1::BIGINT), xor(b0, 2::BIGINT),
+            xor(b0, 4::BIGINT), xor(b0, 8::BIGINT)]) AS bucket
+  FROM qb),
+s AS (
+  SELECT p.query_id, c.vec_id,
+    CASE WHEN list_dot_product(c.v, c.v) > 0 AND list_dot_product(p.qv, p.qv) > 0
+         THEN list_dot_product(c.v, p.qv)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+         ELSE NULL END AS score
+  FROM cb c JOIN probes p ON c.bucket = p.bucket),
+r AS (
+  SELECT query_id, vec_id, round(score, 6) AS score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s WHERE score IS NOT NULL)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
 """,
     "lang_id": f"""
 WITH t AS (

@@ -232,6 +232,86 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash48_expr(tokens: Column) -> Column:
+    """48-bit SimHash as a pure Catalyst expression (no Python): token hashes
+    are the first 12 hex chars of md5 (bit-identical in every SQL engine →
+    DuckDB can oracle-check the whole near-dup pipeline), per-bit ±1 votes
+    folded with ``aggregate``. 48 bits so the signature and all shifts stay
+    exact in a signed 64-bit long everywhere."""
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(48):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_neardup_pairs_native(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup with the all-native 48-bit signature: Manku block
+    candidates (4 × 12-bit equi-join) then exact Hamming verify — zero
+    Python, fully oracle-checkable. Semantically the same dataflow as
+    :func:`simhash_neardup_pairs`; this variant trades the numpy kernel for
+    end-to-end SQL portability."""
+    bits_per_block = 48 // n_blocks
+    mask = (1 << bits_per_block) - 1
+    sigs = df.select(
+        F.col(id_col), simhash48_expr(tokens_expr(F.col(text_col))).alias("sig")
+    )
+    blocks = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * bits_per_block).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",

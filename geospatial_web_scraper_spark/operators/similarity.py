@@ -85,6 +85,23 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def md5_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — the values
+    are reproducible in any SQL engine as
+    ``('0x' || substr(md5(p || ':' || d), 1, 4))::INT / 65535.0 - 0.5``,
+    which lets a DuckDB oracle replicate the exact LSH bucket assignment
+    (value-for-value, including the sign of every dot product)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16) / 65535.0 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature packed into a LONG bucket id."""
     bucket = F.lit(0).cast("long")
@@ -106,6 +123,7 @@ def ann_lsh_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Bucketed ANN: equi-join on LSH bucket, exact rerank inside buckets.
     Recall < 1 by design; n_planes trades recall for candidate-set size.
@@ -113,9 +131,12 @@ def ann_lsh_topk(
     the (small, broadcast) query side — the standard multi-probe LSH trick:
     candidate volume grows ×(n_planes+1) per query, recall grows much more,
     and the corpus side is untouched (no extra scan or shuffle)."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
+    if planes is None:
+        if dim is None:
+            dim = len(queries.select(vec_col).first()[0])
+        planes = _planes(dim, n_planes, seed)
+    else:
+        n_planes = len(planes)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cvec"),
@@ -141,6 +162,96 @@ def ann_lsh_topk(
         query_id,
         corpus_id,
         cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine ≥ τ)``.
+
+    The fourth dedup family (alongside exact / MinHash / SimHash): duplicates
+    by *semantic* similarity of an embedding column. With ``planes`` given,
+    candidates are restricted to LSH bucket collisions (equi-join — the
+    10^10-row path, same blocking idea as MinHash bands); without, the exact
+    all-pairs self-join (bounded subsets / verify stage)."""
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    if planes is not None:
+        base = base.withColumn("_bucket", lsh_bucket_expr(F.col("_v"), planes))
+        join_on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+            F.col("a._bucket") == F.col("b._bucket")
+        )
+    else:
+        join_on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    centroid_id: str = "cid",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around the
+    (small, broadcast) centroid set — each vector assigned to its
+    max-cosine centroid — then answer queries by probing only the
+    ``n_probe`` nearest cells and exact-reranking inside them.
+
+    At 10^10 vectors this is the standard scale path: the corpus is scanned
+    once for assignment (a broadcast nested-loop against |C| centroids,
+    no shuffle), written partitioned by cell, and each query touches
+    n_probe/|C| of the data. Centroids would come from k-means sampling in
+    production; they are an input here so the assignment itself stays
+    deterministic and oracle-checkable."""
+    cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
+
+    def _assign(side: DataFrame, side_id: str, keep_vec: str, top: int) -> DataFrame:
+        scored = side.select(F.col(side_id), F.col(vec_col).alias(keep_vec)).crossJoin(
+            F.broadcast(cent)
+        ).select(
+            side_id,
+            keep_vec,
+            centroid_id,
+            cosine_expr(F.col(keep_vec), F.col("_cv")).alias("_cscore"),
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("_cscore"), F.asc(centroid_id))
+        return (
+            scored.filter(F.col("_cscore").isNotNull())
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= top)
+            .select(side_id, keep_vec, centroid_id)
+        )
+
+    cells = _assign(corpus, corpus_id, "_v", 1)
+    probes = _assign(queries, query_id, "_qv", n_probe)
+    scored = cells.join(F.broadcast(probes), centroid_id).select(
+        query_id,
+        corpus_id,
+        cosine_expr(F.col("_v"), F.col("_qv")).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (

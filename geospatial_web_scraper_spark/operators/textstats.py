@@ -97,12 +97,18 @@ def word_ngrams_expr(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def winnow_fingerprints_expr(text: Column, n: int = 3, window: int = 4) -> Column:
+def winnow_fingerprints_expr(
+    text: Column, n: int = 3, window: int = 4, hash_fn=None
+) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): hash every word n-gram,
     keep the min hash of each sliding window → a compact, position-robust
-    fingerprint set for near-dup detection. All native higher-order funcs."""
+    fingerprint set for near-dup detection. All native higher-order funcs.
+    ``hash_fn`` defaults to ``xxhash64`` (fastest JVM-side); pass an
+    md5-based hash for cross-engine oracle parity."""
     grams = word_ngrams_expr(text, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    hashes = F.transform(grams, lambda g: hash_fn(g))
     count = F.size(hashes) - F.lit(window - 1)
     mins = F.when(
         count > 0,

@@ -123,6 +123,67 @@ def test_ann_bruteforce_and_lsh_recall(spark):
     assert all((q, q) in ap for q in firsts)
 
 
+def test_simhash_native_matches_udf_families(docs):
+    """The all-native 48-bit signature finds the same dup structure as the
+    numpy-UDF 64-bit one (values differ — different hash families)."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs_native(docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0 and pairs[(1, 5)] == 0
+    assert (0, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_embedding_neardup_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    assert all(a < b and c >= 0.4 for (a, b), c in exact.items())
+    # LSH-blocked variant returns a subset (same-bucket candidates only),
+    # and every returned pair carries the identical exact cosine
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.embedding_neardup_pairs(
+            emb, threshold=0.4, planes=similarity.md5_planes(64, 4)
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert all(exact[p] == c for p, c in blocked.items())
+    assert len(blocked) > 0  # 4 planes leave enough collisions to matter
+
+
+def test_ann_ivf_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ann_ivf_topk(emb, cent, queries, k=5, n_probe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        # the query vector itself lives in a probed cell → exact self-match first
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q and abs(best["score"] - 1.0) < 1e-9
+    # probing ALL cells must recover the exact brute-force answer
+    all_cells = similarity.ann_ivf_topk(emb, cent, queries, k=5, n_probe=8)
+    exact = similarity.ann_bruteforce_topk(emb, queries, k=5)
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in all_cells.collect()} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()
+    }
+
+
 def test_textstats_goldens(spark):
     df = spark.createDataFrame(
         [
