@@ -83,6 +83,53 @@ _SQL_PRIO = (
 )
 
 
+def _trace_oracle_sql(n: int, budget: int, max_depth: int = 4) -> str:
+    """Exact (seq,url,depth,parent_url,round) trace of the budgeted
+    round-synchronous BFS as one DuckDB query: because every seed enters at
+    depth 0, round == depth, and max_depth bounds the crawl to ``max_depth``
+    rounds — so the engine's driver loop (plans/bfs.py) unrolls into a fixed
+    CTE chain. Each round mirrors the engine stage-for-stage: candidates
+    from the previous round's recorded pages (edges originate only from
+    fetchable pages, = the engine's S1/F5/F7 fetch branch), within-round
+    first-wins on (parent_seq, pos), anti-join vs all prior recorded, seq =
+    running offset + rank, and the budget keeps seq <= budget (the
+    reference's B+1 quirk, crawler.go:33,52)."""
+    parts = [f"WITH {corpus.sql_prelude(n)},"]
+    parts.append(
+        f"""
+rec0 AS (
+  SELECT seed_order::BIGINT AS seq, url,
+         0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
+  FROM seeds WHERE seed_order <= {budget})"""
+    )
+    for r in range(1, max_depth):
+        seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
+        offset = " + ".join(f"(SELECT count(*) FROM rec{j})" for j in range(r))
+        parts.append(
+            f""",
+cand{r} AS (
+  SELECT e.dst AS url, r.url AS parent_url, r.seq AS parent_seq, e.pos
+  FROM rec{r - 1} r JOIN pgu p ON p.url = r.url JOIN edges e ON e.src = p.i),
+new{r} AS (
+  SELECT url, parent_url, parent_seq, pos FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM cand{r} c) WHERE rn = 1),
+rec{r} AS (
+  SELECT ({offset} + row_number() OVER (ORDER BY parent_seq, pos) - 1)::BIGINT AS seq,
+         url, {r} AS depth, parent_url, {r} AS round
+  FROM new{r}
+  WHERE url NOT IN ({seen})
+  QUALIFY seq <= {budget})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seq, url, depth::INT AS depth, parent_url, round::INT AS round "
+        f"FROM rec{j}"
+        for j in range(max_depth)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def _fetchable_pages(spark: SparkSession) -> DataFrame:
     return corpus.corpus_df(spark, N).filter(
         (F.col("status") == 200) & (F.col("content_type") == "text/html")
@@ -105,9 +152,20 @@ def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_trace_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budgeted FIFO crawl trace (seq order is iterative — rows-only here;
-    exact trace parity vs the oracle is pinned in tests/test_bfs_engine.py)."""
+    """Budgeted FIFO crawl trace, value-checked against the unrolled-round
+    DuckDB oracle (`_trace_oracle_sql`); exact trace parity vs the Python
+    oracle is additionally pinned in tests/test_bfs_engine.py."""
     eng = CrawlEngine(spark, corpus.corpus_df(spark, N), max_crawl=400,
+                      lineage_detail=False)
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_crawl_trace_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same trace with budget 50 — small enough that the cut engages
+    mid-crawl, so the B+1 record quirk (seq <= budget → 51 URLs) and the
+    stop-scheduling-after-cut behavior are both value-checked."""
+    eng = CrawlEngine(spark, corpus.corpus_df(spark, N), max_crawl=50,
                       lineage_detail=False)
     run = eng.run(corpus.seeds_df(spark, N))
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
@@ -565,6 +623,7 @@ def q_u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_bfs_seen": q_crawl_bfs_seen,
     "crawl_trace_budget": q_crawl_trace_budget,
+    "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
     "x1_extract_links": q_x1_extract_links,
     "x2_extract_text": q_x2_extract_text,
     "f6_geo_ext_classify": q_f6_geo_ext_classify,
@@ -618,6 +677,8 @@ walk(url, depth) AS (
 )
 SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
 """,
+    "crawl_trace_budget": _trace_oracle_sql(N, 400),
+    "crawl_trace_budget_cut": _trace_oracle_sql(N, 50),
     "x1_extract_links": f"""
 WITH {PRE}
 SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges
