@@ -47,6 +47,54 @@ def test_host_rate_stream(spark, pages_dir):
     assert stream_counts == batch_counts  # no loss, no double-count
 
 
+def test_token_bucket_admit_stateful(spark, tmp_path):
+    """applyInPandasWithState politeness: per-host token budget persists
+    across micro-batches (refill + carry, cap on burst)."""
+    from geospatial_web_scraper_spark.streaming.politeness_stream import (
+        token_bucket_admit,
+    )
+
+    src = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → two micro-batches (maxFilesPerTrigger=1); hot host has 10
+    # candidates per batch vs tokens_per_batch=4; cold host has 1
+    for b in range(2):
+        rows = [("hot.example.org", f"https://hot.example.org/b{b}/p{i}") for i in range(10)]
+        rows.append(("cold.example.org", f"https://cold.example.org/b{b}/only"))
+        spark.createDataFrame(rows, "host string, url string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema("host string, url string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        token_bucket_admit(stream, tokens_per_batch=4, bucket_cap=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("admitted")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM admitted").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    # hot host: 4 admitted per batch (demand 10 > tokens 4, nothing carried)
+    assert len(by_host["hot.example.org"]) == 8
+    assert all(r["tokens_left"] == 0 for r in by_host["hot.example.org"])
+    # cold host: 1 admitted per batch, surplus carries (4-1=3, then 3+4-1=6)
+    cold = sorted(by_host["cold.example.org"], key=lambda r: r["url"])
+    assert len(cold) == 2
+    assert sorted(r["tokens_left"] for r in cold) == [3, 6]
+    # deterministic url-order admission within the hot host
+    batch0 = sorted(
+        r["url"] for r in by_host["hot.example.org"] if "/b0/" in r["url"]
+    )
+    assert batch0 == [f"https://hot.example.org/b0/p{i}" for i in [0, 1, 2, 3]]
+
+
 def test_foreachbatch_round(spark, pages_dir):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)
