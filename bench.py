@@ -107,6 +107,14 @@ def run_level(cores: int, sf_dir: str) -> dict:
         )
         times["q1_lineitem_agg"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        dedup.minhash_neardup_pairs(docs, threshold=0.3).count()
+        times["minhash_neardup"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dedup.simhash_neardup_pairs(docs, max_hamming=6).count()
+        times["simhash_neardup"] = round(time.time() - t0, 3)
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -114,6 +122,14 @@ def run_level(cores: int, sf_dir: str) -> dict:
         t0 = time.time()
         similarity.ann_bruteforce_topk(emb, queries, k=10).count()
         times["ann_bruteforce_topk"] = round(time.time() - t0, 3)
+
+        # the 10^10-row path: LSH-bucket blocking (64 buckets) before the
+        # exact cosine verify — all-pairs is the bounded verify stage only
+        t0 = time.time()
+        similarity.embedding_neardup_pairs(
+            emb, threshold=0.4, planes=similarity.md5_planes(64, 6)
+        ).count()
+        times["embedding_neardup_lsh"] = round(time.time() - t0, 3)
 
         return {
             "cores": cores,

@@ -311,16 +311,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    return dedup.minhash_neardup_pairs(docs, threshold=0.3)
+    """Full documents table (the doc subset used before the universal-hash
+    signature rewrite contained no true near-dups — an empty gate)."""
+    return dedup.minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-native 48-bit SimHash + Manku block join (oracle-checked); the
     numpy-UDF 64-bit variant (`dedup.simhash_neardup_pairs`) is pinned in
     tests/test_training_ops.py."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    return dedup.simhash_neardup_pairs_native(docs, max_hamming=6)
+    return dedup.simhash_neardup_pairs_native(
+        _docs(spark, sf_dir), max_hamming=6
+    )
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +839,7 @@ SELECT url,
 FROM pgu WHERE status = 200 AND content_type = 'text/html'
 """,
     "minhash_neardup": f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+WITH d AS (SELECT doc_id, text FROM documents),
 toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
 grams AS (
   SELECT doc_id,
@@ -846,11 +848,13 @@ grams AS (
                              i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
          ELSE []::VARCHAR[] END AS g
   FROM toks),
-sigs AS (
-  SELECT doc_id,
-    list_transform(range(0, 16), i -> list_min(list_transform(g,
-      s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS sig
-  FROM grams WHERE len(g) > 0),
+gr AS (SELECT doc_id, unnest(g) AS s FROM grams),
+hb AS (SELECT doc_id,
+  ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM gr),
+sigv AS (
+  SELECT doc_id, {", ".join(f"min(({a} * h + {b}) % 2147483647) AS m{i}" for i, (a, b) in enumerate(dedup.minhash_coefficients(16)))}
+  FROM hb GROUP BY doc_id),
+sigs AS (SELECT doc_id, [{", ".join(f"m{i}" for i in range(16))}] AS sig FROM sigv),
 bands AS (
   SELECT doc_id, u.b AS band_idx,
     ('0x' || substr(md5(array_to_string(
@@ -878,7 +882,7 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) >= 0.3
 """,
     "simhash_neardup": f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+WITH d AS (SELECT doc_id, text FROM documents),
 toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
 hs AS (SELECT doc_id,
   list_transform(a, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS h FROM toks),

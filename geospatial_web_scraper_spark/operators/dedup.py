@@ -5,13 +5,13 @@ DataFrame dataflow (no per-row Python except the SimHash pandas UDF, which
 is Arrow-batched numpy):
 
 * **exact** — md5 of normalized text, first-wins by min id. One shuffle.
-* **MinHash + LSH** — word-shingle minhash signatures (k independent hash
-  families via xxhash64(i || ':' || shingle), all native higher-order
-  functions), banded into b buckets; candidate pairs are bucket collisions
-  (self-join on band hash), then verified with exact word-set Jaccard.
-  This is the canonical near-dup pipeline at 10^10 docs: the band join
-  replaces the quadratic pairwise scan, and the verify join only sees
-  collision candidates.
+* **MinHash + LSH** — word-shingle minhash signatures (one md5-based base
+  hash per shingle, k affine universal families ``(a·h+b) mod P`` folded by
+  explode → groupBy(min×k) — one shuffle, whole-stage codegen), banded into
+  b buckets; candidate pairs are bucket collisions (self-join on band
+  hash), then verified with exact word-set Jaccard. This is the canonical
+  near-dup pipeline at 10^10 docs: the band join replaces the quadratic
+  pairwise scan, and the verify join only sees collision candidates.
 * **SimHash** — 64-bit sign-aggregated token hashes (Arrow/numpy UDF),
   near-dups = signatures within a Hamming radius, bucketed by the 4×16-bit
   block trick (Manku et al., WWW'07) so the comparison is again an
@@ -55,6 +55,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ------------------------------------------------------------------- minhash
+_MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h + b stays inside int64
+
+
 def _md5_hash64_expr(s: Column) -> Column:
     """60-bit positive hash from md5 (first 15 hex chars). Chosen over
     xxhash64 because md5 is bit-identical in every SQL engine, which lets
@@ -62,20 +65,49 @@ def _md5_hash64_expr(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature_expr(text: Column, k: int = 16, ngram: int = 3) -> Column:
-    """k-element minhash signature over word n-gram shingles, fully native:
-    sig[i] = min over shingles of md5-hash64(i || ':' || shingle)."""
-    shingles = word_ngrams_expr(text, ngram)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: _md5_hash64_expr(
-                    F.concat(i.cast("string"), F.lit(":"), s)
-                ),
-            )
-        ),
+def minhash_coefficients(k: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the k universal hash families,
+    derived from md5 so the DuckDB oracle embeds the identical literals.
+    a_i odd, both < 2^29 → a*h + b < 2^61 (no int64 overflow anywhere)."""
+    import hashlib
+
+    def _h7(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    return [(_h7(f"a{i}") * 2 + 1, _h7(f"b{i}")) for i in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """→ (id, sig array<long>): k-family minhash over word n-gram shingles.
+
+    Scale shape: ONE strong hash per shingle (md5-based, SQL-portable), then
+    k cheap affine families ``(a_i*h + b_i) mod P`` folded by a single
+    explode → groupBy(min×k). Everything stays in whole-stage codegen and
+    each shingle is hashed exactly once — the earlier per-family md5
+    (k × shingles md5 evaluations, re-run on every projection-collapsed
+    pass) measured ~40× slower on the 5k-doc benchmark. At 10^10 docs this
+    is also the right dataflow: the signature table is one shuffle, written
+    once, and the band join reads it instead of recomputing text hashes."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_expr(F.col(text_col), ngram)).alias("_s"),
+    )
+    h = (_md5_hash64_expr(F.col("_s")) % F.lit(_MINHASH_P)).alias("_h")
+    hashed = grams.select(id_col, h)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(k))
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
     )
 
 
@@ -87,12 +119,12 @@ def minhash_lsh_candidates(
     bands: int = 4,
     ngram: int = 3,
 ) -> DataFrame:
-    """→ candidate near-dup pairs (id_a < id_b) from LSH band collisions."""
+    """→ candidate near-dup pairs (id_a < id_b) from LSH band collisions.
+    The banded signature table is localCheckpoint'ed: it is tiny (k longs
+    per doc) and both sides of the self-join read it without re-deriving
+    signatures from text."""
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature_expr(F.col(text_col), k, ngram).alias("sig"),
-    ).filter(F.col("sig").getItem(0).isNotNull())  # docs with ≥1 shingle
+    sig = minhash_signatures(df, text_col, id_col, k, ngram)
     banded = sig.select(
         id_col,
         F.posexplode(
@@ -109,7 +141,7 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band_idx", "band_hash"),
-    )
+    ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

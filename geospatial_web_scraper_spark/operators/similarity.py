@@ -185,7 +185,9 @@ def embedding_neardup_pairs(
     candidates are restricted to LSH bucket collisions (equi-join — the
     10^10-row path, same blocking idea as MinHash bands); without, the exact
     all-pairs self-join (bounded subsets / verify stage)."""
-    base = emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).withColumn(
+        "_n", norm2_expr(F.col("_v"))
+    )
     if planes is not None:
         base = base.withColumn("_bucket", lsh_bucket_expr(F.col("_v"), planes))
         join_on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
@@ -193,13 +195,22 @@ def embedding_neardup_pairs(
         )
     else:
         join_on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # materialize norms (and buckets) per ROW before the self-join —
+    # projection collapse would otherwise inline norm2 into the post-join
+    # projection and recompute it per PAIR (measured 3× on the all-pairs
+    # benchmark); the checkpointed side is tiny (id, vec, norm)
+    base = base.localCheckpoint()
     a, b = base.alias("a"), base.alias("b")
+    score = F.when(
+        (F.col("a._n") > 0) & (F.col("b._n") > 0),
+        dot_expr(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
+    )
     return (
         a.join(b, join_on)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+            F.round(score, 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
