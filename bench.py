@@ -92,7 +92,12 @@ def run_level(cores: int, sf_dir: str) -> dict:
         times["crawl_multiround"] = round(time.time() - t0, 3)
 
         # --- parquet-table operators ----------------------------------------
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the testdata tables are single parquet files → a 1-partition scan;
+        # a production table has many files/splits, so spread the rows once
+        # (operators themselves inherit input partitioning, as they should)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            cores * 2
+        )
         t0 = time.time()
         dedup.exact_dedup(docs).count()
         times["dedup_exact"] = round(time.time() - t0, 3)

@@ -534,6 +534,79 @@ def q_q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter → single global
+    agg. All three predicates reach the parquet scan (PushedFilters)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (3 broadcast dims), co-nation predicate
+    between customer and supplier, revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1994-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N per group: 3 highest-balance customers per market
+    segment (rank cut inside a partitioned window, no global sort)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -658,6 +731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_topk_quirk": q_t2_topk_quirk,
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "q3_topk_join": q_q3_topk_join,
+    "q6_selective_agg": q_q6_selective_agg,
+    "q5_local_supplier": q_q5_local_supplier,
+    "window_topn_per_group": q_window_topn_per_group,
     "broadcast_dim_join": q_broadcast_dim_join,
     "a1_event_counters": q_a1_event_counters,
     "c9_json_extract": q_c9_json_extract,
@@ -1113,6 +1189,34 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "q6_selective_agg": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "q5_local_supplier": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""",
+    "window_topn_per_group": """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+  row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+FROM customer QUALIFY rk <= 3
 """,
     "broadcast_dim_join": """
 SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
