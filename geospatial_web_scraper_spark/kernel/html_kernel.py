@@ -25,6 +25,8 @@ No code is copied from the reference; these are re-derived semantics
 from __future__ import annotations
 
 import json
+import re
+from html import unescape as _html_unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
 
@@ -194,8 +196,62 @@ def _should_skip_meta(node: Node) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _attrs_unwanted(attrs) -> bool:
+    """Gate on raw (key, value) pairs — same rule as
+    :func:`has_unwanted_class_or_id` without needing a Node."""
+    for key, val in attrs:
+        if key in ("class", "id") and val:
+            low = val.lower()
+            for sub in UNWANTED_CLASS_OR_ID:
+                if sub in low:
+                    return True
+    return False
+
+
+# One-pass tag tokenizer for the link scanner. Comments / CDATA / doctype /
+# processing instructions are consumed without producing a tag; start and
+# end tags capture (end-slash, name, attr soup, self-close slash). Quoted
+# '>' inside attribute values is protected by the quote alternatives; the
+# attr soup is lazy so the trailing "/" of a self-closing tag lands in the
+# self-close group.
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|\Z)"
+    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|![^>]*>?"
+    r"|\?[^>]*>?"
+    r"|(/?)([a-zA-Z][^\s/>]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)\s*(/?)>"
+    r")",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+_CDATA_END = {
+    "script": re.compile(r"(?i)</script"),
+    "style": re.compile(r"(?i)</style"),
+}
+
+
+def _parse_attrs(src: str) -> list[tuple[str, str]]:
+    """(name, value) pairs in document order, names lowercased, quotes
+    stripped, entity references unescaped — the same view HTMLParser hands
+    to handle_starttag (valueless attrs → "")."""
+    attrs = []
+    for m in _ATTR_RE.finditer(src):
+        val = m.group(2)
+        if val is None:
+            val = ""
+        elif val[:1] in ('"', "'"):
+            val = val[1:-1]
+        if "&" in val:
+            val = _html_unescape(val)
+        attrs.append((m.group(1).lower(), val))
+    return attrs
+
+
 def extract_links(html: str | bytes, base_url: str) -> list[dict]:
-    """Pre-order walk; emits links in document order.
+    """Emits links in document order — the hot-path scanner.
 
     Each emitted dict: ``{"url": resolved, "is_geo": bool, "pos": int}``.
     Semantics (SURVEY.md §8.1):
@@ -204,11 +260,88 @@ def extract_links(html: str | bytes, base_url: str) -> list[dict]:
       unresolvable hrefs skipped;
     * ``is_geo`` = lowercased Go-path-ext of the resolved URL's path is in
       the 11-entry geo extension allow-list;
-    * recursion descends only into element children that pass the crawl-side
+    * descent only into element children that pass the crawl-side
       boilerplate gate (an ``<a>`` inside — or itself carrying — an unwanted
       class/id is never emitted);
     * depth gating (``parent.Depth+1 < 4``) is applied engine-side, not here.
-    """
+
+    Implementation: single regex pass, no DOM. The element stack mirrors
+    :class:`_TreeBuilder`'s algebra exactly (void elements never push; end
+    tags pop to the nearest matching open frame, unmatched ones are
+    ignored) and an unwanted-class/id element marks its stack frame as the
+    suppression point — tags are dead until that frame pops. script/style
+    bodies are skipped as CDATA. Output equality with the tree walk
+    (:func:`extract_links_tree`) is pinned by tests over the full corpus
+    and an adversarial-input list; ~5× faster than the html.parser event
+    loop, which is the difference between the Arrow extraction stage being
+    parse-bound or not."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    out: list[dict] = []
+    stack: list[str] = ["\x00"]
+    suppress_from: int | None = None
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / doctype / CDATA / PI
+        tag = name.lower()
+        if m.group(1):  # end tag
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] == tag:
+                    del stack[i:]
+                    if suppress_from is not None and suppress_from >= i:
+                        suppress_from = None
+                    break
+            continue
+        self_closing = bool(m.group(4))
+        active = suppress_from is None
+        attr_src = m.group(3)
+        attrs = None
+        if active and attr_src:
+            low = attr_src.lower()
+            if tag == "a" or "class" in low or "id" in low:
+                attrs = _parse_attrs(attr_src)
+        unwanted = attrs is not None and _attrs_unwanted(attrs)
+        if active and not unwanted and tag == "a" and attrs:
+            for key, val in attrs:
+                if key != "href":
+                    continue
+                if val.startswith("mailto:") or val.startswith("tel:"):
+                    continue
+                try:
+                    link = urljoin(base_url, val)
+                    path = urlsplit(link).path
+                except ValueError:
+                    continue
+                ext = go_path_ext(path).lower()
+                out.append(
+                    {
+                        "url": link,
+                        "is_geo": ext in GEO_FILE_EXTENSIONS,
+                        "pos": len(out),
+                    }
+                )
+        if not self_closing and tag not in _VOID:
+            stack.append(tag)
+            if unwanted:
+                suppress_from = len(stack) - 1
+            if tag in _CDATA_END:  # script/style bodies are data
+                mm = _CDATA_END[tag].search(html, pos)
+                pos = mm.start() if mm else n
+    return out
+
+
+def extract_links_tree(html: str | bytes, base_url: str) -> list[dict]:
+    """Reference implementation: build the tree, then the pre-order walk —
+    the literal transcription of ``crawler.go:97-131``. Kept as the
+    cross-check twin for the streaming fast path (they must agree on every
+    input; the hot path uses :func:`extract_links`)."""
     root = parse_html(html)
     out: list[dict] = []
 

@@ -210,3 +210,63 @@ def test_xml_links_collected_not_fetched():
     html = "<head><link type='application/rss+xml' href='/feed.xml'></head>"
     md = extract_metadata(html, BASE)
     assert md["xml_links"] == ["/feed.xml"]
+
+
+# ---------------------------------------------------------------- streaming
+def test_streaming_links_match_tree_walk_on_corpus():
+    """The streaming _LinkParser must agree with the tree-walk reference
+    implementation on every corpus page (all decoy classes exercised)."""
+    from geospatial_web_scraper_spark import corpus
+    from geospatial_web_scraper_spark.kernel.html_kernel import (
+        extract_links,
+        extract_links_tree,
+    )
+
+    n = 300
+    for i in range(0, n, 1):
+        html = corpus.html_of(i, n, filler_paras=3)
+        url = corpus.url_of(i)
+        assert extract_links(html, url) == extract_links_tree(html, url), i
+
+
+def test_streaming_links_match_tree_walk_adversarial():
+    from geospatial_web_scraper_spark.kernel.html_kernel import (
+        extract_links,
+        extract_links_tree,
+    )
+
+    cases = [
+        # suppression subtree with anchors inside and after
+        '<div class="nav-menu"><p><a href="/in">x</a></p></div><a href="/out">y</a>',
+        # end tag popping THROUGH the suppression frame re-enables emission
+        '<div class="nav-menu"><p></div><a href="/after">z</a>',
+        # unmatched end tags ignored; unclosed tags
+        '</div></p><a href="/a">1</a><div><a href="/b">',
+        # self-closing anchors, wanted and unwanted
+        '<a href="/sc"/><a class="sidebar" href="/no"/>',
+        # unwanted class on the anchor itself
+        '<a class="menu" href="/skip">s</a><a href="/keep">k</a>',
+        # void element with unwanted class must not suppress what follows
+        '<img class="sidebar"><a href="/v">v</a>',
+        # anchors inside script CDATA are data, not markup
+        '<script>var s = \'<a href="/fake">\';</script><a href="/real">r</a>',
+        # duplicate href attributes emit twice; mailto/tel skipped
+        '<a href="/one" href="/two">d</a><a href="mailto:x@y">m</a><a href="tel:+1">t</a>',
+        # unresolvable href
+        '<a href="http://[">bad</a><a href="/good">g</a>',
+        # nested suppression: inner unwanted inside outer unwanted
+        '<div class="sidebar"><div class="nav-menu"><a href="/nn">n</a></div></div><a href="/ok">o</a>',
+        # case: uppercase tags/attrs (HTMLParser lowercases tags)
+        '<DIV CLASS="NAV-MENU"><A HREF="/up">u</A></DIV><A HREF="/low">l</A>',
+        # entity in href
+        '<a href="/p?a=1&amp;b=2">e</a>',
+        # comments and doctype
+        '<!DOCTYPE html><!-- <a href="/c">no</a> --><a href="/yes">y</a>',
+        # geo extension classification via resolved path
+        '<a href="/data/f.ZIP">g</a><a href="/data/f.zip?x=1#f">h</a>',
+        "",
+        "plain text no tags",
+    ]
+    base = "https://host0.example.org/page/1.html"
+    for html in cases:
+        assert extract_links(html, base) == extract_links_tree(html, base), html
