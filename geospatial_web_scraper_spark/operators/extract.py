@@ -132,3 +132,95 @@ def extract_links_flat(
     return df.select(*dict.fromkeys([*carry_cols, html_col, url_col])).mapInPandas(
         gen, out_schema
     )
+
+
+ROUND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("kind", T.IntegerType()),  # 0 = download, 1 = link
+        T.StructField("link_url", T.StringType()),
+        T.StructField("link_pos", T.IntegerType()),
+        T.StructField("link_is_geo", T.BooleanType()),
+    ]
+)
+
+
+def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
+    """Fused per-round fetch classification + link extraction in ONE pass
+    over the fetched pages (columns: url, seq, depth, status, content_type,
+    html).
+
+    Replaces two separate jobs — the downloads branch and the extraction
+    branch — each of which re-scanned the pages source. At 100 TB the pages
+    scan is the dominant IO, so one pass per round is the difference between
+    reading the fetched slice once or twice; locally it removes ~half the
+    round's fixed job overhead, which is what the 2→8-core scaling
+    efficiency is most sensitive to.
+
+    Row routing (same filters the engine previously applied branch-wise):
+    status==200 & geo MIME → one ``kind=0`` download row; status==200 &
+    non-geo & html present & depth+1 < max_depth → ``kind=1`` link rows in
+    document order; everything else (404s, fetch leaves, final-depth pages)
+    emits nothing."""
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list = []
+            seqs: list = []
+            depths: list = []
+            kinds: list = []
+            lurl: list = []
+            lpos: list = []
+            lgeo: list = []
+            col_url = pdf["url"]
+            col_seq = pdf["seq"]
+            col_depth = pdf["depth"]
+            col_status = pdf["status"]
+            col_ct = pdf["content_type"]
+            col_html = pdf["html"]
+            for ridx in range(len(pdf)):
+                if col_status.iloc[ridx] != 200:
+                    continue
+                u = col_url.iloc[ridx]
+                ct = col_ct.iloc[ridx]
+                if ct in geo_mime_types:
+                    urls.append(u)
+                    seqs.append(col_seq.iloc[ridx])
+                    depths.append(col_depth.iloc[ridx])
+                    kinds.append(0)
+                    lurl.append(None)
+                    lpos.append(None)
+                    lgeo.append(None)
+                    continue
+                depth = col_depth.iloc[ridx]
+                h = col_html.iloc[ridx]
+                if h is None or depth + 1 >= max_depth:
+                    continue
+                links = extract_links(bytes(h), u)
+                if not links:
+                    continue
+                seq = col_seq.iloc[ridx]
+                for link in links:
+                    urls.append(u)
+                    seqs.append(seq)
+                    depths.append(depth)
+                    kinds.append(1)
+                    lurl.append(link["url"])
+                    lpos.append(link["pos"])
+                    lgeo.append(link["is_geo"])
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "seq": pd.Series(seqs, dtype="int64"),
+                    "depth": pd.Series(depths, dtype="int32"),
+                    "kind": pd.Series(kinds, dtype="int32"),
+                    "link_url": lurl,
+                    "link_pos": pd.Series(lpos, dtype="object"),
+                    "link_is_geo": lgeo,
+                }
+            )
+
+    cols = ["url", "seq", "depth", "status", "content_type", "html"]
+    return fetched.select(*cols).mapInPandas(gen, ROUND_OUT_SCHEMA)

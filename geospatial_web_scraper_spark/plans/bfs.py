@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 from ..constants import GEO_MIME_TYPES, MAX_CRAWL_ENGINE1, MAX_DEPTH
 from ..functions.ordering import with_global_seq
 from ..functions.urls import url_hash, url_host
-from ..operators.extract import extract_links_flat, extract_meta_udf
+from ..operators.extract import extract_meta_udf, extract_round_outputs
 from .store import SnapshotStore
 
 TRACE_SCHEMA = (
@@ -253,22 +253,23 @@ class CrawlEngine:
                 par = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
                 fetched = rec_small.join(self.pages, "url", "inner").repartition(par)
 
-            is_downloadable = (F.col("status") == 200) & F.col("content_type").isin(
-                *GEO_MIME_TYPES
-            )
-            # column pruning keeps this branch off the html bytes entirely
-            downloads_r = (
-                fetched.filter(is_downloadable).select("url").localCheckpoint(eager=True)
-            )
+            # fused round pass: ONE scan of the fetched slice classifies
+            # downloads (F7) and extracts links (X1, depth-gated) together —
+            # the pages source is read once per round, not once per branch.
+            # The single localCheckpoint materializes only the small output
+            # rows (never HTML) and truncates cross-round plan growth.
+            round_out = extract_round_outputs(
+                fetched, GEO_MIME_TYPES, self.max_depth
+            ).localCheckpoint(eager=True)
+            downloads_r = round_out.filter(F.col("kind") == 0).select("url")
             download_parts.append(downloads_r)
 
-            html_pages = fetched.filter(
-                (F.col("status") == 200)
-                & ~F.col("content_type").isin(*GEO_MIME_TYPES)
-                & F.col("html").isNotNull()
-            )
-
             if self.collect_text:
+                html_pages = fetched.filter(
+                    (F.col("status") == 200)
+                    & ~F.col("content_type").isin(*GEO_MIME_TYPES)
+                    & F.col("html").isNotNull()
+                )
                 meta = html_pages.withColumn(
                     "_m", extract_meta_udf(F.col("html"), F.col("url"))
                 )
@@ -280,11 +281,7 @@ class CrawlEngine:
                     ).localCheckpoint(eager=True)
                 )
 
-            # X1 extraction — only pages whose children survive the depth
-            # gate are parsed (depth + 1 < max_depth), saving the final-round
-            # parse entirely
-            expandable = html_pages.filter(F.col("depth") + 1 < self.max_depth)
-            flat = extract_links_flat(expandable, carry_cols=["url", "seq", "depth"])
+            flat = round_out.filter(F.col("kind") == 1)
             next_frontier = flat.select(
                 F.col("link_url").alias("url"),
                 (F.col("depth") + 1).cast("int").alias("depth"),
@@ -297,8 +294,7 @@ class CrawlEngine:
             if self.scheduler is not None and getattr(self.scheduler, "deferred", None) is not None:
                 next_frontier = next_frontier.unionByName(
                     self.scheduler.deferred.select(*next_frontier.columns)
-                )
-            next_frontier = next_frontier.localCheckpoint(eager=True)
+                ).localCheckpoint(eager=True)
 
             # lineage (north rule): per-partition fetch metrics + round totals
             if self.lineage_detail:
