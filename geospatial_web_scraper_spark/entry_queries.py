@@ -130,6 +130,70 @@ rec{r} AS (
     return "".join(parts)
 
 
+def _sql_prio_for(depth: int) -> str:
+    """priority_expr mirrored with an inline depth literal (depth == round
+    in the synchronous crawl)."""
+    return (
+        "(CASE WHEN is_geo THEN 100.0 ELSE 0.0 END)"
+        " + 10.0 * (contains(lower(path), '/data/')::INT"
+        " + contains(lower(path), '/download')::INT"
+        " + contains(lower(path), '/dataset')::INT"
+        " + contains(lower(path), '/geodata')::INT"
+        " + contains(lower(path), '/gis/')::INT)"
+        f" - {depth}"
+    )
+
+
+_SQL_PATH = "'/' || array_to_string((str_split(url, '/'))[4:], '/')"
+
+
+def _priority_trace_oracle_sql(n: int, budget: int, max_depth: int = 4) -> str:
+    """The priority-scheduler crawl trace as an unrolled-round CTE chain:
+    identical dataflow to `_trace_oracle_sql` except that within-round seq
+    order is (priority DESC, url ASC) — the salted priority dequeue with the
+    SQL-mirrorable url tiebreak — so geo-extension and open-data-path links
+    are crawled (and budget-protected) first."""
+    parts = [f"WITH {corpus.sql_prelude(n)},"]
+    parts.append(
+        f"""
+s0 AS (SELECT url, FALSE AS is_geo FROM seeds),
+p0 AS (SELECT url, {_sql_prio_for(0)} AS p
+       FROM (SELECT url, is_geo, {_SQL_PATH} AS path FROM s0)),
+rec0 AS (
+  SELECT (row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, 0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
+  FROM p0 QUALIFY seq <= {budget})"""
+    )
+    for r in range(1, max_depth):
+        seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
+        offset = " + ".join(f"(SELECT count(*) FROM rec{j})" for j in range(r))
+        parts.append(
+            f""",
+cand{r} AS (
+  SELECT e.dst AS url, r.url AS parent_url, r.seq AS parent_seq, e.pos, e.is_geo
+  FROM rec{r - 1} r JOIN pgu p ON p.url = r.url JOIN edges e ON e.src = p.i),
+new{r} AS (
+  SELECT url, parent_url, parent_seq, pos, is_geo FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM cand{r} c) WHERE rn = 1),
+pr{r} AS (
+  SELECT url, parent_url, {_sql_prio_for(r)} AS p
+  FROM (SELECT *, {_SQL_PATH} AS path FROM new{r})
+  WHERE url NOT IN ({seen})),
+rec{r} AS (
+  SELECT ({offset} + row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, {r} AS depth, parent_url, {r} AS round
+  FROM pr{r} QUALIFY seq <= {budget})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seq, url, depth::INT AS depth, parent_url, round::INT AS round "
+        f"FROM rec{j}"
+        for j in range(max_depth)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def _fetchable_pages(spark: SparkSession) -> DataFrame:
     return corpus.corpus_df(spark, N).filter(
         (F.col("status") == 200) & (F.col("content_type") == "text/html")
@@ -167,6 +231,33 @@ def q_crawl_trace_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-scheduling-after-cut behavior are both value-checked."""
     eng = CrawlEngine(spark, corpus.corpus_df(spark, N), max_crawl=50,
                       lineage_detail=False)
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_crawl_priority_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-scheduler crawl (north-rule salted priority queue) with a
+    tight budget (120): geo/open-data links outrank plain links within each
+    round, so the budget protects the dataset-discovery signal — the whole
+    ordering and cut are value-checked by the unrolled-round oracle. The
+    url tiebreak (vs default url_hash) is what makes the order reproducible
+    in SQL; per-host token caps and deferral are exercised in
+    tests/test_politeness.py against the Python oracle instead (the
+    deferral feedback loop breaks the rounds == depth unrolling)."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=1_000_000_000,
+        defer_overflow=False,
+        tiebreak="url",
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
     run = eng.run(corpus.seeds_df(spark, N))
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
@@ -699,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_bfs_seen": q_crawl_bfs_seen,
     "crawl_trace_budget": q_crawl_trace_budget,
     "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
+    "crawl_priority_trace": q_crawl_priority_trace,
     "x1_extract_links": q_x1_extract_links,
     "x2_extract_text": q_x2_extract_text,
     "f6_geo_ext_classify": q_f6_geo_ext_classify,
@@ -757,6 +849,7 @@ SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
 """,
     "crawl_trace_budget": _trace_oracle_sql(N, 400),
     "crawl_trace_budget_cut": _trace_oracle_sql(N, 50),
+    "crawl_priority_trace": _priority_trace_oracle_sql(N, 120),
     "x1_extract_links": f"""
 WITH {PRE}
 SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges

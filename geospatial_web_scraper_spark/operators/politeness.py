@@ -68,12 +68,14 @@ class PolitenessScheduler:
         default_tokens_per_round: int = 40,  # the reference's semaphore width
         n_salts: int = 8,
         defer_overflow: bool = True,
+        tiebreak: str = "url_hash",  # "url_hash" (uniform) or "url" (SQL-mirrorable)
     ):
         self.robots = robots
         self.host_budget = host_budget
         self.default_tokens = default_tokens_per_round
         self.n_salts = n_salts
         self.defer_overflow = defer_overflow
+        self.tiebreak = tiebreak
         self.deferred: DataFrame | None = None
 
     def apply(self, df: DataFrame, rnd: int) -> DataFrame:
@@ -124,15 +126,16 @@ class PolitenessScheduler:
         else:
             d = d.withColumn("_budget", F.lit(self.default_tokens))
 
-        # two-phase skew-safe dequeue
+        # two-phase skew-safe dequeue; tiebreak column: url_hash spreads
+        # uniformly (default), plain url keeps the total order reproducible
+        # in an external SQL oracle (xxhash64 is Spark-specific)
+        tb = F.col("_uh") if self.tiebreak == "url_hash" else F.col("url")
         d = d.withColumn("_salt", F.pmod(F.col("_uh"), F.lit(self.n_salts)))
-        wa = Window.partitionBy("_host", "_salt").orderBy(
-            F.desc("_prio"), F.asc("_uh")
-        )
+        wa = Window.partitionBy("_host", "_salt").orderBy(F.desc("_prio"), tb.asc())
         phase_a = d.withColumn("_ra", F.row_number().over(wa)).filter(
             F.col("_ra") <= F.col("_budget")
         )
-        wb = Window.partitionBy("_host").orderBy(F.desc("_prio"), F.asc("_uh"))
+        wb = Window.partitionBy("_host").orderBy(F.desc("_prio"), tb.asc())
         ranked = phase_a.withColumn("_rb", F.row_number().over(wb)).persist()
 
         admitted = ranked.filter(F.col("_rb") <= F.col("_budget"))
@@ -157,5 +160,7 @@ class PolitenessScheduler:
         return admitted.select(
             *df.columns,
             (-F.col("_prio")).alias("_ord1"),
-            F.col("_uh").alias("_ord2"),
+            (F.col("_uh") if self.tiebreak == "url_hash" else F.col("url")).alias(
+                "_ord2"
+            ),
         )
