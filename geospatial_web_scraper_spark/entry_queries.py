@@ -147,18 +147,43 @@ def _sql_prio_for(depth: int) -> str:
 _SQL_PATH = "'/' || array_to_string((str_split(url, '/'))[4:], '/')"
 
 
-def _priority_trace_oracle_sql(n: int, budget: int, max_depth: int = 4) -> str:
+def _priority_trace_oracle_sql(
+    n: int,
+    budget: int,
+    max_depth: int = 4,
+    robots: list[tuple[str, list[str]]] | None = None,
+) -> str:
     """The priority-scheduler crawl trace as an unrolled-round CTE chain:
     identical dataflow to `_trace_oracle_sql` except that within-round seq
     order is (priority DESC, url ASC) — the salted priority dequeue with the
     SQL-mirrorable url tiebreak — so geo-extension and open-data-path links
-    are crawled (and budget-protected) first."""
+    are crawled (and budget-protected) first. With ``robots`` rules, a
+    candidate whose path starts with a disallowed prefix for its host is
+    dropped before ranking on every round (never recorded, never marked
+    seen — it may re-candidate and is dropped again, matching the engine)."""
     parts = [f"WITH {corpus.sql_prelude(n)},"]
+    robots_filter = ""
+    if robots:
+        values = ", ".join(
+            "('" + host + "', [" + ", ".join(f"'{p}'" for p in prefixes) + "])"
+            for host, prefixes in robots
+        )
+        parts.append(
+            f"""
+robots(rhost, prefixes) AS (SELECT * FROM (VALUES {values})),
+robots_flat AS (SELECT rhost, unnest(prefixes) AS pfx FROM robots),"""
+        )
+        robots_filter = (
+            " AND NOT EXISTS (SELECT 1 FROM robots_flat rb"
+            " WHERE rb.rhost = split_part(t.url, '/', 3)"
+            " AND starts_with(t.path, rb.pfx))"
+        )
     parts.append(
         f"""
 s0 AS (SELECT url, FALSE AS is_geo FROM seeds),
 p0 AS (SELECT url, {_sql_prio_for(0)} AS p
-       FROM (SELECT url, is_geo, {_SQL_PATH} AS path FROM s0)),
+       FROM (SELECT url, is_geo, {_SQL_PATH} AS path FROM s0) t
+       WHERE TRUE{robots_filter}),
 rec0 AS (
   SELECT (row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
          url, 0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
@@ -178,8 +203,8 @@ new{r} AS (
     FROM cand{r} c) WHERE rn = 1),
 pr{r} AS (
   SELECT url, parent_url, {_sql_prio_for(r)} AS p
-  FROM (SELECT *, {_SQL_PATH} AS path FROM new{r})
-  WHERE url NOT IN ({seen})),
+  FROM (SELECT *, {_SQL_PATH} AS path FROM new{r}) t
+  WHERE t.url NOT IN ({seen}){robots_filter}),
 rec{r} AS (
   SELECT ({offset} + row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
          url, {r} AS depth, parent_url, {r} AS round
@@ -247,6 +272,38 @@ def q_crawl_priority_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.politeness import PolitenessScheduler
 
     sched = PolitenessScheduler(
+        default_tokens_per_round=1_000_000_000,
+        defer_overflow=False,
+        tiebreak="url",
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+_ROBOTS_RULES = [
+    ("host0.example.org", ["/data/", "/page/2"]),
+    ("host3.example.org", ["/page/"]),
+]
+
+
+def q_crawl_robots_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority crawl with robots.txt prefix rules: disallowed paths are
+    dropped before ranking on every round (including seeds), so the whole
+    robots gate + priority order + budget interaction is value-checked."""
+    from .operators.politeness import PolitenessScheduler
+
+    robots = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, disallow_prefixes array<string>"
+    )
+    sched = PolitenessScheduler(
+        robots=robots,
         default_tokens_per_round=1_000_000_000,
         defer_overflow=False,
         tiebreak="url",
@@ -791,6 +848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_trace_budget": q_crawl_trace_budget,
     "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
     "crawl_priority_trace": q_crawl_priority_trace,
+    "crawl_robots_trace": q_crawl_robots_trace,
     "x1_extract_links": q_x1_extract_links,
     "x2_extract_text": q_x2_extract_text,
     "f6_geo_ext_classify": q_f6_geo_ext_classify,
@@ -850,6 +908,7 @@ SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
     "crawl_trace_budget": _trace_oracle_sql(N, 400),
     "crawl_trace_budget_cut": _trace_oracle_sql(N, 50),
     "crawl_priority_trace": _priority_trace_oracle_sql(N, 120),
+    "crawl_robots_trace": _priority_trace_oracle_sql(N, 120, robots=_ROBOTS_RULES),
     "x1_extract_links": f"""
 WITH {PRE}
 SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges
