@@ -473,6 +473,24 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash+LSH pairs → connected components (iterative
+    min-label propagation) → (doc_id, group_id, group_size). This is the
+    actual dedup decision surface at pipeline scale — keep min-id per group;
+    the iterative DataFrame loop is value-checked against a recursive-CTE
+    reachability oracle."""
+    pairs = dedup.minhash_neardup_pairs(_docs(spark, sf_dir), threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    comp = dedup.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
     gram hash so DuckDB reproduces every fingerprint value."""
@@ -865,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "dedup_groups": q_dedup_groups,
     "neardup_embedding": q_neardup_embedding,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
@@ -1400,6 +1419,7 @@ SELECT coalesce(a.event_type, b.event_type) AS event_type,
 FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
 WHERE coalesce(n_a, 0) <> coalesce(n_b, 0)
 """,
+    "dedup_groups": "",  # filled in below (wraps the minhash_neardup oracle)
     "u1_union_dedup": """
 SELECT event_type, count(*) AS n FROM (
   SELECT DISTINCT event_id, event_type FROM (
@@ -1410,3 +1430,23 @@ SELECT event_type, count(*) AS n FROM (
 ) GROUP BY 1
 """,
 }
+
+
+# dedup_groups: connected components of the minhash near-dup graph — the
+# recursive-CTE reachability closure over the SAME pairs the Spark side
+# derives (the full minhash oracle is embedded as a subquery).
+ORACLES["dedup_groups"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({ORACLES["minhash_neardup"]})),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e2 e ON e.a = r.dst),
+comp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size
+FROM comp
+"""

@@ -237,6 +237,59 @@ def minhash_neardup_pairs(
     )
 
 
+# -------------------------------------------------------------- components
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """→ (id, component): connected components of the near-dup pair graph by
+    iterative min-label propagation — the step that turns pairwise
+    near-duplicates into dedup GROUPS (keep one doc per component).
+
+    Each iteration is one join + one min-aggregate (both shuffle on id, so
+    at 10^10 edges the per-iteration cost is two hash shuffles of the label
+    table); iterations needed = graph diameter, and near-dup components are
+    shallow in practice (dup clusters, not long chains). Deterministic:
+    component id = min member id. localCheckpoint per iteration truncates
+    the growing plan (same pattern as the crawl rounds)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(lab, edges["a"] == lab["id"]).select(
+            F.col("b").alias("id"), F.col("component")
+        )
+        new_lab = (
+            lab.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab
+
+
 # ------------------------------------------------------------------- simhash
 @F.pandas_udf(T.LongType())
 def simhash64_udf(tokens: pd.Series) -> pd.Series:

@@ -184,6 +184,22 @@ def test_ann_ivf_topk(spark):
     }
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4-5 needs multiple label-propagation iterations to
+    converge to min-id 1; disjoint pair and triangle stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert comp[10] == 10 and comp[11] == 10
+    assert comp[20] == 20 and comp[21] == 20 and comp[22] == 20
+
+
 def test_textstats_goldens(spark):
     df = spark.createDataFrame(
         [
