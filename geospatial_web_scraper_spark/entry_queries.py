@@ -806,6 +806,47 @@ def q_a1_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (the batch form of the streaming
+    windowed agg): daily buckets per event type. Session TZ is pinned UTC,
+    so F.window's epoch-aligned 1-day buckets equal date_trunc('day')."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the mapInPandas row-explosion path:
+    variable fan-out per asset (duration-dependent), deterministic frame
+    stats — the full distributed plumbing is value-checked; only the codec
+    kernel is a stub."""
+    from .operators.multimodal import sample_frames
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 5 + 1) * 800).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
 def q_c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -905,6 +946,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topn_per_group": q_window_topn_per_group,
     "broadcast_dim_join": q_broadcast_dim_join,
     "a1_event_counters": q_a1_event_counters,
+    "window_agg_events": q_window_agg_events,
+    "multimodal_frames": q_multimodal_frames,
     "c9_json_extract": q_c9_json_extract,
     "f10_global_budget": q_f10_global_budget,
     "a3_multiset_equality": q_a3_multiset_equality,
@@ -1399,6 +1442,23 @@ GROUP BY 1
     "a1_event_counters": """
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1
+""",
+    "window_agg_events": """
+SELECT date_trunc('day', ts)::TIMESTAMP AS window_start, event_type,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "multimodal_frames": """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+    octet_length(encode(text))::BIGINT AS n,
+    ((doc_id % 5 + 1) * 800)::BIGINT AS d
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT asset_id,
+  (t.ts // 1000)::INT AS frame_idx,
+  t.ts::INT AS ts_ms,
+  (n // greatest(1, d // 1000))::BIGINT AS frame_bytes
+FROM v, LATERAL (SELECT unnest(range(0, d, 1000)) AS ts) t
 """,
     "c9_json_extract": """
 SELECT event_id, json_extract_string(props, '$.k') AS k
