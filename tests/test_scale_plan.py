@@ -1,0 +1,65 @@
+"""Plan-shape pins for the scale design claims (SURVEY §4 / README):
+these assert the PHYSICAL plan, not results — a regression that silently
+reintroduces a shuffle or loses pushdown fails here even though answers
+stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Equal-bucketed tables on the join key sort-merge WITHOUT an
+    exchange on either side — the co-located join lever for repeated
+    frontier ⋈ seen joins at 10^10 rows."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("t_li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("t_orders_bucketed")
+    try:
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_orders_bucketed")
+        # force the sort-merge path (no broadcast) to expose any shuffle
+        joined = a.join(b.hint("merge"), a["l_orderkey"] == b["o_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_q1_filter_reaches_parquet_scan(spark):
+    df = entry_mod.queries()["q1_lineitem_agg"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q3_small_dims_broadcast(spark):
+    df = entry_mod.queries()["q3_topk_join"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_column_pruning_on_projection(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = _plan(docs)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
