@@ -341,6 +341,20 @@ def q_x2_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s6_xml_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/C10: RSS/Atom link targets collected (not fetched) from
+    ``<link type~=xml>`` — one row per (page, xml href)."""
+    from .operators.extract import extract_xml_links_udf
+
+    pages = _fetchable_pages(spark)
+    return pages.select(
+        "url",
+        F.explode(extract_xml_links_udf(F.col("html"), F.col("url"))).alias(
+            "xml_link"
+        ),
+    )
+
+
 def q_f6_geo_ext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
     ext = go_ext(url_path(F.col("url")))
@@ -910,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_robots_trace": q_crawl_robots_trace,
     "x1_extract_links": q_x1_extract_links,
     "x2_extract_text": q_x2_extract_text,
+    "s6_xml_links": q_s6_xml_links,
     "f6_geo_ext_classify": q_f6_geo_ext_classify,
     "c3_canonicalize": q_c3_canonicalize,
     "c4_filename": q_c4_filename,
@@ -985,6 +1000,12 @@ SELECT url,
     || ' Dataset ' || i || ' covers region ' || (i % 13)
     || '. Theme ' || (i % 5) || ' records.' AS text
 FROM pgu WHERE status = 200 AND content_type = 'text/html'
+""",
+    "s6_xml_links": f"""
+WITH {PRE}
+SELECT url, '/feed.xml' AS xml_link
+FROM pgu
+WHERE i % 29 = 6 AND status = 200 AND content_type = 'text/html'
 """,
     "f6_geo_ext_classify": f"""
 WITH {PRE},

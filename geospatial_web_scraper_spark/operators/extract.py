@@ -55,6 +55,20 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_xml_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """S6 (metadata.go:180-212): hrefs of ``<link type~=xml>`` elements —
+    collected, NOT fetched (the reference's secondary RSS fetch is a network
+    side-effect outside the no-network correctness contract)."""
+    out = []
+    for h, u in zip(html, base_url):
+        if h is None or u is None:
+            out.append([])
+            continue
+        out.append(extract_metadata(bytes(h), u)["xml_links"])
+    return pd.Series(out, dtype=object)
+
+
 @F.pandas_udf(META_TYPE)
 def extract_meta_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     titles, descs, kws = [], [], []
