@@ -99,3 +99,22 @@ def test_checkpoint_resume_equivalence(spark, tmp_path_factory, oracle_run):
     )
     resumed = eng2.resume()
     assert _trace_rows(resumed.trace) == oracle_run.trace
+
+
+def test_shuffle_fetch_fallback_trace_identical(spark, engine_run):
+    """broadcast_fetch_limit=0 forces the shuffle-join fetch path (the
+    huge-round fallback on a real cluster); the trace must be identical to
+    the broadcast path's."""
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=400,
+        broadcast_fetch_limit=0,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    cols = ["seq", "url", "depth", "parent_url", "round"]
+    got = sorted(tuple(r[c] for c in cols) for r in run.trace.collect())
+    want = sorted(
+        tuple(r[c] for c in cols) for r in engine_run.trace.select(*cols).collect()
+    )
+    assert got == want
