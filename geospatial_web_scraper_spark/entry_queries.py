@@ -240,6 +240,25 @@ def q_crawl_bfs_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_crawl_bfs_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same crawl with the sharded Bloom seen-prefilter enabled: candidates
+    the bloom proves definitely-new skip the exact anti-join, bloom-positive
+    ones fall through to it. Zero false negatives by construction, so the
+    seen set must be IDENTICAL — checked against the same recursive-CTE
+    oracle as the plain variant."""
+    from .operators.seen import ShardedBloomSeenFilter
+
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=None,
+        lineage_detail=False,
+        seen_filter=ShardedBloomSeenFilter(spark, n_shards=8),
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_crawl_trace_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted FIFO crawl trace, value-checked against the unrolled-round
     DuckDB oracle (`_trace_oracle_sql`); exact trace parity vs the Python
@@ -918,6 +937,7 @@ def q_u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_bfs_seen": q_crawl_bfs_seen,
+    "crawl_bfs_seen_bloom": q_crawl_bfs_seen_bloom,
     "crawl_trace_budget": q_crawl_trace_budget,
     "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
     "crawl_priority_trace": q_crawl_priority_trace,
@@ -1531,3 +1551,5 @@ SELECT doc_id, group_id,
        count(*) OVER (PARTITION BY group_id) AS group_size
 FROM comp
 """
+
+ORACLES["crawl_bfs_seen_bloom"] = ORACLES["crawl_bfs_seen"]
