@@ -35,7 +35,7 @@ from geospatial_web_scraper_spark.operators import dedup, similarity
 from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
 from geospatial_web_scraper_spark.session import get_spark
 
-N_ROUND = int(os.environ.get("BENCH_ROUND_PAGES", "240000"))
+N_ROUND = int(os.environ.get("BENCH_ROUND_PAGES", "360000"))
 FILLER = int(os.environ.get("BENCH_FILLER", "40"))
 N_MULTI = int(os.environ.get("BENCH_PAGES", "50000"))
 N_SEED = int(os.environ.get("BENCH_SEEDS", "1000"))
