@@ -232,6 +232,18 @@ _CDATA_END = {
     "style": re.compile(r"(?i)</style"),
 }
 
+# A trailing "/" before ">" is a self-close ONLY when it is not the
+# continuation of an unquoted attribute value: html.parser's
+# attrfind_tolerant consumes "href=/about/" entirely into the value
+# ([^>\s]* includes "/"), and a pending "= " takes even a space-separated
+# "/" as its value — while a bare attribute NAME never swallows the slash
+# (names exclude "/"), so <a disabled/> stays self-closing. The fast path
+# must mirror this or it diverges from the frozen tree twin on unquoted
+# attrs (ADVICE r1: <a href=x.zip/> flipped is_geo, <div class=nav-menu/>
+# failed to suppress). Pinned by the adversarial parity tests.
+_UNQ_PENDING_RE = re.compile(r"=\s*$")
+_UNQ_VALUE_RE = re.compile(r"=\s*[^\s\"'=]*$")
+
 
 def _parse_attrs(src: str) -> list[tuple[str, str]]:
     """(name, value) pairs in document order, names lowercased, quotes
@@ -300,8 +312,17 @@ def extract_links(html: str | bytes, base_url: str) -> list[dict]:
                     break
             continue
         self_closing = bool(m.group(4))
-        active = suppress_from is None
         attr_src = m.group(3)
+        if self_closing and attr_src:
+            # HTMLParser parity (see _UNQ_*_RE): the "/" extends an unquoted
+            # attribute value unless whitespace closed the value first — but
+            # a pending "=" claims the slash as its value even after spaces.
+            if _UNQ_PENDING_RE.search(attr_src) or (
+                m.start(4) == m.end(3) and _UNQ_VALUE_RE.search(attr_src)
+            ):
+                attr_src += "/"
+                self_closing = False
+        active = suppress_from is None
         attrs = None
         if active and attr_src:
             low = attr_src.lower()

@@ -266,6 +266,32 @@ def test_streaming_links_match_tree_walk_adversarial():
         '<a href="/data/f.ZIP">g</a><a href="/data/f.zip?x=1#f">h</a>',
         "",
         "plain text no tags",
+        # --- unquoted attribute values ending in "/" (ADVICE r1, high) ---
+        # trailing slash is part of the unquoted value, not a self-close
+        "<a href=/about/>x</a>",
+        # geo classification must NOT flip (href is x.zip/ → ext is empty)
+        "<a href=x.zip/>y</a>",
+        # unwanted class swallows the slash; the div stays OPEN → suppress
+        '<div class=nav-menu/><a href="y">z</a>',
+        # whitespace completes the value → genuine self-close
+        "<a href=x />y</a>",
+        # bare attribute names never swallow the slash → self-close
+        "<a disabled/>y</a>",
+        # a pending "=" claims the slash as its value, even across spaces
+        "<a href= />y</a>",
+        "<a href=/>y</a>",
+        # double slash: first extends value, no self-close group left
+        "<a href=x//>y</a>",
+        # spaces around "=" still bind the value
+        "<a href = x/>y</a>",
+        # quoted value then slash → self-close
+        '<a href="x"/>y</a>',
+        # "=" inside an unquoted value
+        "<a href=a=b/>y</a>",
+        # slash then space → value keeps the slash, tag not self-closed
+        "<a href=x/ >y</a>",
+        # unwanted id with slashed unquoted href on the anchor itself
+        "<a id=nav-menu href=/x/>y</a>",
     ]
     base = "https://host0.example.org/page/1.html"
     for html in cases:
