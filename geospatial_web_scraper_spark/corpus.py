@@ -433,6 +433,60 @@ def seeds_df(spark: SparkSession, n: int = N_DEFAULT, k: int = N_SEEDS) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Offline feed corpus (xml_docs) — the C10/S6 stand-in for the RSS fetch
+# ---------------------------------------------------------------------------
+#
+# One feed per host at https://host{h}.example.org/feed.xml (every page's
+# ``<link type~=xml href="/feed.xml">`` resolves there). Three deliberate
+# shapes, value-checking each branch of the Go flat-unmarshal semantics
+# (metadata.go:200-211, frozen in kernel.parse_xml_meta):
+#
+# * even h (except 8): Atom-style root with DIRECT <title>/<description>
+#   children → both bind → folded into page metadata;
+# * odd h: standard RSS (<rss><channel><title>…) → the flat struct binds
+#   NOTHING → fold is a no-op (the reference quirk);
+# * h == 8: truncated document → Unmarshal error → feed skipped.
+
+
+def feed_url_of(h: int) -> str:
+    return f"https://host{h}.example.org/feed.xml"
+
+
+def feed_folds(h: int) -> bool:
+    """True iff host h's feed contributes title/description to the fold."""
+    return h % 2 == 0 and h != 8
+
+
+def xml_of_host(h: int) -> str:
+    title = f"Feed host {h}"
+    desc = f"Host {h} dataset hub"
+    if h == 8:  # malformed: unclosed root
+        return f'<?xml version="1.0"?><feed><title>{title}</title>'
+    if h % 2 == 0:  # Atom-style: direct children of the root bind
+        return (
+            f'<?xml version="1.0"?><feed><title>{title}</title>'
+            f"<description>{desc}</description>"
+            f"<entry><title>Entry {h} (never bound)</title></entry></feed>"
+        )
+    # standard RSS: title/description nested under <channel> — binds nothing
+    return (
+        f'<?xml version="1.0"?><rss version="2.0"><channel>'
+        f"<title>{title}</title><description>{desc}</description>"
+        f"</channel></rss>"
+    )
+
+
+def xml_docs_dict() -> dict[str, str]:
+    """Oracle-side feed corpus: resolved feed url → xml body."""
+    return {feed_url_of(h): xml_of_host(h) for h in range(N_HOSTS)}
+
+
+def xml_docs_df(spark: SparkSession) -> DataFrame:
+    rows = [(u, x) for u, x in xml_docs_dict().items()]
+    return spark.createDataFrame(rows, "url string, xml string")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB SQL prelude (independent oracle side)
 # ---------------------------------------------------------------------------
 

@@ -414,27 +414,13 @@ def _ws_normalize(s: str) -> str:
     return " ".join(s.split())
 
 
-def extract_metadata(html: str | bytes, page_url: str) -> dict:
-    """Single-pass walk accumulating title / description / keywords.
-
-    Faithful quirks preserved (SURVEY.md §8.3):
-
-    * the ``md.Title == ""`` / ``md.Description == ""`` guards in the
-      reference compare against fields only assigned *after* the walk, so
-      every title source (``<title>`` first child, ``og:title``/``headline``
-      meta, JSON-LD ``name``/``headline``) and every description source
-      accumulates through the substring-dedup builder;
-    * keywords are genuinely first-wins (set during the walk);
-    * non-JSON-LD ``<script>`` subtrees are skipped entirely;
-    * visible text counts only when the text node's direct parent is one of
-      ``p h1 h2 h3 h4 li``;
-    * ``<link type~=xml>`` hrefs are collected but NOT fetched (the
-      reference's secondary RSS fetch, metadata.go:180-212, is a network
-      side-effect outside the no-network correctness contract).
-
-    Returns ``{"title", "description", "keywords", "xml_links"}`` where
-    ``description`` is *the* byte-identical extracted text per url.
-    """
+def extract_metadata_raw(html: str | bytes, page_url: str) -> tuple:
+    """The metadata walk, returning the PRE-normalization state
+    ``(title_buf, desc_buf, keywords, xml_links)`` — the exact accumulator
+    values the reference holds at ``metadata.go:179`` (just before the
+    secondary XML harvest). :func:`extract_metadata` normalizes these;
+    :func:`extract_metadata_with_feeds` folds feed titles/descriptions in
+    first, because the reference's fold operates on the raw builders."""
     root = parse_html(html)
     title_buf = ""
     desc_buf = ""
@@ -521,7 +507,109 @@ def extract_metadata(html: str | bytes, page_url: str) -> dict:
             walk(c)
 
     walk(root)
+    return title_buf, desc_buf, keywords, xml_links
 
+
+def extract_metadata(html: str | bytes, page_url: str) -> dict:
+    """Single-pass walk accumulating title / description / keywords.
+
+    Faithful quirks preserved (SURVEY.md §8.3):
+
+    * the ``md.Title == ""`` / ``md.Description == ""`` guards in the
+      reference compare against fields only assigned *after* the walk, so
+      every title source (``<title>`` first child, ``og:title``/``headline``
+      meta, JSON-LD ``name``/``headline``) and every description source
+      accumulates through the substring-dedup builder;
+    * keywords are genuinely first-wins (set during the walk);
+    * non-JSON-LD ``<script>`` subtrees are skipped entirely;
+    * visible text counts only when the text node's direct parent is one of
+      ``p h1 h2 h3 h4 li``;
+    * ``<link type~=xml>`` hrefs are collected but NOT fetched here (the
+      reference's secondary RSS fetch, metadata.go:180-212, is a network
+      side-effect; its offline form is :func:`extract_metadata_with_feeds`).
+
+    Returns ``{"title", "description", "keywords", "xml_links"}`` where
+    ``description`` is *the* byte-identical extracted text per url.
+    """
+    title_buf, desc_buf, keywords, xml_links = extract_metadata_raw(html, page_url)
+    return {
+        "title": _ws_normalize(title_buf),
+        "description": _ws_normalize(desc_buf),
+        "keywords": keywords,
+        "xml_links": xml_links,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Secondary XML (RSS/Atom) harvest — offline form (metadata.go:180-212)
+# ---------------------------------------------------------------------------
+
+
+def parse_xml_meta(xml_text: str) -> dict | None:
+    """Go ``xml.Unmarshal`` into ``struct{Title, Description string}`` with
+    flat ``xml:"title"`` / ``xml:"description"`` tags (``metadata.go:200-204``)
+    — semantics frozen exactly, including the big quirk:
+
+    * fields bind only to **direct children of the root element** (a flat
+      tag has no ``channel>`` path), so a standard RSS feed
+      (``<rss><channel><title>…``) binds NOTHING and both fields stay
+      ``""``; Atom-style roots with direct ``<title>`` children do bind;
+    * element value = the element's direct character data (text before /
+      between / after nested children; nested elements' own text excluded)
+      — Go's saveData for string fields;
+    * repeated matches overwrite (Go assigns each occurrence — last wins);
+    * match is by local (namespace-stripped) element name, exact case;
+    * malformed XML → ``None`` (``Unmarshal`` error → feed skipped).
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return None
+    out = {"title": "", "description": ""}
+    for child in root:
+        if not isinstance(child.tag, str):
+            continue  # comments / PIs
+        name = child.tag.rsplit("}", 1)[-1]
+        if name in out:
+            data = child.text or ""
+            for gc in child:
+                if gc.tail:
+                    data += gc.tail
+            out[name] = data
+    return out
+
+
+def extract_metadata_with_feeds(
+    html: str | bytes, page_url: str, feed_fetch
+) -> dict:
+    """Full ``ExtractMetadata`` INCLUDING the secondary XML harvest
+    (``metadata.go:180-212``), with the 5s-timeout HTTP GET replaced by the
+    offline ``feed_fetch(resolved_url) -> xml_text | None`` lookup
+    (``None`` = fetch error / timeout → link skipped, exactly the
+    reference's ``continue``).
+
+    Quirk frozen: the reference guards the fold with ``md.Title == ""`` /
+    ``md.Description == ""`` — but those fields are only assigned AFTER the
+    loop (``metadata.go:215-216``), so the guards are always true and every
+    successfully-parsed feed's title/description goes through
+    ``add_to_stringbuilder`` unconditionally, on the RAW buffers, before
+    whitespace normalization."""
+    title_buf, desc_buf, keywords, xml_links = extract_metadata_raw(html, page_url)
+    for href in xml_links:
+        try:
+            u = urljoin(page_url, href)
+        except ValueError:
+            continue  # base.Parse error (metadata.go:184-186)
+        xml_text = feed_fetch(u)
+        if xml_text is None:
+            continue  # fetch error / timeout (metadata.go:189-199)
+        parsed = parse_xml_meta(xml_text)
+        if parsed is None:
+            continue  # Unmarshal error (metadata.go:204)
+        title_buf = add_to_stringbuilder(title_buf, parsed["title"])
+        desc_buf = add_to_stringbuilder(desc_buf, parsed["description"])
     return {
         "title": _ws_normalize(title_buf),
         "description": _ws_normalize(desc_buf),

@@ -85,6 +85,102 @@ def extract_meta_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"title": titles, "description": descs, "keywords": kws})
 
 
+@F.pandas_udf(T.StringType())
+def resolve_url_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Go ``base.Parse(href)`` (metadata.go:184): resolved absolute URL,
+    NULL when the base/href pair is unresolvable (the reference's
+    ``continue``)."""
+    from urllib.parse import urljoin
+
+    out = []
+    for b, h in zip(base, href):
+        if b is None or h is None:
+            out.append(None)
+            continue
+        try:
+            out.append(urljoin(b, h))
+        except ValueError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+FEED_META_TYPE = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+    ]
+)
+
+
+def extract_meta_with_feeds(pages, feeds, html_col: str = "html",
+                            url_col: str = "url"):
+    """C10 — metadata extraction INCLUDING the secondary RSS/Atom harvest
+    (``metadata.go:180-212``), with the 5s-timeout HTTP GET modeled as a
+    join against an offline ``feeds(url, xml)`` table.
+
+    Distributed shape (the 100 TB plan): the xml hrefs are exploded off the
+    pages (tiny rows — no HTML), resolved, equi-joined against the feeds
+    table (broadcast: one feed per HOST, so |feeds| ≪ |pages|), and grouped
+    back per page in document order; then ONE Arrow pass over the pages
+    re-runs the metadata walk and folds the joined feed bodies through the
+    raw string builders (kernel.extract_metadata_with_feeds — shared with
+    the oracle). HTML bytes never shuffle: the join and groupBy move only
+    (url, href, xml) rows, and the final pass inherits the pages scan's
+    partitioning via a frontier-style broadcast join of the small grouped
+    side."""
+    from ..kernel import extract_metadata_with_feeds as _kernel_fold
+
+    hrefs = pages.select(
+        F.col(url_col),
+        F.posexplode(
+            extract_xml_links_udf(F.col(html_col), F.col(url_col))
+        ).alias("_xpos", "_href"),
+    ).withColumn("_feed_url", resolve_url_udf(F.col(url_col), F.col("_href")))
+    joined = hrefs.join(
+        F.broadcast(
+            feeds.select(F.col("url").alias("_feed_url"), F.col("xml").alias("_xml"))
+        ),
+        "_feed_url",
+        "left",
+    )
+    grouped = joined.groupBy(url_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_xpos", "_feed_url", "_xml"))
+        ).alias("_feeds")
+    )
+    withf = pages.select(url_col, html_col).join(
+        F.broadcast(grouped), url_col, "left"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            urls, titles, descs = [], [], []
+            col_url = pdf[url_col]
+            col_html = pdf[html_col]
+            col_feeds = pdf["_feeds"]
+            for ridx in range(len(pdf)):
+                h = col_html.iloc[ridx]
+                u = col_url.iloc[ridx]
+                if h is None or u is None:
+                    continue
+                fl = col_feeds.iloc[ridx]
+                lookup = {}
+                if fl is not None:
+                    for s in fl:
+                        if s["_xml"] is not None:
+                            lookup[s["_feed_url"]] = s["_xml"]
+                md = _kernel_fold(bytes(h), u, lookup.get)
+                urls.append(u)
+                titles.append(md["title"])
+                descs.append(md["description"])
+            yield pd.DataFrame(
+                {"url": urls, "title": titles, "description": descs}
+            )
+
+    return withf.mapInPandas(gen, FEED_META_TYPE)
+
+
 def exploded_links(df, html_col: str = "html", url_col: str = "url") -> "Column":
     """Convenience: page rows → (page cols…, pos, link struct) rows."""
     withl = df.withColumn("_links", extract_links_udf(F.col(html_col), F.col(url_col)))

@@ -26,7 +26,7 @@ UDF calling the embedding service with ≤50-text batches (``api.go:179``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import GEO_MIME_TYPES, TOP_K_SEEDS
@@ -57,18 +57,32 @@ def rank_seeds(
     quirk_compat: bool = True,
     text_col: str = "description",
 ) -> DataFrame:
-    """Cosine-rank seeds against the query embedding. → (url, score, rk)."""
+    """Cosine-rank seeds against the query embedding. → (url, score).
+
+    The rank cut is expressed as ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject, a per-partition partial top-k merged on the
+    driver — NOT an unpartitioned ``row_number`` window, which would pull
+    the whole scored table through a single reducer. The reference seed list
+    is ~120 rows, but the same call must survive a 10^9-row seed table."""
     qv = pseudo_embedding_expr(F.lit(query_text))
     scored = seeds.select(
         "url",
         cosine_expr(pseudo_embedding_expr(F.col(text_col)), qv).alias("score"),
     ).filter(F.col("score").isNotNull())
-    w = Window.orderBy(F.desc("score"), F.asc("url"))
-    ranked = scored.withColumn("rk", F.row_number().over(w))
+    ordered = scored.orderBy(F.desc("score"), F.asc("url"))
     if quirk_compat:
-        # crawler2.go:67-72 — drops the best match, keeps ranks 2..k+1
-        return ranked.filter((F.col("rk") >= 2) & (F.col("rk") <= top_k + 1))
-    return ranked.filter(F.col("rk") <= top_k)
+        # crawler2.go:67-72 — drops the best match, keeps ranks 2..k+1:
+        # top-(k+1) minus top-1, two TakeOrdered jobs, no global window
+        best = ordered.limit(1).select(F.col("url").alias("_best_url"))
+        return (
+            ordered.limit(top_k + 1)
+            .join(
+                F.broadcast(best),
+                F.col("url") == F.col("_best_url"),
+                "left_anti",
+            )
+        )
+    return ordered.limit(top_k)
 
 
 def harvest(

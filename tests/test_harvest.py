@@ -27,7 +27,7 @@ def test_t2_quirk_drops_best(spark):
     straight = rank_seeds(seeds, Q, top_k=10, quirk_compat=False)
     q_urls = {r["url"] for r in quirked.collect()}
     s_urls = {r["url"] for r in straight.collect()}
-    best = straight.orderBy("rk").first()["url"]
+    best = straight.orderBy(F.desc("score"), F.asc("url")).first()["url"]
     assert best in s_urls and best not in q_urls
     assert len(q_urls) == 10 and len(s_urls) == 10
 

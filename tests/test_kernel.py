@@ -212,6 +212,68 @@ def test_xml_links_collected_not_fetched():
     assert md["xml_links"] == ["/feed.xml"]
 
 
+def test_parse_xml_meta_go_unmarshal_semantics():
+    """C10 (metadata.go:200-211): flat xml:"title"/"description" struct tags
+    bind only to DIRECT children of the root element — the Go quirk that
+    makes standard RSS (<rss><channel><title>…) bind nothing."""
+    from geospatial_web_scraper_spark.kernel import parse_xml_meta
+
+    # Atom-style root: direct children bind; nested <entry><title> ignored
+    assert parse_xml_meta(
+        "<feed><title>T</title><description>D</description>"
+        "<entry><title>no</title></entry></feed>"
+    ) == {"title": "T", "description": "D"}
+    # standard RSS: title/description live under <channel> → nothing binds
+    assert parse_xml_meta(
+        "<rss><channel><title>T</title><description>D</description>"
+        "</channel></rss>"
+    ) == {"title": "", "description": ""}
+    # malformed XML → Unmarshal error → None (feed skipped)
+    assert parse_xml_meta("<feed><title>T</title>") is None
+    # repeated matches overwrite (Go assigns each occurrence — last wins)
+    assert parse_xml_meta(
+        "<feed><title>A</title><title>B</title></feed>"
+    )["title"] == "B"
+    # direct chardata only: nested element text excluded, tail included
+    assert parse_xml_meta("<feed><title>a<b>x</b>c</title></feed>")["title"] == "ac"
+    # local (namespace-stripped) element names match
+    assert parse_xml_meta(
+        '<f xmlns:a="urn:x"><a:title>N</a:title></f>'
+    )["title"] == "N"
+
+
+def test_extract_metadata_with_feeds_fold():
+    """C10 fold quirks: feeds fold through add_to_stringbuilder on the RAW
+    buffers (substring-dedup applies), missing feeds are skipped, and the
+    result is whitespace-normalized at the end."""
+    from geospatial_web_scraper_spark.kernel import extract_metadata_with_feeds
+
+    html = (
+        "<head><title>Page X</title>"
+        '<link type="application/rss+xml" href="/feed.xml">'
+        '<link type="application/atom+xml" href="/missing.xml">'
+        "</head><body><p>Body text.</p></body>"
+    )
+    feeds = {
+        "https://h.org/feed.xml": (
+            "<feed><title>  Feed   T </title>"
+            "<description>Feed D</description></feed>"
+        )
+    }
+    md = extract_metadata_with_feeds(html, "https://h.org/p.html", feeds.get)
+    assert md["title"] == "Page X Feed T"
+    assert md["description"] == "Body text. Feed D"
+    # substring-dedup: feed fragments already present in the buffer drop out
+    feeds2 = {
+        "https://h.org/feed.xml": (
+            "<feed><title>Page</title><description>Body</description></feed>"
+        )
+    }
+    md2 = extract_metadata_with_feeds(html, "https://h.org/p.html", feeds2.get)
+    assert md2["title"] == "Page X"
+    assert md2["description"] == "Body text."
+
+
 # ---------------------------------------------------------------- streaming
 def test_streaming_links_match_tree_walk_on_corpus():
     """The streaming _LinkParser must agree with the tree-walk reference

@@ -59,6 +59,35 @@ def test_q3_small_dims_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_no_unpartitioned_window_in_topk_paths(spark):
+    """T2 and the seed ranker express their global-order cuts as
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver), never as an unpartitioned row_number window — which would be a
+    single-reducer sort of the full table at 10^10 rows."""
+    df = entry_mod.queries()["t2_topk_quirk"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    from geospatial_web_scraper_spark import corpus
+    from geospatial_web_scraper_spark.plans.harvest import rank_seeds
+
+    rs = rank_seeds(corpus.seeds_df(spark, 300, k=13), "q", top_k=10)
+    plan = _plan(rs)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_neardup_embedding_is_bucket_blocked(spark):
+    """The driver's embedding near-dup query must execute the LSH bucket
+    equi-join (blocked candidates), never an all-pairs theta join."""
+    df = entry_mod.queries()["neardup_embedding"](spark, SF)
+    plan = _plan(df)
+    assert "_bucket" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_column_pruning_on_projection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     plan = _plan(docs)
