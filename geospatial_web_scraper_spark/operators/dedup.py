@@ -268,6 +268,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = edges.join(lab, edges["a"] == lab["id"]).select(
             F.col("b").alias("id"), F.col("component")
@@ -287,6 +288,15 @@ def connected_components(
         lab = new_lab
         if changed == 0:
             break
+    if changed != 0:
+        # a silent exit here would present non-converged labels as final
+        # components — wrong dedup groups with no symptom
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing): the pair graph "
+            "has a path longer than max_iters — raise max_iters (iterations "
+            "needed = graph diameter)"
+        )
     return lab
 
 

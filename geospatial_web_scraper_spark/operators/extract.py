@@ -269,6 +269,15 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
     round's fixed job overhead, which is what the 2→8-core scaling
     efficiency is most sensitive to.
 
+    Scope: the one-pass claim holds for the default ``collect_text=False``
+    engine configuration. With text collection on, the engine runs a second
+    scan of the fetched slice for metadata extraction (bfs.py), and this
+    fused pass still ships HTML through the Arrow worker for rows that
+    become kind=0 download rows (the pre-fusion downloads branch was
+    column-pruned off html entirely) — the fusion trades that small Arrow
+    transfer for a whole extra source scan, which wins everywhere the
+    download fraction is not dominant.
+
     Row routing (same filters the engine previously applied branch-wise):
     status==200 & geo MIME → one ``kind=0`` download row; status==200 &
     non-geo & html present & depth+1 < max_depth → ``kind=1`` link rows in

@@ -70,22 +70,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     stubbed (raises for non-video kinds; emits deterministic frame stats)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out: dict[str, list] = {
-                "asset_id": [], "frame_idx": [], "ts_ms": [], "frame_bytes": []
-            }
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                duration = int(row["duration_ms"] or 0)
-                n = len(bytes(row["payload"] or b""))
-                for frame_idx, ts in enumerate(range(0, duration, every_ms)):
-                    out["asset_id"].append(row["asset_id"])
-                    out["frame_idx"].append(frame_idx)
-                    out["ts_ms"].append(ts)
-                    # STUB: real path decodes the frame; fake = payload slice size
-                    out["frame_bytes"].append(n // max(1, duration // every_ms))
-            yield pd.DataFrame(out)
+            vid = pdf[pdf["kind"] == "video"]
+            if len(vid) == 0:
+                yield pd.DataFrame(
+                    {"asset_id": pd.Series(dtype="int64"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "ts_ms": pd.Series(dtype="int32"),
+                     "frame_bytes": pd.Series(dtype="int64")}
+                )
+                continue
+            dur = vid["duration_ms"].fillna(0).astype("int64").to_numpy()
+            sizes = vid["payload"].map(
+                lambda b: 0 if b is None else len(bytes(b))
+            ).to_numpy()
+            # vectorized fan-out: n_frames per row, then np.repeat the row
+            # attributes and one arange per output for frame_idx/ts
+            n_frames = np.where(dur > 0, (dur + every_ms - 1) // every_ms, 0)
+            total = int(n_frames.sum())
+            if total == 0:
+                continue
+            offsets = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(total) - offsets
+            # STUB: real path decodes the frame; fake = payload slice size
+            fb = sizes // np.maximum(1, dur // every_ms)
+            yield pd.DataFrame(
+                {
+                    "asset_id": np.repeat(vid["asset_id"].to_numpy(), n_frames),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "ts_ms": (frame_idx * every_ms).astype("int32"),
+                    "frame_bytes": np.repeat(fb, n_frames).astype("int64"),
+                }
+            )
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SCHEMA)
 

@@ -37,13 +37,16 @@ def token_bucket_admit(
 ) -> DataFrame:
     """Admit at most ``tokens`` fetch candidates per host per micro-batch.
 
-    ``candidates`` is a *streaming* DataFrame with (host, url). Every batch
-    each host refills ``tokens_per_batch`` (capped at ``bucket_cap`` —
-    carried tokens reward quiet hosts with burst headroom, the classic
-    token-bucket shape), admits up to the available tokens in url order
-    (deterministic), and carries the rest. Overflow candidates are dropped
-    by this operator; a production topology re-queues them upstream (the
-    round engine's deferral branch does exactly that).
+    ``candidates`` is a *streaming* DataFrame with (host, url). A host
+    refills ``tokens_per_batch`` (capped at ``bucket_cap``) only on batches
+    where it HAS candidates — hosts absent from a micro-batch never enter
+    the stateful function, so idle periods accrue nothing (burst headroom
+    builds only while a host's demand stays under its refill). Admission is
+    up to the available tokens in url order (deterministic); the remainder
+    of the bucket carries forward. Overflow candidates are dropped by this
+    operator; a production topology re-queues them upstream (the round
+    engine's deferral branch does exactly that). True idle refill would
+    store a last-seen batch id in state and credit elapsed intervals.
     """
 
     def admit(
