@@ -56,18 +56,34 @@ def rank_seeds(
     top_k: int = TOP_K_SEEDS,
     quirk_compat: bool = True,
     text_col: str = "description",
+    emb_col: str | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Cosine-rank seeds against the query embedding. → (url, score).
+
+    Default embeddings are the deterministic pseudo-embedding of
+    ``text_col``; pass ``emb_col`` (e.g. produced by
+    ``sources.embed_rpc.rpc_embed``) and ``query_vec`` (one driver-side RPC
+    for the query text, crawler2.go:25-44) to rank with the real embedding
+    service instead.
 
     The rank cut is expressed as ``orderBy().limit()`` — Spark's
     TakeOrderedAndProject, a per-partition partial top-k merged on the
     driver — NOT an unpartitioned ``row_number`` window, which would pull
     the whole scored table through a single reducer. The reference seed list
     is ~120 rows, but the same call must survive a 10^9-row seed table."""
-    qv = pseudo_embedding_expr(F.lit(query_text))
+    if query_vec is not None:
+        qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    else:
+        qv = pseudo_embedding_expr(F.lit(query_text))
+    sv = (
+        F.col(emb_col)
+        if emb_col is not None
+        else pseudo_embedding_expr(F.col(text_col))
+    )
     scored = seeds.select(
         "url",
-        cosine_expr(pseudo_embedding_expr(F.col(text_col)), qv).alias("score"),
+        cosine_expr(sv, qv).alias("score"),
     ).filter(F.col("score").isNotNull())
     ordered = scored.orderBy(F.desc("score"), F.asc("url"))
     if quirk_compat:
@@ -92,11 +108,16 @@ def harvest(
     query_text: str,
     top_k: int = TOP_K_SEEDS,
     quirk_compat: bool = True,
+    emb_col: str | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """One-round harvest from the ranked seeds. → (seed_url, url, is_geo),
     distinct (the reference accumulates duplicates in arrival order; the
     relational form is the distinct link set per seed)."""
-    selected = rank_seeds(seeds, query_text, top_k, quirk_compat).select("url")
+    selected = rank_seeds(
+        seeds, query_text, top_k, quirk_compat,
+        emb_col=emb_col, query_vec=query_vec,
+    ).select("url")
     fetched = selected.join(
         pages.select("url", "status", "content_type", "html"), "url", "left"
     )

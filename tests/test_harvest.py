@@ -32,6 +32,26 @@ def test_t2_quirk_drops_best(spark):
     assert len(q_urls) == 10 and len(s_urls) == 10
 
 
+def test_rank_seeds_external_embeddings_match_default(spark):
+    """The emb_col/query_vec path (the RPC production route) ranks
+    identically when fed the same vectors the default path derives."""
+    import hashlib
+
+    seeds = corpus.seeds_df(spark, N, k=13)
+    with_emb = seeds.withColumn(
+        "embedding", pseudo_embedding_expr(F.col("description"))
+    )
+    qv = [
+        int(hashlib.md5(f"{Q}:{d}".encode()).hexdigest()[:4], 16) / 65535.0
+        for d in range(8)
+    ]
+    ext = rank_seeds(with_emb, Q, top_k=10, emb_col="embedding", query_vec=qv)
+    dflt = rank_seeds(seeds, Q, top_k=10)
+    assert sorted(r["url"] for r in ext.collect()) == sorted(
+        r["url"] for r in dflt.collect()
+    )
+
+
 def test_harvest_depth1_only_and_routing(spark):
     """Harvested links come only from the selected seeds' own pages
     (depth-1: links are collected, never followed — crawler2.go:145,174);
