@@ -88,6 +88,7 @@ class CrawlEngine:
         scheduler=None,  # operators.politeness.PolitenessScheduler or None (FIFO)
         max_rounds: int = 64,
         broadcast_fetch_limit: int = 1_000_000,
+        feeds: DataFrame | None = None,  # offline xml_docs(url, xml) for C10
     ):
         self.spark = spark
         # column-prune the scan once; Catalyst pushes this into parquet/Iceberg
@@ -101,6 +102,7 @@ class CrawlEngine:
         self.scheduler = scheduler
         self.max_rounds = max_rounds
         self.broadcast_fetch_limit = broadcast_fetch_limit
+        self.feeds = feeds
 
     # ------------------------------------------------------------------ API
     def run(self, seeds: DataFrame) -> CrawlRun:
@@ -206,6 +208,14 @@ class CrawlEngine:
             else:
                 order_cols = ["parent_seq", "pos"]
 
+            # lazy-materialize the deduped frontier before with_global_seq's
+            # range partitioner runs its sampling job. For the plain FIFO
+            # chain shuffle reuse already absorbs the second pass (measured
+            # neutral), but when the chain holds map-side work that shuffle
+            # files don't capture — the bloom split's double UDF filter, the
+            # deferral union — the sampling job would re-run it; the
+            # checkpoint caps that at one cheap re-read of small rows.
+            new = new.localCheckpoint(eager=False)
             new_seq, n_new = with_global_seq(
                 new, order_cols, seq_col="seq", start=recorded_total
             )
@@ -270,16 +280,27 @@ class CrawlEngine:
                     & ~F.col("content_type").isin(*GEO_MIME_TYPES)
                     & F.col("html").isNotNull()
                 )
-                meta = html_pages.withColumn(
-                    "_m", extract_meta_udf(F.col("html"), F.col("url"))
-                )
-                text_parts.append(
-                    meta.select(
+                if self.feeds is not None:
+                    # reference parity: ExtractMetadata's secondary RSS
+                    # harvest runs during the crawl (metadata.go:180-212);
+                    # the offline feeds table stands in for the fetch
+                    from ..operators.extract import extract_meta_with_feeds
+
+                    meta_df = extract_meta_with_feeds(
+                        html_pages.select("url", "html"), self.feeds
+                    ).select(
+                        "url", "title", F.col("description").alias("text")
+                    )
+                else:
+                    meta = html_pages.withColumn(
+                        "_m", extract_meta_udf(F.col("html"), F.col("url"))
+                    )
+                    meta_df = meta.select(
                         "url",
                         F.col("_m.title").alias("title"),
                         F.col("_m.description").alias("text"),
-                    ).localCheckpoint(eager=True)
-                )
+                    )
+                text_parts.append(meta_df.localCheckpoint(eager=True))
 
             flat = round_out.filter(F.col("kind") == 1)
             next_frontier = flat.select(
@@ -319,12 +340,17 @@ class CrawlEngine:
             else:
                 lineage_rows.append((rnd, -1, n_recorded, -1, -1, -1, n_recorded))
 
-            # U1/A5 seen merge
+            # U1/A5 seen merge — lazy checkpoint: the merged seen set is
+            # first USED by the next round's anti-join (or the snapshot
+            # write), so materializing it there instead of as a standalone
+            # barrier removes one serial job per round; on the final round
+            # it never materializes at all. Still a checkpoint, so lineage
+            # does not grow across rounds.
             seen = (
                 seen.unionByName(
                     recorded_df.select("url", url_hash(F.col("url")).alias("url_hash"))
                 )
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             if self.seen_filter is not None:
                 self.seen_filter.update(recorded_df.select("url"))
 

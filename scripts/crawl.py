@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--collect-text", action="store_true")
+    ap.add_argument("--feeds", help="offline xml feed parquet (url, xml) — "
+                    "folds RSS/Atom titles/descriptions into collected text")
     ap.add_argument("--scheduler", choices=["fifo", "priority"], default="fifo")
     ap.add_argument("--default-tokens", type=int, default=40)
     ap.add_argument("--n-salts", type=int, default=8)
@@ -99,6 +101,7 @@ def main() -> None:
         seen_filter=seen_filter,
         scheduler=scheduler,
         max_rounds=args.max_rounds,
+        feeds=spark.read.parquet(args.feeds) if args.feeds else None,
     )
     run = eng.resume() if args.resume else eng.run(seeds)
 

@@ -59,6 +59,36 @@ def test_byte_identical_text(engine_run, oracle_run):
         assert text == corpus.text_of(i)
 
 
+def test_crawl_texts_with_feeds_fold(spark):
+    """CrawlEngine(feeds=…): the collect_text path runs the full
+    ExtractMetadata INCLUDING the offline RSS harvest (reference parity —
+    the fetch happens during the crawl). Every collected text must equal the
+    kernel's fold of the same page against the same feed corpus."""
+    from geospatial_web_scraper_spark.kernel import extract_metadata_with_feeds
+
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=400,
+        collect_text=True,
+        feeds=corpus.xml_docs_df(spark),
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    lookup = corpus.xml_docs_dict()
+    got = {r["url"]: (r["title"], r["text"]) for r in run.texts.collect()}
+    assert got
+    pages = corpus.pages_dict(N)
+    folded = 0
+    for url, (title, text) in got.items():
+        md = extract_metadata_with_feeds(pages[url]["html"], url, lookup.get)
+        assert (title, text) == (md["title"], md["description"]), url
+        if "Feed host" in title:
+            folded += 1
+    # the corpus guarantees both branches appear among crawled xml pages
+    assert folded > 0
+    assert folded < len(got)
+
+
 def test_budget_cut_exact(spark, oracle_run):
     """Budget B records exactly the first B+1 of the unbudgeted total order."""
     budget = 30

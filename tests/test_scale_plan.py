@@ -88,6 +88,20 @@ def test_neardup_embedding_is_bucket_blocked(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_c10_feed_fold_never_shuffles_html(spark):
+    """The feed-fold join/groupBy move only (url, href, xml) rows; HTML
+    bytes stay in the pages scan's partitions (feeds + regrouped side are
+    broadcast back into it). An Exchange carrying html would re-ship the
+    dominant data volume at every round."""
+    import re
+
+    df = entry_mod.queries()["c10_xml_meta"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "html" not in m.group(0), m.group(0)
+
+
 def test_column_pruning_on_projection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     plan = _plan(docs)
