@@ -100,6 +100,21 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False) -> dict:
                 "queries": times,
             }
 
+        # --- priority-mode steady round (the north-rule salted priority
+        # dequeue + per-host token budgets on the same frontier) ------------
+        from geospatial_web_scraper_spark.operators.politeness import (
+            PolitenessScheduler,
+        )
+
+        t0 = time.time()
+        CrawlEngine(
+            spark, pages, max_crawl=None, lineage_detail=False, max_rounds=1,
+            scheduler=PolitenessScheduler(
+                default_tokens_per_round=1_000_000_000, defer_overflow=False
+            ),
+        ).run(frontier)
+        times["steady_round_priority"] = round(time.time() - t0, 3)
+
         # --- small multi-round BFS (driver-loop cost visible at toy size) ---
         pages_small = corpus.corpus_df(spark, N_MULTI, partitions=cores * 2)
         t0 = time.time()
