@@ -219,6 +219,90 @@ rec{r} AS (
     return "".join(parts)
 
 
+def _deferral_trace_oracle_sql(
+    n: int,
+    budget: int,
+    tokens: int,
+    max_depth: int = 4,
+    rounds: int = 10,
+) -> str:
+    """The politeness-DEFERRAL crawl trace as an unrolled-round CTE chain.
+    Unlike `_priority_trace_oracle_sql`, rounds != depth here: overflow
+    candidates (beyond ``tokens`` per host per round) re-enter the next
+    round carrying their ORIGINAL depth/parent/pos, so every round's state
+    is (fresh links from the last recorded slice) ∪ (deferred set), deduped
+    first-wins, seen-filtered, priority-ranked per host (admit top
+    ``tokens``), globally sequenced by (priority DESC, url ASC), budget-cut
+    at seq <= budget. The salted two-phase dequeue in the engine admits
+    exactly the per-host top-``tokens`` independent of salt assignment
+    (phase A never evicts a true top-B row), which is what makes the
+    deferral path SQL-mirrorable at all. ``rounds`` must cover the engine's
+    actual round count (later CTEs are empty; a shortfall shows up as a
+    row-count mismatch)."""
+    parts = [f"WITH {corpus.sql_prelude(n)},"]
+    parts.append(
+        f"""
+filt0 AS MATERIALIZED (
+  SELECT url, 0 AS depth, NULL::VARCHAR AS parent_url,
+         (-1)::BIGINT AS parent_seq, seed_order::INT AS pos, FALSE AS is_geo
+  FROM seeds),
+prio0 AS MATERIALIZED (
+  SELECT t.*, {_SQL_PRIO} AS p FROM (
+    SELECT f.*, split_part(url, '/', 3) AS host, {_SQL_PATH} AS path
+    FROM filt0 f) t),
+adm0 AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT p0.*, row_number() OVER (PARTITION BY host ORDER BY p DESC, url ASC) AS rh
+    FROM prio0 p0) WHERE rh <= {tokens}),
+rec0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, depth::INT AS depth, parent_url, 0 AS round
+  FROM adm0 QUALIFY seq <= {budget}),
+def0 AS MATERIALIZED (
+  SELECT f.* FROM filt0 f WHERE f.url NOT IN (SELECT url FROM adm0))"""
+    )
+    for r in range(1, rounds):
+        seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
+        offset = " + ".join(f"(SELECT count(*) FROM rec{j})" for j in range(r))
+        parts.append(
+            f""",
+fresh{r} AS MATERIALIZED (
+  SELECT e.dst AS url, r0.depth + 1 AS depth, r0.url AS parent_url,
+         r0.seq AS parent_seq, e.pos, e.is_geo
+  FROM rec{r - 1} r0 JOIN pgu p ON p.url = r0.url JOIN edges e ON e.src = p.i
+  WHERE r0.depth + 1 < {max_depth}),
+cand{r} AS MATERIALIZED (
+  SELECT * FROM fresh{r}
+  UNION ALL
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo FROM def{r - 1}),
+filt{r} AS MATERIALIZED (
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM cand{r} c) WHERE rn = 1 AND url NOT IN ({seen})),
+prio{r} AS MATERIALIZED (
+  SELECT t.*, {_SQL_PRIO} AS p FROM (
+    SELECT f.*, split_part(url, '/', 3) AS host, {_SQL_PATH} AS path
+    FROM filt{r} f) t),
+adm{r} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT p0.*, row_number() OVER (PARTITION BY host ORDER BY p DESC, url ASC) AS rh
+    FROM prio{r} p0) WHERE rh <= {tokens}),
+rec{r} AS MATERIALIZED (
+  SELECT ({offset} + row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, depth::INT AS depth, parent_url, {r} AS round
+  FROM adm{r} QUALIFY seq <= {budget}),
+def{r} AS MATERIALIZED (
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo
+  FROM filt{r} WHERE url NOT IN (SELECT url FROM adm{r}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seq, url, depth, parent_url, round::INT AS round FROM rec{j}"
+        for j in range(rounds)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def _fetchable_pages(spark: SparkSession) -> DataFrame:
     return corpus.corpus_df(spark, N).filter(
         (F.col("status") == 200) & (F.col("content_type") == "text/html")
@@ -293,6 +377,31 @@ def q_crawl_priority_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = PolitenessScheduler(
         default_tokens_per_round=1_000_000_000,
         defer_overflow=False,
+        tiebreak="url",
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness DEFERRAL end-to-end (R2/T3, north-rule token budgets):
+    2 tokens per host per round, overflow deferred — delayed, never dropped
+    — so rounds decouple from depth and the hot host drains over many
+    rounds. The full multi-round interplay (deferral carry, first-wins
+    dedup of deferred vs fresh candidates for the same url, priority order,
+    budget cut) is value-checked by the unrolled-round deferral oracle."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=2,
+        defer_overflow=True,
         tiebreak="url",
     )
     eng = CrawlEngine(
@@ -1058,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
     "crawl_priority_trace": q_crawl_priority_trace,
     "crawl_robots_trace": q_crawl_robots_trace,
+    "crawl_deferral_trace": q_crawl_deferral_trace,
     # -- extraction kernel surfaces (X1/X2/S6/C10/C7/C8) -------------------
     "x1_extract_links": q_x1_extract_links,
     "x2_extract_text": q_x2_extract_text,
@@ -1107,10 +1217,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- events (A1/A3/C9/F10, streaming batch form) -----------------------
     "a1_event_counters": q_a1_event_counters,
     "window_agg_events": q_window_agg_events,
-    "c9_json_extract": q_c9_json_extract,
     "f10_global_budget": q_f10_global_budget,
     "a3_multiset_equality": q_a3_multiset_equality,
     # ---------------------------------------------------------- position 51+
+    # c9's kernel side (JSON-LD decode) is already value-checked inside
+    # x2_extract_text; the standalone get_json_object query yields its
+    # first-50 slot to the deferral crawl trace.
+    "c9_json_extract": q_c9_json_extract,
     # TPC-H-style scale-pattern showcases (plan shapes pinned in pytest)
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "q3_topk_join": q_q3_topk_join,
@@ -1137,6 +1250,7 @@ SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
     "crawl_trace_budget_cut": _trace_oracle_sql(N, 50),
     "crawl_priority_trace": _priority_trace_oracle_sql(N, 120),
     "crawl_robots_trace": _priority_trace_oracle_sql(N, 120, robots=_ROBOTS_RULES),
+    "crawl_deferral_trace": _deferral_trace_oracle_sql(N, 120, 2, rounds=9),
     "x1_extract_links": f"""
 WITH {PRE}
 SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges
