@@ -216,6 +216,75 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed spherical k-means (Lloyd's) → the centroid
+    table :func:`ann_ivf_topk` takes as input. → (cid, embedding).
+
+    Per iteration: one corpus scan assigns each vector to its max-cosine
+    centroid (broadcast nested-loop against k rows — no shuffle of
+    vectors), then new centroids are elementwise means via posexplode →
+    groupBy(cid, dim) — one shuffle of (cid, dim, value) scalars, never of
+    whole vectors. Deterministic by construction: init = the k smallest
+    ids, ties broken toward the smaller centroid id, empty cells keep their
+    previous centroid. At 10^10 vectors this is the standard pattern: k is
+    thousands (still broadcastable), and the per-iteration cost is one scan
+    + one scalar-triple shuffle."""
+    cent = emb.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("embedding")
+    ).localCheckpoint(eager=True)
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).localCheckpoint()
+    for _ in range(iters):
+        c = cent.select(F.col("cid"), F.col("embedding").alias("_cv"))
+        assigned = (
+            base.crossJoin(F.broadcast(c))
+            .select(
+                id_col,
+                "_v",
+                "cid",
+                cosine_expr(F.col("_v"), F.col("_cv")).alias("_s"),
+            )
+            .filter(F.col("_s").isNotNull())
+            .groupBy(id_col, "_v")
+            .agg(F.max(F.struct(F.col("_s"), (-F.col("cid")).alias("_nc"))).alias("_m"))
+            .select(id_col, "_v", (-F.col("_m._nc")).alias("cid"))
+        )
+        dims = assigned.select(
+            "cid", F.posexplode(F.col("_v")).alias("_d", "_x")
+        )
+        means = (
+            dims.groupBy("cid", "_d")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_d"), F.col("_mu")))
+                    ),
+                    lambda s: s["_mu"],
+                ).alias("embedding")
+            )
+        )
+        # empty cells keep their previous centroid (left join, coalesce)
+        cent = (
+            cent.alias("old")
+            .join(means.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.embedding"), F.col("old.embedding")).alias(
+                    "embedding"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,

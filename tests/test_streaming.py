@@ -95,6 +95,55 @@ def test_token_bucket_admit_stateful(spark, tmp_path):
     assert batch0 == [f"https://hot.example.org/b0/p{i}" for i in [0, 1, 2, 3]]
 
 
+def test_token_bucket_idle_refill(spark, tmp_path):
+    """batch_id mode: a host absent for several micro-batches is credited
+    tokens_per_batch × elapsed on return, capped at bucket_cap."""
+    from geospatial_web_scraper_spark.streaming.politeness_stream import (
+        token_bucket_admit,
+    )
+
+    src = str(tmp_path / "cand2")
+    ckpt = str(tmp_path / "ckpt2")
+    # batch 0: idle host shows up with 1 candidate (4 tokens → 3 carried)
+    # batches 1-2: absent  → elapsed accrues
+    # batch 3: returns with 10 candidates; credit = 3 + 4×3 = 15 → cap 8
+    for b in range(4):
+        if b == 0:
+            rows = [("idle.example.org", "https://idle.example.org/b0/only", 0)]
+        elif b == 3:
+            rows = [
+                ("idle.example.org", f"https://idle.example.org/b3/p{i}", 3)
+                for i in range(10)
+            ]
+        else:
+            rows = [("busy.example.org", f"https://busy.example.org/b{b}/x", b)]
+        spark.createDataFrame(
+            rows, "host string, url string, batch_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, url string, batch_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        token_bucket_admit(
+            stream, tokens_per_batch=4, bucket_cap=8, batch_id_col="batch_id"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("admitted_idle")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM admitted_idle WHERE host = 'idle.example.org'"
+    ).collect()
+    b3 = [r for r in rows if "/b3/" in r["url"]]
+    # cap 8 of the 10 candidates admitted (NOT 15 — bucket_cap bounds burst)
+    assert len(b3) == 8
+    assert all(r["tokens_left"] == 0 for r in b3)
+
+
 def test_foreachbatch_round(spark, pages_dir):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)

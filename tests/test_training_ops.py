@@ -184,6 +184,52 @@ def test_ann_ivf_topk(spark):
     }
 
 
+def test_kmeans_ivf_pipeline(spark):
+    """kmeans_fit → ann_ivf_topk end-to-end: on well-separated synthetic
+    clusters the centroids converge to the cluster means and IVF with
+    learned centroids returns the exact per-cluster neighbors."""
+    import itertools
+
+    # 3 tight clusters around orthogonal axes in 4-dim; ids interleaved so
+    # the deterministic init (k smallest ids) seeds one centroid per
+    # cluster — the init contract a production caller meets with
+    # k-means||-style sampling
+    protos = [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    rows = []
+    for i, (off, c) in enumerate(itertools.product(range(5), range(3))):
+        v = list(protos[c])
+        v[3] = 0.1 * off  # small within-cluster variation
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent = similarity.kmeans_fit(emb, k=3, iters=4)
+    assert cent.count() == 3
+    # each learned centroid points at exactly one proto axis
+    axes = set()
+    for r in cent.collect():
+        v = r["embedding"]
+        axes.add(max(range(3), key=lambda d: v[d]))
+    assert axes == {0, 1, 2}
+
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_ivf_topk(emb, cent, queries, k=5, n_probe=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # with 1 probe each query retrieves exactly its own 5-member cluster
+    # (cluster c = ids {c, c+3, c+6, c+9, c+12} under the interleaving)
+    for c in range(3):
+        assert got[c] == {c + 3 * j for j in range(5)}, got[c]
+
+    # determinism: a second fit returns identical centroids
+    cent2 = similarity.kmeans_fit(emb, k=3, iters=4)
+    a = sorted((r["cid"], tuple(r["embedding"])) for r in cent.collect())
+    b = sorted((r["cid"], tuple(r["embedding"])) for r in cent2.collect())
+    assert a == b
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chain 1-2-3-4-5 needs multiple label-propagation iterations to
     converge to min-id 1; disjoint pair and triangle stay separate."""
