@@ -144,6 +144,65 @@ def test_token_bucket_idle_refill(spark, tmp_path):
     assert all(r["tokens_left"] == 0 for r in b3)
 
 
+def test_harvest_stream_parity_and_replay(spark, tmp_path):
+    """Continuous harvest: 3 page segments (with cross-segment duplicate
+    URLs) drained one micro-batch at a time must yield exactly the batch
+    X2 extraction over distinct URLs — no loss, no double-extract — and a
+    replayed epoch (foreachBatch at-least-once) must leave the table
+    unchanged (epoch-partition overwrite = exactly-once)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from geospatial_web_scraper_spark.operators.extract import extract_meta_udf
+    from geospatial_web_scraper_spark.streaming.harvest_stream import (
+        harvest_table,
+        make_harvest_sink,
+        run_harvest_stream,
+    )
+
+    pages = corpus.corpus_df(spark, N).select(
+        "url", "html", "status", "content_type"
+    )
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "harvest")
+    ckpt = str(tmp_path / "ckpt_h")
+    # segment 0: pages 0..59; segment 1: 40..99 (20 dupes); segment 2: 80..119
+    segs = [(0, 60), (40, 100), (80, N)]
+    idx = pages.withColumn(
+        "i", F.row_number().over(Window.orderBy("url")) - 1
+    )
+    for lo, hi in segs:
+        idx.where((F.col("i") >= lo) & (F.col("i") < hi)).drop("i").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_harvest_stream(stream, out, ckpt)
+
+    got = harvest_table(spark, out)
+    assert got.count() == got.select("url").distinct().count() == N
+    batch = pages.select(
+        "url", extract_meta_udf(F.col("html"), F.col("url")).alias("m")
+    ).select("url", "m.title", "m.description", "m.keywords")
+    assert (
+        got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    )
+
+    # replay the LAST epoch with the same input: table must not change
+    last_epoch = (
+        spark.read.parquet(out + "/meta").agg(F.max("epoch")).collect()[0][0]
+    )
+    lo, hi = segs[-1]
+    replay_df = idx.where((F.col("i") >= lo) & (F.col("i") < hi)).drop("i")
+    make_harvest_sink(out)(replay_df, int(last_epoch))
+    got2 = harvest_table(spark, out)
+    assert got2.count() == N
+    assert got2.exceptAll(batch).count() == 0
+
+
 def test_foreachbatch_round(spark, pages_dir):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)
