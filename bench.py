@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from geospatial_web_scraper_spark import corpus
-from geospatial_web_scraper_spark.operators import dedup, similarity
+from geospatial_web_scraper_spark.operators import dedup, pq, similarity
 from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
 from geospatial_web_scraper_spark.session import get_spark
 
@@ -167,6 +167,14 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False) -> dict:
             emb, threshold=0.4, planes=similarity.md5_planes(64, 6)
         ).count()
         times["embedding_neardup_lsh"] = round(time.time() - t0, 3)
+
+        # PQ: train on a sample, compress the corpus to m=4 smallint codes,
+        # ADC-score + exact-refine — the compressed-scan ANN memory path
+        t0 = time.time()
+        cb = pq.pq_fit(emb.limit(256), m=4, k=16, iters=2)
+        codes = pq.pq_encode(emb, cb)
+        pq.ann_pq_topk(codes, cb, queries, k=10, refine=50, corpus=emb).count()
+        times["ann_pq_adc"] = round(time.time() - t0, 3)
 
         return {
             "cores": cores,

@@ -1,0 +1,283 @@
+"""Product quantization (IVF-PQ-style) for embedding columns.
+
+Completes the ANN family (brute-force → LSH → IVF in
+``operators/similarity.py``) with the standard 10^10-vector memory path:
+each ``dim``-float vector is compressed to ``m`` one-byte codes (one per
+subspace), and queries score compressed vectors through a per-query lookup
+table without ever touching the original floats (asymmetric distance
+computation, ADC — Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011; same layout FAISS uses).
+
+Scale shape, by stage:
+
+* :func:`pq_fit` — Lloyd's per subspace, all ``m`` subspaces trained in ONE
+  dataflow: vectors explode into (sub_id, subvec) rows once, assignment is
+  an Arrow-vectorized numpy argmin against the broadcast codebook (the
+  classic "UDF is fine when it's a BLAS kernel" case), and the centroid
+  update shuffles only (sub_id, code, dim, value) scalars — never whole
+  vectors. Deterministic: init = subvectors of the ``k`` smallest ids,
+  numpy argmin ties break toward the smaller code.
+* :func:`pq_encode` — one scan, no shuffle: same vectorized argmin; output
+  is ``array<smallint>`` (m bytes of information per vector — a 64-dim
+  float32 row shrinks 64→256:4, i.e. ×64 at m=4).
+* :func:`ann_pq_topk` — scoring is 100% JVM-side whole-stage codegen: the
+  (tiny) codebook is embedded as a literal, each broadcast query row
+  carries its ADC lookup table ``lut[m][k]`` built by a native
+  ``transform``/``slice``/``aggregate`` expression, and a coded corpus row
+  scores with ``zip_with(codes, lut, (c, row) -> row[c])`` summed — no
+  Python in the per-row hot path, no shuffle until the per-query top-k.
+
+The corpus side reads only ``(vec_id, codes)`` — at 10^10 rows that is the
+whole point: the scan is ~m bytes/row instead of 4·dim, fits page cache,
+and the optional exact re-rank touches original vectors for just the
+top-``refine`` ADC candidates per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .similarity import cosine_expr
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    return dim // m
+
+
+def _codebook_np(codebooks: DataFrame) -> np.ndarray:
+    """(sub_id, code, codeword) rows → ndarray (m, k, ds). The codebook is
+    a model, not data: m·k·ds floats (e.g. 4·16·16 = 1 KiB), so a driver
+    collect is the broadcast, exactly like ML model weights."""
+    rows = codebooks.select("sub_id", "code", "codeword").collect()
+    m = max(r["sub_id"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    ds = len(rows[0]["codeword"])
+    cb = np.zeros((m, k, ds), dtype=np.float64)
+    for r in rows:
+        cb[r["sub_id"], r["code"]] = r["codeword"]
+    return cb
+
+
+def _argmin_codes(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """mat (n, dim) × cb (m, k, ds) → codes (n, m) by min L2 per subspace.
+    ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per argmin, so
+    rank by (||c||² - 2x·c) — one einsum, no n×k×ds temporary."""
+    n, dim = mat.shape
+    m, k, ds = cb.shape
+    x = mat.reshape(n, m, ds)
+    # scores[n, m, k]
+    scores = np.einsum("nms,mks->nmk", x, cb) * -2.0 + (cb * cb).sum(-1)[None]
+    return scores.argmin(axis=2)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_col, codes: array<smallint>[m]). Arrow-batched numpy argmin
+    against the broadcast codebook; nulls/malformed rows get NULL codes."""
+    cb = _codebook_np(codebooks)
+    dim = cb.shape[0] * cb.shape[2]
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        ok = vs.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series([None] * len(vs), dtype=object)
+        if ok.any():
+            mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(np.float64)
+            codes = _argmin_codes(mat, cb).astype(np.int16)
+            for p, c in zip(np.flatnonzero(ok.to_numpy()), codes):
+                out.iat[p] = c.tolist()
+        return out
+
+    return emb.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks → (sub_id, code, codeword).
+
+    One explode of the training set into (id, sub_id, subvec); per Lloyd
+    iteration: vectorized argmin assignment (no shuffle) + elementwise
+    mean via posexplode → groupBy(sub_id, code, dim) (scalar shuffle).
+    Empty cells keep their previous codeword. In production the training
+    set is a sample (``emb.sample(...)``) — PQ codebooks need ~100k rows,
+    not the corpus."""
+    dim = len(emb.select(vec_col).first()[0])
+    ds = _check_dims(dim, m)
+    subs = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col(vec_col), j * ds + 1, ds) for j in range(m)
+            ])
+        ).alias("sub_id", "subvec"),
+    ).localCheckpoint()
+
+    # deterministic init: per subspace, the subvectors of the k smallest ids
+    w = Window.partitionBy("sub_id").orderBy(id_col)
+    cb_df = (
+        subs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("sub_id", (F.col("_r") - 1).alias("code"),
+                F.col("subvec").alias("codeword"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iters):
+        cb = _codebook_np(cb_df)
+
+        @F.pandas_udf(T.ShortType())
+        def assign(sub_id: pd.Series, sv: pd.Series) -> pd.Series:
+            out = np.empty(len(sv), dtype=np.int16)
+            sid = sub_id.to_numpy()
+            mat = np.stack(sv.map(np.asarray).to_numpy()).astype(np.float64)
+            for j in np.unique(sid):
+                sel = sid == j
+                scores = mat[sel] @ cb[j].T * -2.0 + (cb[j] * cb[j]).sum(-1)
+                out[sel] = scores.argmin(axis=1)
+            return pd.Series(out)
+
+        assigned = subs.select(
+            "sub_id", "subvec",
+            assign(F.col("sub_id"), F.col("subvec")).alias("code"),
+        )
+        means = (
+            assigned.select(
+                "sub_id", "code",
+                F.posexplode(F.col("subvec")).alias("_d", "_x"),
+            )
+            .groupBy("sub_id", "code", "_d")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_mu"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_d"), F.col("_mu")))
+                    ),
+                    lambda s: s["_mu"],
+                ).alias("codeword")
+            )
+        )
+        cb_df = (
+            cb_df.alias("old")
+            .join(means.alias("new"), ["sub_id", "code"], "left")
+            .select(
+                "sub_id", "code",
+                F.coalesce(F.col("new.codeword"), F.col("old.codeword")).alias(
+                    "codeword"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb_df
+
+
+def _lut_expr(qvec: Column, cb: np.ndarray) -> Column:
+    """Native ADC lookup table for one query row: lut[j][t] =
+    dot(q_sub_j, codeword[j][t]) — built entirely from the codebook
+    LITERAL, so the whole thing stays in codegen."""
+    m, k, ds = cb.shape
+    return F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, j * ds + 1, ds),
+                    F.array(*[F.lit(float(x)) for x in cb[j, t]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for t in range(k)
+        ])
+        for j in range(m)
+    ])
+
+
+def adc_score_expr(codes: Column, lut: Column) -> Column:
+    """Σ_j lut[j][codes[j]] — the per-row ADC inner product; pure codegen."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC inner product over PQ codes.
+
+    ``codes`` = output of :func:`pq_encode`; queries (small side) are
+    broadcast carrying their native-built LUTs. With ``refine > 0`` the
+    top-``refine`` ADC candidates per query are re-ranked by exact cosine
+    against ``corpus`` (a semi-join touching only candidate rows — the
+    IVF-PQ refinement stage)."""
+    cb = _codebook_np(codebooks)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        _lut_expr(F.col(vec_col), cb).alias("_lut"),
+    )
+    # only (query_id, corpus_id, adc) flows into the top-k shuffle — the
+    # query vector is re-attached AFTER the rank cut (broadcast join with
+    # the tiny query set), so the wide ADC scan shuffles 3 scalars per row
+    scored = (
+        codes.where(F.col("codes").isNotNull())
+        .crossJoin(F.broadcast(q.drop("_qvec")))
+        .select(
+            query_id,
+            corpus_id,
+            adc_score_expr(F.col("codes"), F.col("_lut")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc"), F.asc(corpus_id))
+    cut = max(k, refine)
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cut)
+    )
+    if refine <= 0 or corpus is None:
+        return top.select(
+            query_id, corpus_id, F.round(F.col("adc"), 6).alias("adc"), "rank"
+        )
+    exact = top.join(
+        F.broadcast(q.select(query_id, "_qvec")), query_id
+    ).join(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec")),
+        corpus_id,
+    ).select(
+        query_id,
+        corpus_id,
+        F.round(F.col("adc"), 6).alias("adc"),
+        cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        exact.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -121,8 +121,13 @@ class CrawlEngine:
                           trace_parts=[], download_parts=[], text_parts=[],
                           lineage_rows=[])
 
-    def resume(self) -> CrawlRun:
-        """Restart from the last committed snapshot (exactly-once rounds)."""
+    def resume(self, extra_seeds: DataFrame | None = None) -> CrawlRun:
+        """Restart from the last committed snapshot (exactly-once rounds).
+        ``extra_seeds`` (seed_order, url, …) are unioned into the pending
+        frontier at depth 0 — the continuous-crawl ingest path (see
+        :meth:`resume_with_seeds`). Injected seeds carry ``parent_seq=-1``,
+        which sorts ahead of every expansion row (all ``parent_seq>=0``
+        after round 0), so the merged round order stays deterministic."""
         if self.store is None:
             raise ValueError("resume requires a SnapshotStore")
         last = self.store.last_committed()
@@ -131,6 +136,21 @@ class CrawlEngine:
         meta = self.store.manifest()["rounds"][str(last)]
         frontier = self.store.read("frontier", last + 1)
         seen = self.store.read("seen", last)
+        if extra_seeds is not None:
+            # pre-drop already-seen seeds (the in-round anti-join would do
+            # it anyway): a fully-replayed batch then yields an empty
+            # frontier and the loop exits WITHOUT committing an empty
+            # round — foreachBatch replays become true no-ops
+            frontier = frontier.unionByName(
+                extra_seeds.select(
+                    F.col("url"),
+                    F.lit(0).cast("int").alias("depth"),
+                    F.lit(None).cast("string").alias("parent_url"),
+                    F.lit(-1).cast("long").alias("parent_seq"),
+                    F.col("seed_order").cast("int").alias("pos"),
+                    F.lit(False).alias("is_geo"),
+                ).join(seen.select("url"), "url", "left_anti")
+            )
         if self.seen_filter is not None:
             # the bloom's bits are in-memory state: rebuild from the seen
             # snapshot, else resumed rounds would route already-seen URLs
@@ -148,16 +168,40 @@ class CrawlEngine:
             for r in range(last + 1)
             for row in self.store.manifest()["rounds"][str(r)]["lineage"]
         ]
-        return self._loop(
-            frontier,
-            seen,
-            start_round=last + 1,
-            recorded_total=int(meta["recorded_total"]),
-            trace_parts=trace_parts,
-            download_parts=download_parts,
-            text_parts=text_parts,
-            lineage_rows=lineage_rows,
-        )
+        # a fully-replayed (or fully-known) seed batch onto a drained crawl
+        # nets an empty frontier: return the stitched state without entering
+        # the loop, so no empty round is committed even with
+        # lineage_detail=False (whose loop checks emptiness only after one
+        # round). The take(1) touches only the small frontier.
+        saved_rounds = self.max_rounds
+        if extra_seeds is not None and not frontier.take(1):
+            self.max_rounds = 0
+        try:
+            return self._loop(
+                frontier,
+                seen,
+                start_round=last + 1,
+                recorded_total=int(meta["recorded_total"]),
+                trace_parts=trace_parts,
+                download_parts=download_parts,
+                text_parts=text_parts,
+                lineage_rows=lineage_rows,
+            )
+        finally:
+            self.max_rounds = saved_rounds
+
+    def resume_with_seeds(self, seeds: DataFrame) -> CrawlRun:
+        """Continuous-crawl entry: one call per arriving seed batch.
+        First batch (empty store) = :meth:`run`; afterwards = resume with
+        the new depth-0 seeds injected. Already-seen URLs among the new
+        seeds are dropped by the normal J1 anti-join; the global budget
+        (F10) and the seen set carry across batches. Driven per micro-batch
+        by ``streaming/crawl_stream.py``."""
+        if self.store is None:
+            raise ValueError("resume_with_seeds requires a SnapshotStore")
+        if self.store.last_committed() < 0:
+            return self.run(seeds)
+        return self.resume(extra_seeds=seeds)
 
     # ----------------------------------------------------------------- loop
     def _loop(

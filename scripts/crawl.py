@@ -27,6 +27,9 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser(description="BFS crawl over a pages table")
     ap.add_argument("--pages", help="pages table path (parquet/iceberg)")
+    ap.add_argument("--pages-warc",
+                    help="directory of .warc/.warc.gz archives to use as "
+                         "the pages table (Common-Crawl-style captures)")
     ap.add_argument("--synthetic-pages", type=int, default=0,
                     help="generate the deterministic corpus with N pages")
     ap.add_argument("--seeds", help="seeds parquet (seed_order, url, description)")
@@ -66,9 +69,17 @@ def main() -> None:
         pages = corpus.corpus_df(spark, args.synthetic_pages)
         seeds = corpus.seeds_df(spark, args.synthetic_pages)
     else:
-        if not args.pages or not args.seeds:
-            ap.error("--pages and --seeds required without --synthetic-pages")
-        pages = spark.read.parquet(args.pages)
+        if not (args.pages or args.pages_warc) or not args.seeds:
+            ap.error("--pages/--pages-warc and --seeds required without "
+                     "--synthetic-pages")
+        if args.pages_warc:
+            from geospatial_web_scraper_spark.sources.warc import (
+                pages_from_warc,
+            )
+
+            pages = pages_from_warc(spark, args.pages_warc)
+        else:
+            pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds)
 
     scheduler = None

@@ -213,3 +213,59 @@ def test_foreachbatch_round(spark, pages_dir):
 
     run_stream_once(stream.select("url", "html", "status", "content_type"), sink)
     assert sum(seen_batches) == N
+
+
+def test_crawl_stream_continuous_seeds(spark, tmp_path):
+    """Continuous crawl: seed batches streamed one micro-batch at a time
+    against one persistent store reach exactly the URL set of a single
+    batch crawl over the union of seeds, and a replayed seed batch is a
+    no-op. Budget and depth limits are lifted: reachability (transitive
+    closure) is batch-order independent, whereas a depth-limited crawl is
+    not — a URL first reached deep stops expanding even if a later seed
+    batch would reach it shallow (first-wins pins the depth)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
+    from geospatial_web_scraper_spark.plans.store import SnapshotStore
+    from geospatial_web_scraper_spark.streaming.crawl_stream import (
+        run_crawl_stream,
+        stitched_trace,
+    )
+
+    pages = corpus.corpus_df(spark, N)
+    seeds = corpus.seeds_df(spark, N)
+    n_seeds = seeds.count()
+    assert n_seeds >= 4
+    batch_a = seeds.where(F.col("seed_order") < 2)
+    batch_b = seeds.where(F.col("seed_order") >= 2)
+    src = str(tmp_path / "seedstream")
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+
+    store_dir = str(tmp_path / "crawlstore")
+    stream = (
+        spark.readStream.schema(seeds.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_crawl_stream(
+        stream, pages, store_dir, str(tmp_path / "ckpt_c"),
+        max_crawl=None, max_depth=60, lineage_detail=False,
+    )
+
+    streamed = stitched_trace(spark, store_dir)
+    ref = CrawlEngine(spark, pages, max_crawl=None, max_depth=60,
+                      lineage_detail=False).run(seeds).trace
+    a = {r["url"] for r in streamed.select("url").collect()}
+    b = {r["url"] for r in ref.select("url").collect()}
+    assert a == b
+    # each URL recorded exactly once across all batches
+    assert streamed.count() == len(a)
+
+    # replay batch B (at-least-once foreachBatch): nothing advances
+    last = SnapshotStore(spark, store_dir).last_committed()
+    eng = CrawlEngine(spark, pages, store=SnapshotStore(spark, store_dir),
+                      max_crawl=None, max_depth=60, lineage_detail=False)
+    eng.resume_with_seeds(batch_b)
+    assert SnapshotStore(spark, store_dir).last_committed() == last
+    assert stitched_trace(spark, store_dir).count() == len(a)

@@ -317,3 +317,102 @@ def test_docs_table_smoke(spark):
         textstats.lang_id_expr(F.col("text")).alias("lang"),
     ).collect()
     assert all(r["n"] >= 0 for r in stats)
+
+
+def test_pq_fit_encode_adc_numpy_mirror(spark):
+    """Product quantization: codebooks, codes, and ADC scores all equal a
+    pure-numpy mirror of the same deterministic algorithm (init = k
+    smallest ids, L2 argmin with first-index ties, mean update)."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import pq
+
+    rng = np.random.default_rng(7)
+    n, dim, m, k, iters = 60, 8, 4, 4, 3
+    mat = rng.standard_normal((n, dim)).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    cb_df = pq.pq_fit(emb, m=m, k=k, iters=iters)
+    ds = dim // m
+
+    # ---- numpy mirror ----
+    subs = mat.reshape(n, m, ds)
+    cb = np.stack([subs[:k, j] for j in range(m)]).astype(np.float64)
+    for _ in range(iters):
+        nxt = cb.copy()
+        for j in range(m):
+            d = (subs[:, j, None, :] - cb[j][None]) ** 2
+            codes_j = d.sum(-1).argmin(axis=1)
+            for t in range(k):
+                sel = codes_j == t
+                if sel.any():
+                    nxt[j, t] = subs[sel, j].mean(axis=0)
+        cb = nxt
+    got = {(r["sub_id"], r["code"]): np.array(r["codeword"]) for r in cb_df.collect()}
+    assert len(got) == m * k
+    for (j, t), v in got.items():
+        assert np.allclose(v, cb[j, t], atol=1e-9), (j, t)
+
+    # ---- encode parity ----
+    codes_df = pq.pq_encode(emb, cb_df)
+    want_codes = {
+        i: [
+            int(((subs[i, j][None] - cb[j]) ** 2).sum(-1).argmin())
+            for j in range(m)
+        ]
+        for i in range(n)
+    }
+    for r in codes_df.collect():
+        assert list(r["codes"]) == want_codes[r["vec_id"]], r["vec_id"]
+
+    # ---- ADC score parity + refine ----
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.ann_pq_topk(codes_df, cb_df, queries, k=5)
+    for r in out.collect():
+        q = mat[r["query_id"]].reshape(m, ds)
+        adc = sum(float(q[j] @ cb[j, want_codes[r["vec_id"]][j]]) for j in range(m))
+        assert abs(r["adc"] - round(adc, 6)) < 1e-6
+
+    # refine: exact cosine rerank of ADC candidates ⊇ plenty of true hits
+    brute = similarity.ann_bruteforce_topk(
+        emb, queries, k=5, corpus_id="vec_id"
+    )
+    refined = pq.ann_pq_topk(
+        codes_df, cb_df, queries, k=5, refine=20, corpus=emb
+    )
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rf = {}
+    for r in refined.collect():
+        rf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = np.mean([len(b[q] & rf[q]) / 5 for q in b])
+    assert recall >= 0.6, recall
+    # the query vector itself always survives refinement at rank 1
+    for q in range(3):
+        assert q in rf[q]
+
+
+def test_pq_compression_on_sf_embeddings(spark):
+    """sf0.001 embeddings end-to-end: 64-dim float → m=4 smallint codes;
+    every vector encodes, codebook is full, ADC self-query ranks the
+    query's own code-cell neighbors on top."""
+    from geospatial_web_scraper_spark.operators import pq
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = pq.pq_fit(emb.limit(40), m=4, k=8, iters=2)
+    assert cb.count() == 32
+    codes = pq.pq_encode(emb, cb)
+    n = emb.count()
+    assert codes.where(F.col("codes").isNotNull()).count() == n
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 4
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = pq.ann_pq_topk(codes, cb, q, k=3, refine=10, corpus=emb)
+    assert out.where(F.col("rank") == 1).count() == 2
