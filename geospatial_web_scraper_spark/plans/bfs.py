@@ -135,7 +135,22 @@ class CrawlEngine:
             raise ValueError("nothing committed yet")
         meta = self.store.manifest()["rounds"][str(last)]
         frontier = self.store.read("frontier", last + 1)
-        seen = self.store.read("seen", last)
+        # the seen set IS the union of recorded trace URLs (the merge in
+        # _loop adds exactly recorded_df per round), so it is rebuilt from
+        # the per-round trace snapshots instead of being stored: writing
+        # the full seen table every round would be O(rounds × |seen|)
+        # write amplification — a scale-killer at 10^10 URLs, where each
+        # round's snapshot must stay proportional to the round, not the
+        # crawl history
+        seen = reduce(
+            DataFrame.unionByName,
+            [
+                self.store.read("trace", r).select(
+                    "url", url_hash(F.col("url")).alias("url_hash")
+                )
+                for r in range(last + 1)
+            ],
+        )
         if extra_seeds is not None:
             # pre-drop already-seen seeds (the in-round anti-join would do
             # it anyway): a fully-replayed batch then yields an empty
@@ -404,7 +419,8 @@ class CrawlEngine:
                 self.store.write("downloads", downloads_r, rnd)
                 if self.collect_text:
                     self.store.write("texts", text_parts[-1], rnd)
-                self.store.write("seen", seen, rnd)
+                # no "seen" snapshot: resume() rebuilds it from the trace
+                # deltas — every snapshot stays O(round), not O(history)
                 self.store.write("frontier", next_frontier, rnd + 1)
                 self.store.commit(
                     rnd,
