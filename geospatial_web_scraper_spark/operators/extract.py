@@ -249,15 +249,18 @@ ROUND_OUT_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("seq", T.LongType()),
         T.StructField("depth", T.IntegerType()),
-        T.StructField("kind", T.IntegerType()),  # 0 = download, 1 = link
+        T.StructField("kind", T.IntegerType()),  # 0 = download, 1 = link, 2 = meta
         T.StructField("link_url", T.StringType()),
         T.StructField("link_pos", T.IntegerType()),
         T.StructField("link_is_geo", T.BooleanType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
     ]
 )
 
 
-def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
+def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
+                          collect_text: bool = False):
     """Fused per-round fetch classification + link extraction in ONE pass
     over the fetched pages (columns: url, seq, depth, status, content_type,
     html).
@@ -269,20 +272,21 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
     round's fixed job overhead, which is what the 2→8-core scaling
     efficiency is most sensitive to.
 
-    Scope: the one-pass claim holds for the default ``collect_text=False``
-    engine configuration. With text collection on, the engine runs a second
-    scan of the fetched slice for metadata extraction (bfs.py), and this
-    fused pass still ships HTML through the Arrow worker for rows that
-    become kind=0 download rows (the pre-fusion downloads branch was
-    column-pruned off html entirely) — the fusion trades that small Arrow
-    transfer for a whole extra source scan, which wins everywhere the
-    download fraction is not dominant.
+    With ``collect_text=True`` metadata extraction (X2) is folded into the
+    SAME pass as ``kind=2`` rows — one scan per round in every engine
+    configuration except the offline-feeds variant (C10), which joins the
+    xml_docs table and keeps its own pass. The fused pass does ship HTML
+    through the Arrow worker for rows that only become kind=0 download
+    rows (the pre-fusion downloads branch was column-pruned off html) —
+    that small Arrow transfer buys removing whole extra source scans,
+    which wins everywhere the download fraction is not dominant.
 
     Row routing (same filters the engine previously applied branch-wise):
     status==200 & geo MIME → one ``kind=0`` download row; status==200 &
-    non-geo & html present & depth+1 < max_depth → ``kind=1`` link rows in
-    document order; everything else (404s, fetch leaves, final-depth pages)
-    emits nothing."""
+    non-geo & html present → one ``kind=2`` meta row when collect_text
+    (no depth gate — mirrors the engine's meta branch) and, when
+    depth+1 < max_depth, ``kind=1`` link rows in document order;
+    everything else (404s, fetch leaves) emits nothing."""
 
     def gen(batches):
         for pdf in batches:
@@ -293,6 +297,21 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
             lurl: list = []
             lpos: list = []
             lgeo: list = []
+            titles: list = []
+            texts: list = []
+
+            def emit(u, s, d, kind, l_url=None, l_pos=None, l_geo=None,
+                     title=None, text=None):
+                urls.append(u)
+                seqs.append(s)
+                depths.append(d)
+                kinds.append(kind)
+                lurl.append(l_url)
+                lpos.append(l_pos)
+                lgeo.append(l_geo)
+                titles.append(title)
+                texts.append(text)
+
             col_url = pdf["url"]
             col_seq = pdf["seq"]
             col_depth = pdf["depth"]
@@ -305,30 +324,23 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
                 u = col_url.iloc[ridx]
                 ct = col_ct.iloc[ridx]
                 if ct in geo_mime_types:
-                    urls.append(u)
-                    seqs.append(col_seq.iloc[ridx])
-                    depths.append(col_depth.iloc[ridx])
-                    kinds.append(0)
-                    lurl.append(None)
-                    lpos.append(None)
-                    lgeo.append(None)
+                    emit(u, col_seq.iloc[ridx], col_depth.iloc[ridx], 0)
                     continue
                 depth = col_depth.iloc[ridx]
                 h = col_html.iloc[ridx]
-                if h is None or depth + 1 >= max_depth:
-                    continue
-                links = extract_links(bytes(h), u)
-                if not links:
+                if h is None:
                     continue
                 seq = col_seq.iloc[ridx]
+                if collect_text:
+                    md = extract_metadata(bytes(h), u)
+                    emit(u, seq, depth, 2,
+                         title=md["title"], text=md["description"])
+                if depth + 1 >= max_depth:
+                    continue
+                links = extract_links(bytes(h), u)
                 for link in links:
-                    urls.append(u)
-                    seqs.append(seq)
-                    depths.append(depth)
-                    kinds.append(1)
-                    lurl.append(link["url"])
-                    lpos.append(link["pos"])
-                    lgeo.append(link["is_geo"])
+                    emit(u, seq, depth, 1, l_url=link["url"],
+                         l_pos=link["pos"], l_geo=link["is_geo"])
             yield pd.DataFrame(
                 {
                     "url": urls,
@@ -338,6 +350,8 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int):
                     "link_url": lurl,
                     "link_pos": pd.Series(lpos, dtype="object"),
                     "link_is_geo": lgeo,
+                    "title": pd.Series(titles, dtype="object"),
+                    "text": pd.Series(texts, dtype="object"),
                 }
             )
 

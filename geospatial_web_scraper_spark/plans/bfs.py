@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 from ..constants import GEO_MIME_TYPES, MAX_CRAWL_ENGINE1, MAX_DEPTH
 from ..functions.ordering import with_global_seq
 from ..functions.urls import url_hash, url_host
-from ..operators.extract import extract_meta_udf, extract_round_outputs
+from ..operators.extract import extract_round_outputs
 from .store import SnapshotStore
 
 TRACE_SCHEMA = (
@@ -327,38 +327,40 @@ class CrawlEngine:
             # the pages source is read once per round, not once per branch.
             # The single localCheckpoint materializes only the small output
             # rows (never HTML) and truncates cross-round plan growth.
+            fuse_text = self.collect_text and self.feeds is None
             round_out = extract_round_outputs(
-                fetched, GEO_MIME_TYPES, self.max_depth
+                fetched, GEO_MIME_TYPES, self.max_depth,
+                collect_text=fuse_text,
             ).localCheckpoint(eager=True)
             downloads_r = round_out.filter(F.col("kind") == 0).select("url")
             download_parts.append(downloads_r)
 
-            if self.collect_text:
+            if fuse_text:
+                # X2 folded into the fused pass: kind=2 rows carry
+                # title/text, so the fetched slice is scanned once per
+                # round even with text collection on
+                text_parts.append(
+                    round_out.filter(F.col("kind") == 2)
+                    .select("url", "title", "text")
+                )
+            elif self.collect_text:
+                # offline-feeds variant (C10): metadata needs the xml_docs
+                # join, which keeps its own pass over the html pages
                 html_pages = fetched.filter(
                     (F.col("status") == 200)
                     & ~F.col("content_type").isin(*GEO_MIME_TYPES)
                     & F.col("html").isNotNull()
                 )
-                if self.feeds is not None:
-                    # reference parity: ExtractMetadata's secondary RSS
-                    # harvest runs during the crawl (metadata.go:180-212);
-                    # the offline feeds table stands in for the fetch
-                    from ..operators.extract import extract_meta_with_feeds
+                # reference parity: ExtractMetadata's secondary RSS
+                # harvest runs during the crawl (metadata.go:180-212);
+                # the offline feeds table stands in for the fetch
+                from ..operators.extract import extract_meta_with_feeds
 
-                    meta_df = extract_meta_with_feeds(
-                        html_pages.select("url", "html"), self.feeds
-                    ).select(
-                        "url", "title", F.col("description").alias("text")
-                    )
-                else:
-                    meta = html_pages.withColumn(
-                        "_m", extract_meta_udf(F.col("html"), F.col("url"))
-                    )
-                    meta_df = meta.select(
-                        "url",
-                        F.col("_m.title").alias("title"),
-                        F.col("_m.description").alias("text"),
-                    )
+                meta_df = extract_meta_with_feeds(
+                    html_pages.select("url", "html"), self.feeds
+                ).select(
+                    "url", "title", F.col("description").alias("text")
+                )
                 text_parts.append(meta_df.localCheckpoint(eager=True))
 
             flat = round_out.filter(F.col("kind") == 1)
