@@ -145,10 +145,8 @@ class CrawlEngine:
         seen = reduce(
             DataFrame.unionByName,
             [
-                self.store.read("trace", r).select(
-                    "url", url_hash(F.col("url")).alias("url_hash")
-                )
-                for r in range(last + 1)
+                t.select("url", url_hash(F.col("url")).alias("url_hash"))
+                for t in self.store.read_series("trace", last)
             ],
         )
         if extra_seeds is not None:
@@ -171,12 +169,10 @@ class CrawlEngine:
             # snapshot, else resumed rounds would route already-seen URLs
             # down the definitely-new path (false negatives)
             self.seen_filter.update(seen.select("url"))
-        trace_parts = [self.store.read("trace", r) for r in range(last + 1)]
-        download_parts = [self.store.read("downloads", r) for r in range(last + 1)]
+        trace_parts = self.store.read_series("trace", last)
+        download_parts = self.store.read_series("downloads", last)
         text_parts = (
-            [self.store.read("texts", r) for r in range(last + 1)]
-            if self.collect_text
-            else []
+            self.store.read_series("texts", last) if self.collect_text else []
         )
         lineage_rows = [
             tuple(row)

@@ -30,20 +30,24 @@ def run_crawl_stream(
     store_dir: str,
     checkpoint_dir: str,
     timeout_s: int = 600,
+    compact_every: int | None = None,
     **engine_kwargs,
 ) -> None:
     """Drain available seed batches (availableNow) through the persistent
-    crawl. ``seeds_stream`` rows: (seed_order, url, ...)."""
+    crawl. ``seeds_stream`` rows: (seed_order, url, ...). With
+    ``compact_every=n`` the store folds its per-round snapshots into one
+    base after every n-th batch, keeping restart cost O(1) in stream
+    length."""
 
     def sink(seed_batch: DataFrame, epoch_id: int) -> None:
         if not seed_batch.take(1):
             return
         spark = seed_batch.sparkSession
-        engine = CrawlEngine(
-            spark, pages, store=SnapshotStore(spark, store_dir),
-            **engine_kwargs,
-        )
+        store = SnapshotStore(spark, store_dir)
+        engine = CrawlEngine(spark, pages, store=store, **engine_kwargs)
         engine.resume_with_seeds(seed_batch)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            store.compact()
 
     q = (
         seeds_stream.writeStream.foreachBatch(sink)
@@ -60,5 +64,4 @@ def stitched_trace(spark: SparkSession, store_dir: str) -> DataFrame:
     last = store.last_committed()
     if last < 0:
         raise ValueError("nothing committed yet")
-    parts = [store.read("trace", r) for r in range(last + 1)]
-    return reduce(DataFrame.unionByName, parts)
+    return reduce(DataFrame.unionByName, store.read_series("trace", last))

@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the crawl, fold per-round snapshots into "
+                         "one base (O(1) restart cost on long crawls)")
     ap.add_argument("--collect-text", action="store_true")
     ap.add_argument("--feeds", help="offline xml feed parquet (url, xml) — "
                     "folds RSS/Atom titles/descriptions into collected text")
@@ -121,6 +124,10 @@ def main() -> None:
     run.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
     if run.texts is not None:
         run.texts.write.mode("overwrite").parquet(f"{args.output}/texts")
+    # compact AFTER the output writes: a resumed run's DataFrames read the
+    # store's per-round dirs lazily, which compaction deletes
+    if args.compact and store is not None:
+        store.compact()
     print(
         f"crawl done: recorded={run.recorded} rounds={run.rounds} "
         f"output={args.output}"

@@ -131,6 +131,50 @@ def test_checkpoint_resume_equivalence(spark, tmp_path_factory, oracle_run):
     assert _trace_rows(resumed.trace) == oracle_run.trace
 
 
+def test_compacted_store_resume_equivalence(spark, tmp_path_factory, oracle_run):
+    """compact() merges per-round snapshots into one base; a resume from
+    the compacted store must be byte-identical to an uncompacted resume
+    (= the uninterrupted oracle trace), and the per-round directories it
+    superseded must be gone (bounded restart cost on long crawls)."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("snapc"))
+    store = SnapshotStore(spark, base)
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, store=store,
+        max_rounds=3, collect_text=True,
+    )
+    eng.run(corpus.seeds_df(spark, N))
+    assert store.last_committed() == 2
+    store.compact()
+    assert store.compacted_upto() == 2
+    # superseded round dirs removed; exactly one base per series remains
+    assert sorted(os.listdir(os.path.join(base, "trace"))) == ["base=2"]
+    assert not store.exists("trace", 0)
+
+    eng2 = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400,
+        store=SnapshotStore(spark, base), collect_text=True,
+    )
+    resumed = eng2.resume()
+    assert _trace_rows(resumed.trace) == oracle_run.trace
+    assert {r["url"]: r["text"] for r in resumed.texts.collect()} == oracle_run.texts
+
+    # compacting again after more committed rounds folds the old base + tail
+    store2 = SnapshotStore(spark, base)
+    assert store2.last_committed() > 2
+    store2.compact()
+    assert sorted(os.listdir(os.path.join(base, "trace"))) == [
+        f"base={store2.last_committed()}"
+    ]
+    restitched = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400,
+        store=SnapshotStore(spark, base),
+    )
+    # drained crawl: resume returns the stitched history unchanged
+    assert _trace_rows(restitched.resume().trace) == oracle_run.trace
+
+
 def test_shuffle_fetch_fallback_trace_identical(spark, engine_run):
     """broadcast_fetch_limit=0 forces the shuffle-join fetch path (the
     huge-round fallback on a real cluster); the trace must be identical to

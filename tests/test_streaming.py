@@ -269,3 +269,21 @@ def test_crawl_stream_continuous_seeds(spark, tmp_path):
     eng.resume_with_seeds(batch_b)
     assert SnapshotStore(spark, store_dir).last_committed() == last
     assert stitched_trace(spark, store_dir).count() == len(a)
+
+    # same stream with per-batch compaction: identical trace, one base dir
+    import os
+
+    store2 = str(tmp_path / "crawlstore2")
+    stream2 = (
+        spark.readStream.schema(seeds.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_crawl_stream(
+        stream2, pages, store2, str(tmp_path / "ckpt_c2"),
+        compact_every=1, max_crawl=None, max_depth=60, lineage_detail=False,
+    )
+    rows1 = sorted(tuple(r) for r in streamed.collect())
+    rows2 = sorted(tuple(r) for r in stitched_trace(spark, store2).collect())
+    assert rows1 == rows2
+    assert len(os.listdir(os.path.join(store2, "trace"))) == 1
