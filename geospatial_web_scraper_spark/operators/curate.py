@@ -1,0 +1,85 @@
+"""End-to-end training-data curation: the composed pipeline every
+LLM-corpus build runs over crawled text, as one declarative dataflow.
+
+Stages (all existing operators, composed — nothing here adds new
+semantics, which is the point: the pipeline is a Catalyst plan, not a
+driver script):
+
+1. language gate   — ``textstats.lang_id_expr`` (native n-gram heuristic)
+2. quality gate    — ``textstats.quality_score_expr`` ≥ threshold
+3. exact dedup     — ``dedup.exact_dedup`` keep-min-id over the md5 of
+                     normalized text (one shuffle on the hash)
+4. near-dup dedup  — MinHash band blocking → Jaccard verify →
+                     connected components → ``dedup.keep_canonical``
+                     (left-anti against the non-canonical id set)
+
+Scale shape: stages 1-2 are scan-local filters (pushed into the parquet
+read), stage 3 shuffles (hash, id) scalars only, stage 4 never compares
+beyond band collisions — the corpus' wide text column is shuffled exactly
+once (the minhash explode reads it in place; survivors are selected by
+anti-joins on ids). ``report=True`` also returns per-stage row counts for
+yield accounting (the number every corpus build is asked for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+from .textstats import lang_id_expr, quality_score_expr
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """→ the curated subset of ``docs`` (original columns), surviving all
+    four gates. Deterministic: every keep/drop decision is min-id-wins."""
+    gated = docs.where(
+        lang_id_expr(F.col(text_col)).isin(*languages)
+        & (quality_score_expr(F.col(text_col)) >= min_quality)
+    )
+    exact_keep = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    uniq = gated.join(exact_keep, id_col, "left_semi")
+    pairs = dedup.minhash_neardup_pairs(
+        uniq, threshold=neardup_threshold, id_col=id_col, text_col=text_col
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.keep_canonical(uniq, comps, id_col=id_col)
+
+
+def curation_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    neardup_threshold: float = 0.5,
+) -> dict:
+    """Per-stage yield counts (input → language+quality → exact-dedup →
+    near-dup-canonical). Four actions over progressively smaller tables —
+    run it on a sample in production, the full corpus in tests."""
+    out = {"input": docs.count()}
+    gated = docs.where(
+        lang_id_expr(F.col(text_col)).isin(*languages)
+        & (quality_score_expr(F.col(text_col)) >= min_quality)
+    )
+    out["gated"] = gated.count()
+    exact_keep = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    uniq = gated.join(exact_keep, id_col, "left_semi")
+    out["exact_unique"] = uniq.count()
+    pairs = dedup.minhash_neardup_pairs(
+        uniq, threshold=neardup_threshold, id_col=id_col, text_col=text_col
+    )
+    comps = dedup.connected_components(pairs)
+    out["curated"] = dedup.keep_canonical(uniq, comps, id_col=id_col).count()
+    return out

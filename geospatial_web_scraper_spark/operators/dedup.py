@@ -474,3 +474,26 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY stage of the dedup pipeline: filter a corpus to one
+    canonical document per near-dup group, keeping every ungrouped doc.
+
+    ``components`` is :func:`connected_components` output (id, component)
+    with component = min member id, so exactly the rows with
+    component != id are the duplicates to drop — expressed as a LEFT-ANTI
+    join against that (narrow, grouped-subset-only) id set. Docs absent
+    from the pair graph and each group's canonical member pass through
+    untouched. At 10^10 docs the drop set is the duplicate fraction only;
+    when it broadcasts, the corpus is filtered inside its own scan with no
+    shuffle of the wide document columns at all — the same J1 shape as the
+    crawl's seen anti-join."""
+    non_canonical = components.where(
+        F.col("component") != F.col("id")
+    ).select(F.col("id").alias(id_col))
+    return docs.join(non_canonical, id_col, "left_anti")

@@ -416,3 +416,70 @@ def test_pq_compression_on_sf_embeddings(spark):
     q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
     out = pq.ann_pq_topk(codes, cb, q, k=3, refine=10, corpus=emb)
     assert out.where(F.col("rank") == 1).count() == 2
+
+
+def test_keep_canonical_pipeline(spark):
+    """find-pairs → components → keep_canonical end-to-end on the sf0.001
+    documents: one survivor per dup group (the min doc_id), all ungrouped
+    docs untouched, and the survivor set matches a pure-Python fold of the
+    same pairs."""
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    kept = dedup.keep_canonical(docs, comps)
+
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    edge_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    # python mirror: union-find over the pairs, keep min of each group
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    want = ids - drop
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want
+    assert len(edge_rows) > 0  # the corpus really has near-dups
+
+
+def test_curate_corpus_pipeline(spark):
+    """The composed curation pipeline on sf0.001 documents: every survivor
+    passes the language + quality gates, content hashes are unique, each
+    near-dup group keeps only its min id, and the stage report's final
+    count equals the curated DataFrame."""
+    from geospatial_web_scraper_spark.operators import curate, textstats
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+    kept = curate.curate_corpus(docs, min_quality=0.2, neardup_threshold=0.5)
+    rep = curate.curation_report(docs, min_quality=0.2, neardup_threshold=0.5)
+
+    n_in = docs.count()
+    assert rep["input"] == n_in
+    assert rep["input"] >= rep["gated"] >= rep["exact_unique"] >= rep["curated"] > 0
+    assert kept.count() == rep["curated"]
+
+    checked = kept.select(
+        "doc_id",
+        textstats.lang_id_expr(F.col("text")).alias("lang"),
+        textstats.quality_score_expr(F.col("text")).alias("q"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    rows = checked.collect()
+    assert all(r["lang"] == "en" and r["q"] >= 0.2 for r in rows)
+    # exact dedup held: raw-text hashes unique among survivors
+    hs = [r["h"] for r in rows]
+    assert len(hs) == len(set(hs))
+    # near-dup groups: no surviving pair is still a near-dup of each other
+    from geospatial_web_scraper_spark.operators import dedup as dd
+
+    leftover = dd.minhash_neardup_pairs(kept, threshold=0.5)
+    assert leftover.count() == 0
