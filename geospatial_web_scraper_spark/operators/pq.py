@@ -281,3 +281,96 @@ def ann_pq_topk(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_ivf_pq_topk(
+    codes: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    corpus_id: str = "vec_id",
+    centroid_id: str = "cid",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style IVF-PQ: probe ``n_probe`` Voronoi cells, score ONLY the
+    probed cells' PQ codes by ADC, optionally exact-refine.
+
+    ``cells`` = (corpus_id, cid) from :func:`..similarity.ann_ivf_topk`'s
+    assignment (or any partitioner); ``codes`` = :func:`pq_encode` output.
+    The two tables join on the id (colocate them by bucketing on it in
+    production), queries broadcast with their LUTs, and the scan touches
+    ``n_probe/|C|`` of the compressed corpus — the standard 10^10-vector
+    serving shape: IVF bounds the scan, PQ bounds the bytes.
+    """
+    from .similarity import cosine_expr as _cos  # noqa: F401 (refine path)
+
+    cb = _codebook_np(codebooks)
+    cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
+    probes = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            query_id,
+            "_qv",
+            centroid_id,
+            _cos(F.col("_qv"), F.col("_cv")).alias("_cs"),
+        )
+        .where(F.col("_cs").isNotNull())
+        .withColumn(
+            "_cr",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("_cs"), F.asc(centroid_id)
+                )
+            ),
+        )
+        .where(F.col("_cr") <= n_probe)
+        .select(query_id, "_qv", centroid_id)
+    )
+    q = probes.select(
+        query_id,
+        centroid_id,
+        "_qv",
+        _lut_expr(F.col("_qv"), cb).alias("_lut"),
+    )
+    coded_cells = codes.join(cells, corpus_id)
+    scored = coded_cells.where(F.col("codes").isNotNull()).join(
+        F.broadcast(q.drop("_qv")), centroid_id
+    ).select(
+        query_id,
+        corpus_id,
+        adc_score_expr(F.col("codes"), F.col("_lut")).alias("adc"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc"), F.asc(corpus_id))
+    cut = max(k, refine)
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= cut
+    )
+    if refine <= 0 or corpus is None:
+        return top.select(
+            query_id, corpus_id, F.round(F.col("adc"), 6).alias("adc"), "rank"
+        )
+    exact = top.join(
+        F.broadcast(q.select(query_id, "_qv").dropDuplicates([query_id])),
+        query_id,
+    ).join(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec")),
+        corpus_id,
+    ).select(
+        query_id,
+        corpus_id,
+        F.round(F.col("adc"), 6).alias("adc"),
+        _cos(F.col("_cvec"), F.col("_qv")).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        exact.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

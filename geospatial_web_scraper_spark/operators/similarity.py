@@ -339,3 +339,33 @@ def ann_ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    centroid_id: str = "cid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (corpus_id, cid): each vector's max-cosine Voronoi cell — the
+    partitioner :func:`ann_ivf_topk` applies internally, exported so
+    IVF-PQ (``operators.pq.ann_ivf_pq_topk``) and offline cell-partitioned
+    writes can reuse the exact same deterministic assignment (broadcast
+    nested-loop over |C| centroids, ties toward the smaller cid, zero
+    shuffle of the corpus)."""
+    cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
+    scored = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        corpus_id,
+        centroid_id,
+        cosine_expr(F.col("_v"), F.col("_cv")).alias("_cs"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("_cs"), F.asc(centroid_id))
+    return (
+        scored.filter(F.col("_cs").isNotNull())
+        .withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") == 1)
+        .select(corpus_id, centroid_id)
+    )

@@ -483,3 +483,47 @@ def test_curate_corpus_pipeline(spark):
 
     leftover = dd.minhash_neardup_pairs(kept, threshold=0.5)
     assert leftover.count() == 0
+
+
+def test_ann_ivf_pq_topk(spark):
+    """IVF-PQ composition: kmeans cells + PQ codes; with full probing and
+    generous refine the result equals brute force; with 1 probe the scan
+    is restricted to the query's own cell."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import pq
+
+    rng = np.random.default_rng(11)
+    # 3 well-separated clusters in 8-dim so cells are unambiguous
+    protos = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(45):
+        v = protos[i % 3] + rng.standard_normal(8) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent = similarity.kmeans_fit(emb, k=3, iters=3)
+    cells = similarity.ivf_assign_cells(emb, cent)
+    # every cluster lands in one cell
+    assert cells.select("cid").distinct().count() == 3
+    cb = pq.pq_fit(emb, m=4, k=8, iters=2)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    full = pq.ann_ivf_pq_topk(
+        codes, cells, cent, cb, queries, k=5, n_probe=3, refine=45, corpus=emb
+    )
+    brute = similarity.ann_bruteforce_topk(emb, queries, k=5)
+    fa, ba = {}, {}
+    for r in full.collect():
+        fa.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in brute.collect():
+        ba.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert fa == ba  # all-probe + full refine == exact
+
+    one = pq.ann_ivf_pq_topk(codes, cells, cent, cb, queries, k=5, n_probe=1)
+    cell_of = {r["vec_id"]: r["cid"] for r in cells.collect()}
+    for r in one.collect():
+        assert cell_of[r["vec_id"]] == cell_of[r["query_id"]]
