@@ -633,6 +633,21 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY stage of near-dup dedup: filter documents to one canonical
+    survivor per MinHash near-dup group (min doc_id) via a left-anti join
+    against the non-canonical id set (`dedup.keep_canonical`); survivors
+    identified by doc_id + content hash for value-level oracle compare."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_neardup_pairs(docs, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.keep_canonical(docs, comps).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
     gram hash so DuckDB reproduces every fingerprint value."""
@@ -1226,6 +1241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by tests/test_seen_bloom.py, so it yields its first-50 slot to the
     # C9-dedicated query above.
     "crawl_bfs_seen_bloom": q_crawl_bfs_seen_bloom,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     # TPC-H-style scale-pattern showcases (plan shapes pinned in pytest)
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "q3_topk_join": q_q3_topk_join,
@@ -1850,6 +1866,24 @@ comp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src)
 SELECT doc_id, group_id,
        count(*) OVER (PARTITION BY group_id) AS group_size
 FROM comp
+"""
+
+# dedup_keep_canonical: survivors = docs minus the grouped-non-canonical
+# ids of the SAME reachability closure dedup_groups checks.
+ORACLES["dedup_keep_canonical"] = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({ORACLES["minhash_neardup"]})),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e2 e ON e.a = r.dst),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT doc_id, md5(text) AS content_hash
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE component != id)
 """
 
 ORACLES["crawl_bfs_seen_bloom"] = ORACLES["crawl_bfs_seen"]
