@@ -95,3 +95,39 @@ def test_warc_pages_drive_extraction(spark, page_rows, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_warc_roundtrip_property():
+    """Property: any list of records (urls/types/bodies arbitrary bytes,
+    gzip or plain) survives warc_bytes → parse_warc_records exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    url_st = st.from_regex(r"https://[a-z]{1,10}\.example\.org/[a-zA-Z0-9/_.-]{0,30}", fullmatch=True)
+    rec_st = st.tuples(
+        url_st,
+        st.integers(min_value=100, max_value=599),
+        st.from_regex(r"[a-z]+/[a-z+.-]{1,20}", fullmatch=True),
+        st.binary(max_size=2048),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec_st, max_size=8), st.booleans())
+    def check(recs, gz):
+        payload = [
+            (u, "2024-01-01T00:00:00Z", s, ct, body)
+            for (u, s, ct, body) in recs
+        ]
+        raw = warc_bytes(payload, gzip_members=gz)
+        if gz:
+            from geospatial_web_scraper_spark.sources.warc import _gunzip_members
+
+            raw = _gunzip_members(raw)
+        got = list(parse_warc_records(raw))
+        assert len(got) == len(recs)
+        for g, (u, s, ct, body) in zip(got, recs):
+            assert g["url"] == u
+            assert g["status"] == s
+            assert g["content_type"] == ct
+            assert g["html"] == body
+
+    check()
