@@ -40,13 +40,23 @@ def meta_table_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "meta")
 
 
-def make_harvest_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
+def make_harvest_sink(
+    out_dir: str,
+    languages: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body.
 
     Within-batch duplicate URLs are resolved deterministically (keep the
     row with the smallest ``md5(html)`` — a stream has no crawl order, so
     F1's first-wins is replaced by a stable, replay-safe tiebreak);
     cross-batch duplicates lose to any earlier epoch via the anti-join.
+
+    ``languages`` / ``min_quality`` optionally gate the extracted text with
+    the curation exprs (``operators.textstats``) — streaming curation-lite.
+    Gated-out URLs are still WRITTEN (``kept=false``) so the seen set stays
+    a pure URL decision: a re-arrival of a rejected URL loses the anti-join
+    instead of being re-judged; :func:`harvest_table` returns kept rows.
     """
     meta_dir = meta_table_dir(out_dir)
 
@@ -81,6 +91,17 @@ def make_harvest_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
             "url",
             extract_meta_udf(F.col("html"), F.col("url")).alias("_m"),
         ).select("url", "_m.title", "_m.description", "_m.keywords")
+        gate = F.lit(True)
+        if languages is not None or min_quality is not None:
+            from ..operators.textstats import lang_id_expr, quality_score_expr
+
+            if languages is not None:
+                gate = gate & lang_id_expr(F.col("description")).isin(*languages)
+            if min_quality is not None:
+                gate = gate & (
+                    quality_score_expr(F.col("description")) >= min_quality
+                )
+        meta = meta.withColumn("kept", gate)
         (
             meta.withColumn("epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
@@ -95,12 +116,17 @@ def make_harvest_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
 def run_harvest_stream(
     pages_stream: DataFrame, out_dir: str, checkpoint_dir: str,
     timeout_s: int = 300,
+    languages: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
 ) -> None:
     """Drain the available input through the harvest sink (availableNow),
     checkpointed so a restarted query resumes at the failed epoch and the
     idempotent partition overwrite absorbs the replay."""
     q = (
-        pages_stream.writeStream.foreachBatch(make_harvest_sink(out_dir))
+        pages_stream.writeStream.foreachBatch(
+            make_harvest_sink(out_dir, languages=languages,
+                              min_quality=min_quality)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -109,5 +135,10 @@ def run_harvest_stream(
 
 
 def harvest_table(spark, out_dir: str) -> DataFrame:
-    """The accumulated harvest (one row per first-seen URL)."""
-    return spark.read.parquet(meta_table_dir(out_dir)).drop("epoch")
+    """The accumulated harvest (one row per first-seen URL that passed the
+    gates; rejected URLs stay in the table as kept=false for dedup)."""
+    return (
+        spark.read.parquet(meta_table_dir(out_dir))
+        .where(F.col("kept"))
+        .drop("epoch", "kept")
+    )

@@ -202,6 +202,33 @@ def test_harvest_stream_parity_and_replay(spark, tmp_path):
     assert got2.count() == N
     assert got2.exceptAll(batch).count() == 0
 
+    # gated variant (streaming curation-lite): harvest rows equal the
+    # batch extraction filtered by the same quality gate; rejected URLs
+    # remain in the table as kept=false (seen stays a URL decision)
+    from geospatial_web_scraper_spark.operators.textstats import (
+        quality_score_expr,
+    )
+
+    out_g = str(tmp_path / "harvest_gated")
+    stream_g = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_harvest_stream(
+        stream_g, out_g, str(tmp_path / "ckpt_hg"), min_quality=0.3685
+    )
+    got_g = harvest_table(spark, out_g)
+    want_g = batch.where(quality_score_expr(F.col("description")) >= 0.3685)
+    assert 0 < got_g.count() < N
+    assert (
+        got_g.exceptAll(want_g).count() == 0
+        and want_g.exceptAll(got_g).count() == 0
+    )
+    allrows = spark.read.parquet(out_g + "/meta")
+    assert allrows.count() == N  # rejected urls recorded with kept=false
+    assert allrows.where(~F.col("kept")).count() == N - got_g.count()
+
 
 def test_foreachbatch_round(spark, pages_dir):
     schema = spark.read.parquet(pages_dir).schema
