@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity import cosine_expr
+from .similarity import cosine_expr, grouped_topk
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -254,12 +254,12 @@ def ann_pq_topk(
             adc_score_expr(F.col("codes"), F.col("_lut")).alias("adc"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("adc"), F.asc(corpus_id))
+    # full compressed scan per query → salted two-phase reduce (pre-cut per
+    # (query_id, salt) partition, then a hash-aggregate top-k) — never a
+    # window hash-partitioned on query_id alone, which would funnel all
+    # 10^10 scored codes per query into one reducer task
     cut = max(k, refine)
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= cut)
-    )
+    top = grouped_topk(scored, query_id, corpus_id, "adc", cut, salt_col=corpus_id)
     if refine <= 0 or corpus is None:
         return top.select(
             query_id, corpus_id, F.round(F.col("adc"), 6).alias("adc"), "rank"
@@ -275,12 +275,11 @@ def ann_pq_topk(
         F.round(F.col("adc"), 6).alias("adc"),
         cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        exact.filter(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    # the refine set is ≤ refine·|queries| rows — the plain (unsalted)
+    # hash-aggregate top-k suffices
+    return grouped_topk(
+        exact, query_id, corpus_id, "score", k, carry_cols=("adc",)
+    ).select(query_id, corpus_id, "adc", "score", "rank")
 
 
 def ann_ivf_pq_topk(
@@ -312,7 +311,7 @@ def ann_ivf_pq_topk(
 
     cb = _codebook_np(codebooks)
     cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
-    probes = (
+    probes = grouped_topk(
         queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
         .crossJoin(F.broadcast(cent))
         .select(
@@ -320,19 +319,13 @@ def ann_ivf_pq_topk(
             "_qv",
             centroid_id,
             _cos(F.col("_qv"), F.col("_cv")).alias("_cs"),
-        )
-        .where(F.col("_cs").isNotNull())
-        .withColumn(
-            "_cr",
-            F.row_number().over(
-                Window.partitionBy(query_id).orderBy(
-                    F.desc("_cs"), F.asc(centroid_id)
-                )
-            ),
-        )
-        .where(F.col("_cr") <= n_probe)
-        .select(query_id, "_qv", centroid_id)
-    )
+        ),
+        query_id,
+        centroid_id,
+        "_cs",
+        n_probe,
+        carry_cols=("_qv",),
+    ).select(query_id, "_qv", centroid_id)
     q = probes.select(
         query_id,
         centroid_id,
@@ -347,11 +340,10 @@ def ann_ivf_pq_topk(
         corpus_id,
         adc_score_expr(F.col("codes"), F.col("_lut")).alias("adc"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("adc"), F.asc(corpus_id))
+    # probed-cell scan → same salted two-phase reduce as ann_pq_topk: IVF
+    # bounds the candidate volume, the salt bounds the per-task volume
     cut = max(k, refine)
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= cut
-    )
+    top = grouped_topk(scored, query_id, corpus_id, "adc", cut, salt_col=corpus_id)
     if refine <= 0 or corpus is None:
         return top.select(
             query_id, corpus_id, F.round(F.col("adc"), 6).alias("adc"), "rank"
@@ -368,9 +360,6 @@ def ann_ivf_pq_topk(
         F.round(F.col("adc"), 6).alias("adc"),
         _cos(F.col("_cvec"), F.col("_qv")).alias("score"),
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        exact.filter(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    return grouped_topk(
+        exact, query_id, corpus_id, "score", k, carry_cols=("adc",)
+    ).select(query_id, corpus_id, "adc", "score", "rank")

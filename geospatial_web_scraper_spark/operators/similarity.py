@@ -48,6 +48,79 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(None))
 
 
+def grouped_topk(
+    scored: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    k: int,
+    salt_col: str | None = None,
+    salt_parts: int = 32,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed per-group top-k WITHOUT a per-group window exchange.
+
+    ``Window.partitionBy(group).orderBy(score desc)`` over a full corpus
+    scan is a skewed-shuffle scale-killer: with a handful of query keys,
+    every scored row hashes to one reducer task per query, which then
+    sorts the whole corpus — the single-task pattern that cannot survive
+    10^10 rows. Two phases instead:
+
+    1. **salted pre-cut** (``salt_col`` given — use it on full scans):
+       rank within ``(group, pmod(xxhash64(salt_col), salt_parts))`` and
+       keep ≤ k rows per salt. The shuffle is BALANCED (each group spreads
+       over ``salt_parts`` reducers) and no true top-k row is lost: a row
+       in the global top-k of its group is a fortiori in the top-k of the
+       subset that is its salt partition.
+    2. **final reduce**: ``groupBy(group).agg(slice(array_sort(
+       collect_list(struct(-score, id, ...))), 1, k))`` + ``posexplode`` —
+       a hash aggregate with map-side partial aggregation over the
+       ≤ groups·salt_parts·k survivors; no window operator at all.
+
+    NULL scores are dropped (the zero-vector contract); the drop happens
+    AFTER the pre-cut window so Catalyst cannot push an ``isNotNull`` on
+    the score expression below the projection that computes it (which
+    would re-evaluate the cosine/ADC aggregate once more per row). Ties
+    break toward the smaller ``id_col``, exactly like the
+    ``row_number().over(partitionBy(group).orderBy(desc(score), asc(id)))``
+    form this replaces; ``rank`` is 1-based. ``carry_cols`` ride along in
+    the sort struct (they never affect order: (-score, id) is already a
+    total order) and come back as output columns.
+    """
+    if salt_col is not None:
+        w = Window.partitionBy(group_col, "_salt").orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_parts))
+            )
+            .withColumn("_pr", F.row_number().over(w))
+            .where((F.col("_pr") <= k) & F.col(score_col).isNotNull())
+            .drop("_salt", "_pr")
+        )
+    else:
+        scored = scored.where(F.col(score_col).isNotNull())
+    struct_fields = [
+        (-F.col(score_col)).alias("_ns"),
+        F.col(id_col).alias("_id"),
+    ] + [F.col(c).alias(f"_c{i}") for i, c in enumerate(carry_cols)]
+    agg = scored.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, k
+        ).alias("_top")
+    )
+    return agg.select(
+        F.col(group_col), F.posexplode("_top").alias("_pos", "_t")
+    ).select(
+        group_col,
+        F.col("_t._id").alias(id_col),
+        (-F.col("_t._ns")).alias(score_col),
+        *[F.col(f"_t._c{i}").alias(c) for i, c in enumerate(carry_cols)],
+        (F.col("_pos") + 1).alias("rank"),
+    )
+
+
 def ann_bruteforce_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,7 +131,8 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Queries are broadcast
     (small side), so the 'cross join' is a broadcast nested-loop over the
-    corpus scan — one pass, no shuffle until the per-query top-k."""
+    corpus scan — one pass, no shuffle until the (salted two-phase)
+    per-query top-k reduce."""
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")
     )
@@ -69,15 +143,9 @@ def ann_bruteforce_topk(
         corpus_id,
         cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
     )
-    # NULL scores (zero vectors) sort last under desc, so filtering AFTER the
-    # rank cut is equivalent — and keeps the isNotNull predicate from being
-    # pushed into the join condition, where Catalyst would re-evaluate the
-    # whole cosine aggregate a second time per pair.
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= k) & F.col("score").isNotNull())
-    )
+    # full scan per query → salted two-phase reduce; never a window
+    # hash-partitioned on the (tiny-cardinality) query_id alone
+    return grouped_topk(scored, query_id, corpus_id, "score", k, salt_col=corpus_id)
 
 
 def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -163,12 +231,9 @@ def ann_lsh_topk(
         corpus_id,
         cosine_expr(F.col("_cvec"), F.col("_qvec")).alias("score"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.filter(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # candidates are bucket-bounded, but a hot bucket is still a skewed key:
+    # the same salted two-phase reduce keeps every reducer task ≤ k·|salts|
+    return grouped_topk(scored, query_id, corpus_id, "score", k, salt_col=corpus_id)
 
 
 def embedding_neardup_pairs(
@@ -309,8 +374,8 @@ def ann_ivf_topk(
     deterministic and oracle-checkable."""
     cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
 
-    def _assign(side: DataFrame, side_id: str, keep_vec: str, top: int) -> DataFrame:
-        scored = side.select(F.col(side_id), F.col(vec_col).alias(keep_vec)).crossJoin(
+    def _scored(side: DataFrame, side_id: str, keep_vec: str) -> DataFrame:
+        return side.select(F.col(side_id), F.col(vec_col).alias(keep_vec)).crossJoin(
             F.broadcast(cent)
         ).select(
             side_id,
@@ -318,27 +383,38 @@ def ann_ivf_topk(
             centroid_id,
             cosine_expr(F.col(keep_vec), F.col("_cv")).alias("_cscore"),
         )
-        w = Window.partitionBy(side_id).orderBy(F.desc("_cscore"), F.asc(centroid_id))
-        return (
-            scored.filter(F.col("_cscore").isNotNull())
-            .withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= top)
-            .select(side_id, keep_vec, centroid_id)
-        )
 
-    cells = _assign(corpus, corpus_id, "_v", 1)
-    probes = _assign(queries, query_id, "_qv", n_probe)
+    # corpus → its single best cell: a hash aggregate (max over a
+    # (score, -cid) struct), never a window — partial aggregation folds the
+    # |C| candidate rows per vector back to one BEFORE the shuffle, so the
+    # exchange carries N vectors, not N·|C|
+    cells = (
+        _scored(corpus, corpus_id, "_v")
+        .where(F.col("_cscore").isNotNull())
+        .groupBy(corpus_id, "_v")
+        .agg(
+            F.max(
+                F.struct(F.col("_cscore"), (-F.col(centroid_id)).alias("_nc"))
+            ).alias("_m")
+        )
+        .select(corpus_id, "_v", (-F.col("_m._nc")).alias(centroid_id))
+    )
+    probes = grouped_topk(
+        _scored(queries, query_id, "_qv"),
+        query_id,
+        centroid_id,
+        "_cscore",
+        n_probe,
+        carry_cols=("_qv",),
+    ).select(query_id, "_qv", centroid_id)
     scored = cells.join(F.broadcast(probes), centroid_id).select(
         query_id,
         corpus_id,
         cosine_expr(F.col("_v"), F.col("_qv")).alias("score"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
-    return (
-        scored.filter(F.col("score").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # candidates are cell-bounded but still concentrate per query key —
+    # same salted two-phase reduce as the full-scan paths
+    return grouped_topk(scored, query_id, corpus_id, "score", k, salt_col=corpus_id)
 
 
 def ivf_assign_cells(
@@ -362,10 +438,15 @@ def ivf_assign_cells(
         centroid_id,
         cosine_expr(F.col("_v"), F.col("_cv")).alias("_cs"),
     )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("_cs"), F.asc(centroid_id))
+    # argmax as a hash aggregate (max over a (score, -cid) struct): the |C|
+    # candidate rows per vector fold map-side, and no window ever sorts them
     return (
         scored.filter(F.col("_cs").isNotNull())
-        .withColumn("_cr", F.row_number().over(w))
-        .filter(F.col("_cr") == 1)
-        .select(corpus_id, centroid_id)
+        .groupBy(corpus_id)
+        .agg(
+            F.max(
+                F.struct(F.col("_cs"), (-F.col(centroid_id)).alias("_nc"))
+            ).alias("_m")
+        )
+        .select(corpus_id, (-F.col("_m._nc")).alias(centroid_id))
     )

@@ -78,6 +78,22 @@ def test_no_unpartitioned_window_in_topk_paths(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ann_topk_never_windows_on_query_id_alone(spark):
+    """The full-scan ANN reducers (brute-force cosine, PQ/ADC) and the
+    bucket/cell-bounded ones must never hash-partition a window on the
+    tiny-cardinality query_id alone — that funnels every scored corpus row
+    of a query into ONE reducer task (the skewed-shuffle scale-killer at
+    10^10 rows). The only window allowed is the salted pre-cut, whose spec
+    carries the _salt column; the final per-query top-k must be a hash
+    aggregate (grouped_topk), not a window."""
+    for key in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_adc"):
+        df = entry_mod.queries()[key](spark, SF)
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "query_id" in line:
+                assert "_salt" in line, (key, line)
+
+
 def test_neardup_embedding_is_bucket_blocked(spark):
     """The driver's embedding near-dup query must execute the LSH bucket
     equi-join (blocked candidates), never an all-pairs theta join."""
