@@ -255,12 +255,14 @@ ROUND_OUT_SCHEMA = T.StructType(
         T.StructField("link_is_geo", T.BooleanType()),
         T.StructField("title", T.StringType()),
         T.StructField("text", T.StringType()),
+        T.StructField("body", T.BinaryType()),
     ]
 )
 
 
 def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
-                          collect_text: bool = False):
+                          collect_text: bool = False,
+                          carry_download_bytes: bool = False):
     """Fused per-round fetch classification + link extraction in ONE pass
     over the fetched pages (columns: url, seq, depth, status, content_type,
     html).
@@ -286,7 +288,14 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
     non-geo & html present → one ``kind=2`` meta row when collect_text
     (no depth gate — mirrors the engine's meta branch) and, when
     depth+1 < max_depth, ``kind=1`` link rows in document order;
-    everything else (404s, fetch leaves) emits nothing."""
+    everything else (404s, fetch leaves) emits nothing.
+
+    With ``carry_download_bytes=True`` each ``kind=0`` row also carries the
+    fetched body in the ``body`` binary column — the K1/K2/K3 file sink's
+    actual payload (reference ``crawler.go:194-229`` ``io.Copy``s the
+    response body to ``downloadDir/basename``). Off by default: the bytes
+    then ride the round's localCheckpoint, which is exactly what a crawl
+    that only needs the manifest should not pay for."""
 
     def gen(batches):
         for pdf in batches:
@@ -299,9 +308,10 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
             lgeo: list = []
             titles: list = []
             texts: list = []
+            bodies: list = []
 
             def emit(u, s, d, kind, l_url=None, l_pos=None, l_geo=None,
-                     title=None, text=None):
+                     title=None, text=None, body=None):
                 urls.append(u)
                 seqs.append(s)
                 depths.append(d)
@@ -311,6 +321,7 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
                 lgeo.append(l_geo)
                 titles.append(title)
                 texts.append(text)
+                bodies.append(body)
 
             col_url = pdf["url"]
             col_seq = pdf["seq"]
@@ -324,7 +335,12 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
                 u = col_url.iloc[ridx]
                 ct = col_ct.iloc[ridx]
                 if ct in geo_mime_types:
-                    emit(u, col_seq.iloc[ridx], col_depth.iloc[ridx], 0)
+                    dl_body = None
+                    if carry_download_bytes:
+                        raw = col_html.iloc[ridx]
+                        dl_body = None if raw is None else bytes(raw)
+                    emit(u, col_seq.iloc[ridx], col_depth.iloc[ridx], 0,
+                         body=dl_body)
                     continue
                 depth = col_depth.iloc[ridx]
                 h = col_html.iloc[ridx]
@@ -352,6 +368,7 @@ def extract_round_outputs(fetched, geo_mime_types, max_depth: int,
                     "link_is_geo": lgeo,
                     "title": pd.Series(titles, dtype="object"),
                     "text": pd.Series(texts, dtype="object"),
+                    "body": pd.Series(bodies, dtype="object"),
                 }
             )
 

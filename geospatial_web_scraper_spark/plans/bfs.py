@@ -66,7 +66,7 @@ LINEAGE_SCHEMA = (
 @dataclass
 class CrawlRun:
     trace: DataFrame  # seq,url,depth,parent_url,round,host — the golden trace
-    downloads: DataFrame  # url — terminal geo-MIME fetches (F7 branch)
+    downloads: DataFrame  # url [, body] — terminal geo-MIME fetches (F7/K1)
     texts: DataFrame | None  # url,title,text — byte-identical invariant surface
     lineage: DataFrame  # per round/partition metrics
     rounds: int
@@ -89,6 +89,7 @@ class CrawlEngine:
         max_rounds: int = 64,
         broadcast_fetch_limit: int = 1_000_000,
         feeds: DataFrame | None = None,  # offline xml_docs(url, xml) for C10
+        download_bytes: bool = False,  # K1: carry fetched bodies into downloads
     ):
         self.spark = spark
         # column-prune the scan once; Catalyst pushes this into parquet/Iceberg
@@ -103,6 +104,7 @@ class CrawlEngine:
         self.max_rounds = max_rounds
         self.broadcast_fetch_limit = broadcast_fetch_limit
         self.feeds = feeds
+        self.download_bytes = download_bytes
 
     # ------------------------------------------------------------------ API
     def run(self, seeds: DataFrame) -> CrawlRun:
@@ -327,8 +329,10 @@ class CrawlEngine:
             round_out = extract_round_outputs(
                 fetched, GEO_MIME_TYPES, self.max_depth,
                 collect_text=fuse_text,
+                carry_download_bytes=self.download_bytes,
             ).localCheckpoint(eager=True)
-            downloads_r = round_out.filter(F.col("kind") == 0).select("url")
+            dl_cols = ["url", "body"] if self.download_bytes else ["url"]
+            downloads_r = round_out.filter(F.col("kind") == 0).select(*dl_cols)
             download_parts.append(downloads_r)
 
             if fuse_text:
@@ -436,10 +440,13 @@ class CrawlEngine:
         spark = self.spark
         empty_trace = spark.createDataFrame([], TRACE_SCHEMA)
         trace = reduce(DataFrame.unionByName, trace_parts, empty_trace)
+        dl_schema = (
+            "url string, body binary" if self.download_bytes else "url string"
+        )
         downloads = reduce(
             DataFrame.unionByName,
             download_parts,
-            spark.createDataFrame([], "url string"),
+            spark.createDataFrame([], dl_schema),
         )
         texts = (
             reduce(

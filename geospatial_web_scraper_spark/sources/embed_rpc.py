@@ -25,6 +25,8 @@ pattern, ``crawler2_test.go:80-112``).
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
 import urllib.request
 
 import pandas as pd
@@ -33,16 +35,39 @@ from pyspark.sql import types as T
 
 EMBED_TYPE = T.ArrayType(T.DoubleType())
 BATCH_SIZE = 50  # api.go:179
+RETRIES = 3  # transient-failure retries per batch POST
+BACKOFF_S = 0.2  # exponential base: 0.2, 0.4, 0.8
 
 
-def _post_batch(endpoint: str, texts: list[str], timeout: float) -> list:
-    """One ``GetBatchedEmbeddings`` call (api.go:22-49)."""
+def _post_batch(
+    endpoint: str,
+    texts: list[str],
+    timeout: float,
+    retries: int = RETRIES,
+    backoff_s: float = BACKOFF_S,
+) -> list:
+    """One ``GetBatchedEmbeddings`` call (api.go:22-49), with bounded
+    exponential-backoff retry on transient failures (HTTP 5xx / URL or
+    socket errors) so one flaky 500 doesn't fail the whole Spark stage.
+    4xx responses are permanent and raise immediately."""
     payload = json.dumps({"texts": texts}).encode("utf-8")
-    req = urllib.request.Request(
-        endpoint, data=payload, headers={"Content-Type": "application/json"}
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return json.loads(resp.read().decode("utf-8"))["embeddings"]
+    attempt = 0
+    while True:
+        req = urllib.request.Request(
+            endpoint, data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))["embeddings"]
+        except urllib.error.HTTPError as e:
+            if e.code < 500 or attempt >= retries:
+                raise
+        except (urllib.error.URLError, OSError):
+            if attempt >= retries:
+                raise
+        time.sleep(backoff_s * (2 ** attempt))
+        attempt += 1
 
 
 def rpc_embed(
@@ -59,7 +84,15 @@ def rpc_embed(
     Executor-side fan-out: each partition issues its own sequence of POSTs
     (ceil(rows/batch_size) per Arrow batch), so RPC concurrency ==
     partition count — the Spark analog of the reference's single consumer
-    goroutine, times the cluster. No per-row Python, no driver round-trip."""
+    goroutine, times the cluster. No per-row Python, no driver round-trip.
+
+    Delivery contract: AT-LEAST-ONCE. ``_post_batch`` retries transient
+    failures with bounded backoff, and a Spark TASK retry (executor loss,
+    speculative run) re-POSTs the whole partition's batches — the service
+    must be idempotent per text, which an embedding endpoint is (same text
+    → same vector; the reference's cache makes the same assumption,
+    api.go:190-247). Plan-level double-firing is separately guarded by the
+    eager localCheckpoint in :func:`embed_with_cache`."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, EMBED_TYPE)]
     )

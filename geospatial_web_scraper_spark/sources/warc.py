@@ -11,18 +11,24 @@ shape as ``corpus.corpus_df``.
 Scale shape: Common Crawl ships ~60k gzipped WARC files of ~1 GB per
 snapshot — per-FILE parallelism is the natural partitioning (one task per
 archive, no shuffle at all; the downstream engine repartitions by URL hash
-when it needs to). Record-gzip members (the CC convention: each record its
-own gzip member, so files are splittable by member) are handled by
-member-wise decompression.
+when it needs to). Per-task memory is bounded: the gzip members (the CC
+convention puts each record in its own member) are decompressed
+INCREMENTALLY and records are parsed from the decompressed stream with an
+O(record) buffer, flushed to Arrow every ~1k rows — the ~4-5× decompressed
+archive is never materialized (the compressed bytes are, by
+``binaryFile``'s contract). True per-MEMBER task splits (several tasks per
+archive) would need a custom input format and are not implemented.
 
 Only ``WARC-Type: response`` records with an HTTP payload become pages;
 request/metadata/warcinfo records are skipped, matching how CC consumers
-read archives.
+read archives. Any ``WARC/x.y`` version line starts a record and its
+Content-Length framing is ALWAYS consumed — an unknown version or
+non-response type skips the record as a unit, so a payload line that
+merely looks like a version marker can never fabricate a record.
 """
 
 from __future__ import annotations
 
-import io
 import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
@@ -46,31 +52,100 @@ PAGES_SCHEMA = T.StructType(
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated gzip members (the per-record CC convention) → raw bytes."""
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data))
-        out.append(d.flush())
-        data = d.unused_data
-    return b"".join(out)
+    """Concatenated gzip members → raw bytes, all at once. Test/fixture
+    helper; the ingest path streams via :func:`_iter_gzip_members`."""
+    return b"".join(_iter_gzip_members(data))
 
 
-def parse_warc_records(raw: bytes) -> Iterator[dict]:
-    """Yield dicts for each ``response`` record: url, warc_ts, status,
-    content_type, html. Pure stdlib, sequential scan driven by each
-    record's Content-Length (the only framing the spec guarantees)."""
-    buf = io.BytesIO(raw)
+def _iter_gzip_members(data: bytes, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Decompress concatenated gzip members (the per-record CC convention)
+    INCREMENTALLY: compressed input is fed in ``chunk_size`` slices and
+    decompressed output yielded as it appears, so peak memory is
+    O(chunk + largest single record), never the whole decompressed archive
+    (~4-5× a CC ``.warc.gz``)."""
+    pos = 0
+    pending = b""
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
     while True:
-        line = buf.readline()
-        if not line:
+        if pending:
+            feed, pending = pending, b""
+        elif pos < len(data):
+            feed = data[pos : pos + chunk_size]
+            pos += chunk_size
+        else:
+            tail = d.flush()
+            if tail:
+                yield tail
             return
-        if line.strip() != b"WARC/1.0":
-            continue  # skip inter-record padding / unknown versions
+        out = d.decompress(feed)
+        if out:
+            yield out
+        if d.eof:
+            # member boundary: restart on the unconsumed remainder
+            pending = d.unused_data
+            if not pending and pos >= len(data):
+                return
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+
+
+def parse_warc_stream(chunks: Iterable[bytes]) -> Iterator[dict]:
+    """Yield dicts for each ``response`` record: url, warc_ts, status,
+    content_type, html — from an iterable of decompressed byte chunks.
+    Pure stdlib, sequential scan driven by each record's Content-Length
+    (the only framing the spec guarantees). Buffered incrementally: memory
+    is O(largest record), independent of archive size.
+
+    Framing contract (ADVICE r2 fix): ANY ``WARC/x.y`` version line (1.0,
+    1.1, future) opens a record whose headers and Content-Length payload
+    are consumed as a unit; filtering (non-response types, recordless
+    padding) happens only at record granularity — a payload line equal to
+    ``WARC/1.0`` can never be misread as a record start."""
+    buf = bytearray()
+    src = iter(chunks)
+    eof = False
+
+    def _fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(src))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    def _readline() -> bytes | None:
+        while True:
+            i = buf.find(b"\n")
+            if i >= 0:
+                line = bytes(buf[: i + 1])
+                del buf[: i + 1]
+                return line
+            if not _fill():
+                if buf:
+                    line = bytes(buf)
+                    del buf[:]
+                    return line
+                return None
+
+    def _read(n: int) -> bytes:
+        while len(buf) < n and _fill():
+            pass
+        out = bytes(buf[:n])
+        del buf[:n]
+        return out
+
+    while True:
+        line = _readline()
+        if line is None:
+            return
+        if not line.strip().startswith(b"WARC/"):
+            continue  # inter-record padding
         headers: dict[str, str] = {}
         while True:
-            h = buf.readline()
-            if not h or h in (b"\r\n", b"\n"):
+            h = _readline()
+            if h is None or h in (b"\r\n", b"\n"):
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
@@ -81,7 +156,8 @@ def parse_warc_records(raw: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", "0"))
         except ValueError:
             length = 0
-        block = buf.read(length)
+        # ALWAYS consume the payload — framing is per-record, filters below
+        block = _read(length)
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")
@@ -121,9 +197,22 @@ def parse_warc_records(raw: bytes) -> Iterator[dict]:
         }
 
 
+def parse_warc_records(raw: bytes) -> Iterator[dict]:
+    """Whole-buffer convenience wrapper over :func:`parse_warc_stream`
+    (tests, fixtures, small archives)."""
+    yield from parse_warc_stream([raw])
+
+
+_FLUSH_ROWS = 1000  # rows per Arrow batch out of the WARC parser
+
+
 def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read ``*.warc`` / ``*.warc.gz`` files under ``path`` into the pages
-    shape (plus a ``host`` column). One task per archive file."""
+    shape (plus a ``host`` column). One task per archive file; records are
+    streamed (member-wise gzip decompression → incremental record parse →
+    ~1k-row Arrow flushes), so a task holds the compressed file bytes
+    (binaryFile's contract) plus O(batch) rows — never the decompressed
+    archive."""
     files = spark.read.format("binaryFile").load(path)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,19 +220,31 @@ def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 if str(fpath).endswith(".gz"):
-                    raw = _gunzip_members(raw)
-                recs = list(parse_warc_records(raw))
-                if recs:
-                    yield pd.DataFrame(recs)
+                    chunks: Iterable[bytes] = _iter_gzip_members(raw)
+                else:
+                    chunks = (
+                        raw[i : i + (1 << 20)]
+                        for i in range(0, len(raw), 1 << 20)
+                    )
+                rows: list[dict] = []
+                for rec in parse_warc_stream(chunks):
+                    rows.append(rec)
+                    if len(rows) >= _FLUSH_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
 
     pages = files.select("path", "content").mapInPandas(gen, PAGES_SCHEMA)
     return pages.withColumn("host", url_host(F.col("url")))
 
 
 def warc_bytes(records: Iterable[tuple[str, str, int, str, bytes]],
-               gzip_members: bool = False) -> bytes:
+               gzip_members: bool = False, version: str = "1.0") -> bytes:
     """Serialize (url, iso_ts, status, content_type, body) tuples to WARC —
-    the round-trip twin of :func:`parse_warc_records` (tests + fixtures)."""
+    the round-trip twin of :func:`parse_warc_records` (tests + fixtures).
+    ``version`` writes a different ``WARC/x.y`` marker (spec-permitted, and
+    real writers emit 1.1) to exercise the version-agnostic framing."""
     import gzip as _gzip
 
     out = []
@@ -153,7 +254,7 @@ def warc_bytes(records: Iterable[tuple[str, str, int, str, bytes]],
             + body
         )
         rec = (
-            b"WARC/1.0\r\n"
+            f"WARC/{version}\r\n".encode()
             + f"WARC-Type: response\r\n"
               f"WARC-Target-URI: {url}\r\n"
               f"WARC-Date: {iso_ts}\r\n"

@@ -43,6 +43,10 @@ def main() -> None:
                     help="after the crawl, fold per-round snapshots into "
                          "one base (O(1) restart cost on long crawls)")
     ap.add_argument("--collect-text", action="store_true")
+    ap.add_argument("--download-bytes", action="store_true",
+                    help="materialize fetched bodies for geo-MIME downloads "
+                         "(K1 file sink): downloads/ gets (url, filename, "
+                         "body) instead of the manifest only")
     ap.add_argument("--feeds", help="offline xml feed parquet (url, xml) — "
                     "folds RSS/Atom titles/descriptions into collected text")
     ap.add_argument("--scheduler", choices=["fifo", "priority"], default="fifo")
@@ -116,11 +120,23 @@ def main() -> None:
         scheduler=scheduler,
         max_rounds=args.max_rounds,
         feeds=spark.read.parquet(args.feeds) if args.feeds else None,
+        download_bytes=args.download_bytes,
     )
     run = eng.resume() if args.resume else eng.run(seeds)
 
+    from pyspark.sql import functions as F
+
+    from geospatial_web_scraper_spark.functions.urls import (
+        filename_for_download,
+    )
+
     run.trace.write.mode("overwrite").parquet(f"{args.output}/trace")
-    run.downloads.write.mode("overwrite").parquet(f"{args.output}/downloads")
+    # K1 sink: url + path.Base filename (+ fetched body bytes with
+    # --download-bytes — the reference's downloadDir/basename file content)
+    dl = run.downloads.withColumn(
+        "filename", filename_for_download(F.col("url"))
+    )
+    dl.write.mode("overwrite").parquet(f"{args.output}/downloads")
     run.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
     if run.texts is not None:
         run.texts.write.mode("overwrite").parquet(f"{args.output}/texts")

@@ -50,6 +50,22 @@ def test_downloads_parity(engine_run, oracle_run):
     assert got == sorted(oracle_run.downloads)
 
 
+def test_download_bytes_equal_page_bodies(spark, oracle_run):
+    """K1 with download_bytes=True: the downloads branch carries the fetched
+    body, and the written bytes equal the corpus page body for every
+    geo-MIME (zip-formula) row (reference crawler.go:194-229 io.Copy)."""
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, download_bytes=True
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    got = {r["url"]: bytes(r["body"]) for r in run.downloads.collect()}
+    assert sorted(got) == sorted(oracle_run.downloads)
+    pages = corpus.pages_dict(N)
+    assert len(got) > 0
+    for url, body in got.items():
+        assert body == pages[url]["html"].encode("utf-8"), url
+
+
 def test_byte_identical_text(engine_run, oracle_run):
     got = {r["url"]: r["text"] for r in engine_run.texts.collect()}
     assert got == oracle_run.texts

@@ -73,6 +73,57 @@ def test_non_response_records_skipped():
     assert recs[0]["html"].startswith(b"<html>")
 
 
+def test_warc11_version_line_parses():
+    """ADVICE r2 (medium): WARC/1.1 (spec-permitted, emitted by real
+    writers) must parse like 1.0 — any WARC/x.y marker opens a record."""
+    raw = warc_bytes(
+        [("https://v.example/p", "2024-01-01T00:00:00Z", 200,
+          "text/html", b"<html><title>v</title></html>")],
+        version="1.1",
+    )
+    recs = list(parse_warc_records(raw))
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://v.example/p"
+    assert recs[0]["status"] == 200
+
+
+def test_version_marker_in_skipped_body_never_fabricates_record():
+    """ADVICE r2 (medium): a skipped record's payload is consumed via its
+    Content-Length framing, so a body LINE equal to 'WARC/1.0' inside a
+    non-response (or any) record can never be misread as a record start."""
+    trap_body = b"junk\r\nWARC/1.0\r\nWARC-Type: response\r\n" \
+                b"WARC-Target-URI: https://fake.example/\r\n" \
+                b"Content-Length: 0\r\n\r\n\r\n"
+    mixed = (
+        b"WARC/1.1\r\nWARC-Type: metadata\r\n"
+        + f"Content-Length: {len(trap_body)}\r\n\r\n".encode()
+        + trap_body
+        + b"\r\n\r\n"
+        + warc_bytes(
+            [("https://real.example/p", "2024-01-01T00:00:00Z", 200,
+              "text/html", b"<html><title>r</title></html>")]
+        )
+    )
+    recs = list(parse_warc_records(mixed))
+    assert [r["url"] for r in recs] == ["https://real.example/p"]
+
+
+def test_streaming_members_equal_whole_buffer(page_rows):
+    """The incremental member-wise decode (tiny chunk size to force many
+    refills) parses byte-for-byte what the whole-buffer path parses."""
+    from geospatial_web_scraper_spark.sources.warc import (
+        _iter_gzip_members,
+        parse_warc_stream,
+    )
+
+    gz = _to_warc(page_rows, gz=True)
+    streamed = list(parse_warc_stream(_iter_gzip_members(gz, chunk_size=64)))
+    whole = list(parse_warc_records(_to_warc(page_rows, gz=False)))
+    assert len(streamed) == len(whole) == N
+    for s, w in zip(streamed, whole):
+        assert s == w
+
+
 def test_warc_pages_drive_extraction(spark, page_rows, tmp_path):
     """Pages read from WARC are drop-in for the extraction kernel: link
     extraction over the WARC-sourced table equals extraction over the
