@@ -187,10 +187,20 @@ def pq_fit(
     return cb_df
 
 
+# m·k·ds literal nodes the native LUT expression may embed before Janino
+# codegen / constant-pool limits (and compile time) bite; past it the LUT is
+# built by an Arrow-batched pandas_udf on the (tiny, broadcast) query side —
+# the per-row ADC scan stays native codegen either way, only the per-QUERY
+# table construction moves.
+_LUT_LITERAL_BUDGET = 8192
+
+
 def _lut_expr(qvec: Column, cb: np.ndarray) -> Column:
     """Native ADC lookup table for one query row: lut[j][t] =
     dot(q_sub_j, codeword[j][t]) — built entirely from the codebook
-    LITERAL, so the whole thing stays in codegen."""
+    LITERAL, so the whole thing stays in codegen. Only safe for small
+    codebooks (≤ ``_LUT_LITERAL_BUDGET`` m·k·ds literals); use
+    :func:`_lut_col`, which dispatches."""
     m, k, ds = cb.shape
     return F.array(*[
         F.array(*[
@@ -207,6 +217,35 @@ def _lut_expr(qvec: Column, cb: np.ndarray) -> Column:
         ])
         for j in range(m)
     ])
+
+
+def _lut_pandas_udf(cb: np.ndarray):
+    """Arrow-batched LUT builder for codebooks too large to embed as
+    literals (k=256-style FAISS configs): one einsum per query batch,
+    (n,m,ds)×(m,k,ds)→(n,m,k). Runs only on the broadcast query side —
+    n = |queries|, so the Python cost is per-query, never per-corpus-row."""
+    m, k, ds = cb.shape
+    cbm = np.ascontiguousarray(cb, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def lut(qvecs: pd.Series) -> pd.Series:
+        q = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in qvecs]
+        ).reshape(len(qvecs), m, ds)
+        luts = np.einsum("njd,jtd->njt", q, cbm)
+        return pd.Series([[row.tolist() for row in l] for l in luts])
+
+    return lut
+
+
+def _lut_col(qvec: Column, cb: np.ndarray) -> Column:
+    """ADC LUT for one query row — native codegen expression when the
+    codebook is small enough to embed, pandas_udf past the literal budget
+    (ADVICE r2: m·k·ds ≈ 32k literal nodes breaks Janino)."""
+    m, k, ds = cb.shape
+    if m * k * ds <= _LUT_LITERAL_BUDGET:
+        return _lut_expr(qvec, cb)
+    return _lut_pandas_udf(cb)(qvec)
 
 
 def adc_score_expr(codes: Column, lut: Column) -> Column:
@@ -240,7 +279,7 @@ def ann_pq_topk(
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        _lut_expr(F.col(vec_col), cb).alias("_lut"),
+        _lut_col(F.col(vec_col), cb).alias("_lut"),
     )
     # only (query_id, corpus_id, adc) flows into the top-k shuffle — the
     # query vector is re-attached AFTER the rank cut (broadcast join with
@@ -330,7 +369,7 @@ def ann_ivf_pq_topk(
         query_id,
         centroid_id,
         "_qv",
-        _lut_expr(F.col("_qv"), cb).alias("_lut"),
+        _lut_col(F.col("_qv"), cb).alias("_lut"),
     )
     coded_cells = codes.join(cells, corpus_id)
     scored = coded_cells.where(F.col("codes").isNotNull()).join(

@@ -20,6 +20,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .drain import await_drained
 from ..plans.bfs import CrawlEngine
 from ..plans.store import SnapshotStore
 
@@ -55,7 +56,7 @@ def run_crawl_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_drained(q, timeout_s)
 
 
 def stitched_trace(spark: SparkSession, store_dir: str) -> DataFrame:

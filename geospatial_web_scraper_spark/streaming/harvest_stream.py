@@ -35,6 +35,8 @@ from pyspark.sql.window import Window
 
 from ..operators.extract import extract_meta_udf
 
+from .drain import await_drained
+
 
 def meta_table_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "meta")
@@ -101,7 +103,9 @@ def make_harvest_sink(
                 gate = gate & (
                     quality_score_expr(F.col("description")) >= min_quality
                 )
-        meta = meta.withColumn("kept", gate)
+        # NULL description => NULL gate; coalesce so kept is strictly
+        # boolean (the docstring contract: gated-out URLs land kept=false)
+        meta = meta.withColumn("kept", F.coalesce(gate, F.lit(False)))
         (
             meta.withColumn("epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
@@ -131,7 +135,7 @@ def run_harvest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_drained(q, timeout_s)
 
 
 def harvest_table(spark, out_dir: str) -> DataFrame:

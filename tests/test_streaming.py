@@ -230,6 +230,55 @@ def test_harvest_stream_parity_and_replay(spark, tmp_path):
     assert allrows.where(~F.col("kept")).count() == N - got_g.count()
 
 
+def test_harvest_gate_null_description_is_kept_false(spark, tmp_path):
+    """A page with no meta description makes the language/quality gate
+    evaluate NULL; kept must coalesce to strict False (ADVICE r2) so
+    ``~kept`` accounting works and the docstring contract holds."""
+    from geospatial_web_scraper_spark.streaming.harvest_stream import (
+        make_harvest_sink,
+    )
+
+    df = spark.createDataFrame(  # NULL html (failed fetch) => NULL meta
+        [("http://a.example/x", None, 500, "text/html")],
+        "url string, html binary, status int, content_type string",
+    )
+    out = str(tmp_path / "h_null")
+    make_harvest_sink(out, languages=("en",))(df, 0)
+    rows = spark.read.parquet(out + "/meta").collect()
+    assert len(rows) == 1
+    assert rows[0]["description"] is None
+    assert rows[0]["kept"] is False  # strictly boolean, never NULL
+
+
+def test_await_drained_raises_and_stops_on_timeout():
+    """awaitTermination(timeout) returning False must stop the query and
+    raise — callers must never read a half-drained table (ADVICE r2)."""
+    import pytest
+
+    from geospatial_web_scraper_spark.streaming.drain import await_drained
+
+    class FakeQuery:
+        name, id = "fq", "deadbeef"
+
+        def __init__(self, drained):
+            self._drained = drained
+            self.stopped = False
+
+        def awaitTermination(self, timeout_s=None):
+            return self._drained
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(True)
+    await_drained(ok, 1.0)
+    assert not ok.stopped
+    slow = FakeQuery(False)
+    with pytest.raises(TimeoutError):
+        await_drained(slow, 1.0)
+    assert slow.stopped
+
+
 def test_foreachbatch_round(spark, pages_dir):
     schema = spark.read.parquet(pages_dir).schema
     stream = spark.readStream.schema(schema).parquet(pages_dir)

@@ -398,6 +398,37 @@ def test_pq_fit_encode_adc_numpy_mirror(spark):
         assert q in rf[q]
 
 
+def test_pq_lut_pandas_fallback_matches_native(spark, monkeypatch):
+    """Past the literal budget the LUT moves to an Arrow pandas_udf on the
+    query side (ADVICE r2: k=256 codebooks blow Janino's constant pool) —
+    force the fallback and pin its ADC output byte-for-byte against the
+    native-codegen LUT path."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import pq
+
+    rng = np.random.default_rng(11)
+    n, dim, m, k = 40, 8, 4, 4
+    mat = rng.standard_normal((n, dim)).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cb_df = pq.pq_fit(emb, m=m, k=k, iters=2)
+    codes = pq.pq_encode(emb, cb_df)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    native = sorted(
+        map(tuple, pq.ann_pq_topk(codes, cb_df, queries, k=5).collect())
+    )
+    monkeypatch.setattr(pq, "_LUT_LITERAL_BUDGET", 0)
+    fallback = sorted(
+        map(tuple, pq.ann_pq_topk(codes, cb_df, queries, k=5).collect())
+    )
+    assert native == fallback
+
+
 def test_pq_compression_on_sf_embeddings(spark):
     """sf0.001 embeddings end-to-end: 64-dim float → m=4 smallint codes;
     every vector encodes, codebook is full, ADC self-query ranks the
