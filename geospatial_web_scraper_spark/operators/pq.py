@@ -20,12 +20,19 @@ Scale shape, by stage:
 * :func:`pq_encode` — one scan, no shuffle: same vectorized argmin; output
   is ``array<smallint>`` (m bytes of information per vector — a 64-dim
   float32 row shrinks 64→256:4, i.e. ×64 at m=4).
-* :func:`ann_pq_topk` — scoring is 100% JVM-side whole-stage codegen: the
-  (tiny) codebook is embedded as a literal, each broadcast query row
-  carries its ADC lookup table ``lut[m][k]`` built by a native
-  ``transform``/``slice``/``aggregate`` expression, and a coded corpus row
-  scores with ``zip_with(codes, lut, (c, row) -> row[c])`` summed — no
-  Python in the per-row hot path, no shuffle until the per-query top-k.
+* :func:`ann_pq_topk` — the per-row hot path is 100% JVM-side whole-stage
+  codegen: a coded corpus row scores with ``zip_with(codes, lut,
+  (c, row) -> row[c])`` summed — no Python per corpus row, no shuffle
+  until the per-query top-k. The per-QUERY lookup table ``lut[m][k]`` is
+  built either as a native literal expression (tiny codebooks) or by one
+  Arrow batch on the broadcast query side (``_lut_col`` dispatches on
+  ``_LUT_LITERAL_BUDGET``; outputs are bit-identical).
+* :func:`ivf_pq_encode` / ``ann_ivf_pq_topk(by_residual=True)`` — the
+  FAISS IVFPQ design proper: codes quantize the residual
+  v − centroid[cell] (one fused, shuffle-free build scan), and serving
+  adds the per-(query, probed-cell) scalar q·centroid to the ADC sum.
+  Residual codebooks spend their bits on within-cell spread, which is
+  what makes PQ able to RANK neighbors inside a cell.
 
 The corpus side reads only ``(vec_id, codes)`` — at 10^10 rows that is the
 whole point: the scan is ~m bytes/row instead of 4·dim, fits page cache,
@@ -41,7 +48,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity import cosine_expr, grouped_topk
+from .similarity import cosine_expr, dot_expr, grouped_topk
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -187,12 +194,152 @@ def pq_fit(
     return cb_df
 
 
-# m·k·ds literal nodes the native LUT expression may embed before Janino
-# codegen / constant-pool limits (and compile time) bite; past it the LUT is
-# built by an Arrow-batched pandas_udf on the (tiny, broadcast) query side —
-# the per-row ADC scan stays native codegen either way, only the per-QUERY
-# table construction moves.
-_LUT_LITERAL_BUDGET = 8192
+def _centroids_np(
+    centroids: DataFrame,
+    centroid_id: str = "cid",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Centroid table → (cids sorted asc, matrix[|C|, dim]). Like the
+    codebook, centroids are model weights (|C|·dim floats): a driver
+    collect IS the broadcast."""
+    rows = centroids.select(centroid_id, vec_col).collect()
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    order = np.argsort(cids)
+    return cids[order], mat[order]
+
+
+def residuals(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """→ (id_col, cid, vec_col = v − centroid[cid]) in ONE shuffle-free
+    scan: cell assignment (max-cosine, ties toward the smaller cid —
+    byte-identical to :func:`..similarity.ivf_assign_cells`) and residual
+    subtraction fused in a single Arrow batch against the broadcast
+    centroid matrix. Train the residual codebook on a SAMPLE of this
+    (FAISS ``by_residual``): residuals carry the within-cell signal that
+    raw-vector PQ quantizes away, which is what makes IVF-PQ rank
+    neighbors INSIDE a cell."""
+    cids, cmat = _centroids_np(centroids, centroid_id, vec_col)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    dim = cmat.shape[1]
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cid", T.LongType()),
+                T.StructField("res", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    )
+    def assign_residual(vs: pd.Series) -> pd.DataFrame:
+        out_cid = [None] * len(vs)
+        out_res = [None] * len(vs)
+        ok = vs.map(lambda v: v is not None and len(v) == dim)
+        if ok.any():
+            mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            vn = np.linalg.norm(mat, axis=1)
+            cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
+            cos /= np.maximum(cnorm[None, :], 1e-300)
+            # argmax first-index = smallest cid after the sort in
+            # _centroids_np — same tie rule as ivf_assign_cells
+            best = cos.argmax(axis=1)
+            res = mat - cmat[best]
+            for p, b, r, n in zip(
+                np.flatnonzero(ok.to_numpy()), best, res, vn
+            ):
+                if n > 0:  # zero vectors have no cell (cosine NULL contract)
+                    out_cid[p] = int(cids[b])
+                    out_res[p] = r.tolist()
+        return pd.DataFrame({"cid": out_cid, "res": out_res})
+
+    return emb.select(
+        F.col(id_col), assign_residual(F.col(vec_col)).alias("_ar")
+    ).select(
+        id_col,
+        F.col("_ar.cid").alias(centroid_id),
+        F.col("_ar.res").alias(vec_col),
+    )
+
+
+def ivf_pq_encode(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """The one-pass IVF-PQ build scan → (id_col, cid, codes).
+
+    Fuses cell assignment, residual subtraction, and PQ encoding of the
+    residual into a single Arrow batch per partition: the corpus is read
+    ONCE and nothing shuffles — both models (centroids + residual
+    codebooks) ride into the workers as numpy broadcast weights. This is
+    the index-build dataflow FAISS calls IVFPQ with ``by_residual=true``;
+    at 10^10 rows you'd follow it with a write partitioned/bucketed by
+    ``cid`` so serving probes prune at the file level."""
+    cids, cmat = _centroids_np(centroids, centroid_id, vec_col)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cb = _codebook_np(codebooks)
+    dim = cb.shape[0] * cb.shape[2]
+    if cmat.shape[1] != dim:
+        raise ValueError(
+            f"centroid dim {cmat.shape[1]} != codebook dim {dim}"
+        )
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cid", T.LongType()),
+                T.StructField("codes", T.ArrayType(T.ShortType())),
+            ]
+        )
+    )
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        out_cid = [None] * len(vs)
+        out_codes = [None] * len(vs)
+        ok = vs.map(lambda v: v is not None and len(v) == dim)
+        if ok.any():
+            mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            vn = np.linalg.norm(mat, axis=1)
+            cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
+            cos /= np.maximum(cnorm[None, :], 1e-300)
+            best = cos.argmax(axis=1)
+            codes = _argmin_codes(mat - cmat[best], cb).astype(np.int16)
+            for p, b, c, n in zip(
+                np.flatnonzero(ok.to_numpy()), best, codes, vn
+            ):
+                if n > 0:
+                    out_cid[p] = int(cids[b])
+                    out_codes[p] = c.tolist()
+        return pd.DataFrame({"cid": out_cid, "codes": out_codes})
+
+    return emb.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("_e")
+    ).select(
+        id_col,
+        F.col("_e.cid").alias(centroid_id),
+        F.col("_e.codes").alias("codes"),
+    )
+
+
+# m·k·ds literal nodes the native LUT expression may embed before the Arrow
+# path wins. Measured on this box: 1024 literals cost ~3-4 s of Janino
+# compile PER EXECUTION (uncached — the literal tree is unique per
+# codebook) vs ~0 for the pandas_udf; 2048 literals cost ~27 s. The
+# fallback is bit-identical (sequential accumulation in the same IEEE
+# order as the native fold), so the only trade is where the per-QUERY
+# table is built — the per-row ADC scan stays native codegen either way.
+_LUT_LITERAL_BUDGET = 256
 
 
 def _lut_expr(qvec: Column, cb: np.ndarray) -> Column:
@@ -232,7 +379,13 @@ def _lut_pandas_udf(cb: np.ndarray):
         q = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in qvecs]
         ).reshape(len(qvecs), m, ds)
-        luts = np.einsum("njd,jtd->njt", q, cbm)
+        # accumulate over the ds axis IN INDEX ORDER so every lut entry is
+        # the same IEEE-754 sum the native fold produces (acc=0.0; acc+=x_t
+        # for t=0..ds-1) — bit-identical outputs keep the DuckDB oracle
+        # hashes stable whichever path a codebook size selects
+        luts = np.zeros((len(qvecs), m, cbm.shape[1]), dtype=np.float64)
+        for t in range(ds):
+            luts += q[:, :, None, t] * cbm[None, :, :, t]
         return pd.Series([[row.tolist() for row in l] for l in luts])
 
     return lut
@@ -323,7 +476,7 @@ def ann_pq_topk(
 
 def ann_ivf_pq_topk(
     codes: DataFrame,
-    cells: DataFrame,
+    cells: DataFrame | None,
     centroids: DataFrame,
     codebooks: DataFrame,
     queries: DataFrame,
@@ -331,6 +484,7 @@ def ann_ivf_pq_topk(
     n_probe: int = 2,
     refine: int = 0,
     corpus: DataFrame | None = None,
+    by_residual: bool = False,
     corpus_id: str = "vec_id",
     centroid_id: str = "cid",
     query_id: str = "query_id",
@@ -342,14 +496,25 @@ def ann_ivf_pq_topk(
     ``cells`` = (corpus_id, cid) from :func:`..similarity.ann_ivf_topk`'s
     assignment (or any partitioner); ``codes`` = :func:`pq_encode` output.
     The two tables join on the id (colocate them by bucketing on it in
-    production), queries broadcast with their LUTs, and the scan touches
+    production); pass ``cells=None`` when ``codes`` already carries the
+    ``cid`` column (the fused :func:`ivf_pq_encode` output — no join at
+    all). Queries broadcast with their LUTs, and the scan touches
     ``n_probe/|C|`` of the compressed corpus — the standard 10^10-vector
     serving shape: IVF bounds the scan, PQ bounds the bytes.
+
+    ``by_residual=True`` (FAISS IVFPQ default): codes quantize the
+    RESIDUAL v − centroid[cid], so the ADC estimate of q·v decomposes as
+    q·centroid[cid] (one scalar per probed (query, cell), computed in the
+    probe stage) + LUT-sum over the residual codewords. Same per-row scan
+    cost, dramatically finer within-cell ranking — the residual codebook
+    spends its 2^bits on the spread INSIDE a cell instead of the spread of
+    the whole space.
     """
     from .similarity import cosine_expr as _cos  # noqa: F401 (refine path)
 
     cb = _codebook_np(codebooks)
     cent = centroids.select(F.col(centroid_id), F.col(vec_col).alias("_cv"))
+    probe_carry = ("_qv", "_qc") if by_residual else ("_qv",)
     probes = grouped_topk(
         queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
         .crossJoin(F.broadcast(cent))
@@ -358,26 +523,36 @@ def ann_ivf_pq_topk(
             "_qv",
             centroid_id,
             _cos(F.col("_qv"), F.col("_cv")).alias("_cs"),
+            *(
+                [dot_expr(F.col("_qv"), F.col("_cv")).alias("_qc")]
+                if by_residual
+                else []
+            ),
         ),
         query_id,
         centroid_id,
         "_cs",
         n_probe,
-        carry_cols=("_qv",),
-    ).select(query_id, "_qv", centroid_id)
+        carry_cols=probe_carry,
+    ).select(query_id, "_qv", centroid_id,
+             *(["_qc"] if by_residual else []))
     q = probes.select(
         query_id,
         centroid_id,
         "_qv",
+        *(["_qc"] if by_residual else []),
         _lut_col(F.col("_qv"), cb).alias("_lut"),
     )
-    coded_cells = codes.join(cells, corpus_id)
+    coded_cells = codes if cells is None else codes.join(cells, corpus_id)
+    adc = adc_score_expr(F.col("codes"), F.col("_lut"))
+    if by_residual:
+        adc = adc + F.col("_qc")
     scored = coded_cells.where(F.col("codes").isNotNull()).join(
         F.broadcast(q.drop("_qv")), centroid_id
     ).select(
         query_id,
         corpus_id,
-        adc_score_expr(F.col("codes"), F.col("_lut")).alias("adc"),
+        adc.alias("adc"),
     )
     # probed-cell scan → same salted two-phase reduce as ann_pq_topk: IVF
     # bounds the candidate volume, the salt bounds the per-task volume

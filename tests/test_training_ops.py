@@ -558,3 +558,76 @@ def test_ann_ivf_pq_topk(spark):
     cell_of = {r["vec_id"]: r["cid"] for r in cells.collect()}
     for r in one.collect():
         assert cell_of[r["vec_id"]] == cell_of[r["query_id"]]
+
+
+def test_ivf_pq_residual_encode_and_serve(spark):
+    """FAISS-style by_residual IVF-PQ: the fused one-pass ivf_pq_encode
+    (a) assigns cells byte-identically to ivf_assign_cells, (b) encodes
+    the residual v − centroid[cid] such that ADC == q·centroid + Σ_j
+    q_sub_j·codeword_j (numpy mirror), and (c) with all cells probed and
+    full refine the served top-k equals brute force."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import pq
+
+    rng = np.random.default_rng(17)
+    protos = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(45):
+        v = protos[i % 3] + rng.standard_normal(8) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent = similarity.kmeans_fit(emb, k=3, iters=3)
+    res = pq.residuals(emb, cent)
+    cb = pq.pq_fit(res.select("vec_id", "embedding"), m=4, k=8, iters=2)
+    coded = pq.ivf_pq_encode(emb, cent, cb)
+
+    # (a) cell parity with the oracle-checked assignment
+    want_cells = {
+        r["vec_id"]: r["cid"]
+        for r in similarity.ivf_assign_cells(emb, cent).collect()
+    }
+    got = {r["vec_id"]: (r["cid"], list(r["codes"])) for r in coded.collect()}
+    assert {v: c for v, (c, _) in got.items()} == want_cells
+
+    # (a') residuals() agrees with encode on cid and subtracts the centroid
+    cmat = {r["cid"]: np.array(r["embedding"]) for r in cent.collect()}
+    vmat = {i: np.array(v) for i, v in rows}
+    for r in res.collect():
+        assert r["cid"] == want_cells[r["vec_id"]]
+        assert np.allclose(
+            np.array(r["embedding"]),
+            vmat[r["vec_id"]] - cmat[r["cid"]],
+            atol=1e-9,
+        )
+
+    # (b) ADC mirror: adc(q, v) = q·centroid[cid_v] + Σ_j q_subj·cw[j][code]
+    cbnp = pq._codebook_np(cb)
+    m, _, ds = cbnp.shape
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = pq.ann_ivf_pq_topk(
+        coded, None, cent, cb, queries, k=45, n_probe=3, by_residual=True
+    )
+    for r in served.collect():
+        q = vmat[r["query_id"]]
+        cid, code = got[r["vec_id"]]
+        want = float(q @ cmat[cid]) + sum(
+            float(q[j * ds:(j + 1) * ds] @ cbnp[j, code[j]]) for j in range(m)
+        )
+        assert abs(r["adc"] - round(want, 6)) < 1e-6, (r, want)
+
+    # (c) all-probe + full refine == brute force
+    full = pq.ann_ivf_pq_topk(
+        coded, None, cent, cb, queries, k=5, n_probe=3, refine=45,
+        corpus=emb, by_residual=True,
+    )
+    brute = similarity.ann_bruteforce_topk(emb, queries, k=5)
+    fa, ba = {}, {}
+    for r in full.collect():
+        fa.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in brute.collect():
+        ba.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert fa == ba
