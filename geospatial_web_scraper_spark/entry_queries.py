@@ -837,6 +837,38 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ serving end-to-end (FAISS ``by_residual``,
+    operators/pq.py): deterministic centroids (the 4 smallest vec_ids),
+    residuals v − centroid[argmax-cosine cell], an init-only residual
+    codebook (``iters=0`` → codeword[j][t] = residual-subvector j of the
+    (t+1)-smallest vec_id), ONE fused shuffle-free ``ivf_pq_encode`` scan
+    emitting (vec_id, cid, codes), then a 2-probe serve where the ADC
+    score is q·centroid[cid] (probe-stage scalar) + the LUT fold over
+    residual codewords. The DuckDB oracle replays assignment, residual
+    construction, encoding, probing and the score decomposition
+    value-for-value; the fixed-order sum ``(((l0+l1)+l2)+l3)+qc`` matches
+    Spark's sequential fold + offset add exactly. Lloyd-trained residual
+    codebooks and exact refine are pytest-pinned against brute force
+    (tests/test_training_ops.py::test_ivf_pq_residual_encode_and_serve)."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq.residuals(emb, cent)
+    cb = pq.pq_fit(res.select("vec_id", "embedding"), m=4, k=16, iters=0)
+    coded = pq.ivf_pq_encode(emb, cent, cb)
+    out = pq.ann_ivf_pq_topk(
+        coded, None, cent, cb, queries, k=5, n_probe=2, by_residual=True
+    )
+    return out.select(
+        "query_id", "vec_id", "adc", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the 4th dedup family): pairs with
     cosine ≥ 0.4 among LSH bucket collisions — the blocked equi-join form
@@ -1295,6 +1327,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "crawl_bfs_seen_bloom": q_crawl_bfs_seen_bloom,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    # r3: residual IVF-PQ serving (FAISS by_residual) — the compressed
+    # serving path's dedicated oracle row; ann_pq_adc (first 50) covers the
+    # raw-vector ADC scan, this covers cell assignment + residual encode +
+    # probe-offset scoring
+    "ann_ivf_pq_residual": q_ann_ivf_pq_residual,
     # TPC-H-style scale-pattern showcases (plan shapes pinned in pytest)
     "q1_lineitem_agg": q_q1_lineitem_agg,
     "q3_topk_join": q_q3_topk_join,
@@ -1991,6 +2028,81 @@ parts AS (SELECT l.query_id, e.vec_id,
           FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.code = e.code
           GROUP BY 1, 2),
 adc AS (SELECT query_id, vec_id, ((l0 + l1) + l2) + l3 AS adc FROM parts),
+r AS (SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rank
+      FROM adc)
+SELECT query_id, vec_id, round(adc, 6) AS adc, rank FROM r WHERE rank <= 5
+"""
+
+# ann_ivf_pq_residual: replay residual IVF-PQ (FAISS by_residual)
+# value-for-value — centroids = the 4 smallest vec_ids; cell = argmax
+# cosine (ties toward the smaller cid); residual rv = v − cv elementwise;
+# init-only residual codebook (codeword[j][t] = residual-subvector j of
+# the (t+1)-smallest vec_id); encode by the same -2·x·c + ||c||² ranking;
+# probe the 2 max-cosine cells per query carrying qc = q·cv; ADC =
+# (((l0+l1)+l2)+l3) + qc, matching Spark's sequential fold + offset add.
+ORACLES["ann_ivf_pq_residual"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+cosms AS (SELECT b.vec_id, c.cid,
+                 list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+          FROM base b, cent c
+          WHERE list_dot_product(b.v, b.v) > 0),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, cid) AS rn
+             FROM cosms) WHERE rn = 1),
+res AS (SELECT b.vec_id, a.cid,
+               [b.v[i] - c.cv[i] for i in range(1, 65)] AS rv
+        FROM base b JOIN assign a USING (vec_id) JOIN cent c USING (cid)),
+ids AS (SELECT vec_id, rv, row_number() OVER (ORDER BY vec_id) AS r
+        FROM res),
+cw AS (SELECT u.j AS sub_id, r - 1 AS code,
+              rv[u.j*16 + 1 : u.j*16 + 16] AS codeword
+       FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS j) u
+       WHERE r <= 16),
+sub AS (SELECT vec_id, u.j AS sub_id, rv[u.j*16 + 1 : u.j*16 + 16] AS sv
+        FROM res, LATERAL (SELECT unnest(range(0, 4)) AS j) u),
+dist AS (SELECT s.vec_id, s.sub_id, c.code,
+                -2 * list_dot_product(s.sv, c.codeword)
+                  + list_dot_product(c.codeword, c.codeword) AS d
+         FROM sub s JOIN cw c ON c.sub_id = s.sub_id),
+enc AS (SELECT vec_id, sub_id, code FROM (
+          SELECT vec_id, sub_id, code,
+                 row_number() OVER (PARTITION BY vec_id, sub_id
+                                    ORDER BY d, code) AS rn
+          FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 3),
+probes AS (SELECT query_id, cid, qc FROM (
+             SELECT q.query_id, c.cid,
+                    list_dot_product(q.qv, c.cv) AS qc,
+                    row_number() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY list_dot_product(q.qv, c.cv)
+                                 / (sqrt(list_dot_product(q.qv, q.qv))
+                                    * sqrt(list_dot_product(c.cv, c.cv)))
+                               DESC, c.cid) AS rn
+             FROM q, cent c) WHERE rn <= 2),
+lut AS (SELECT q.query_id, c.sub_id, c.code,
+               list_dot_product(q.qv[c.sub_id*16 + 1 : c.sub_id*16 + 16],
+                                c.codeword) AS l
+        FROM q, cw c),
+parts AS (SELECT l.query_id, e.vec_id,
+                 sum(CASE WHEN e.sub_id = 0 THEN l.l END) AS l0,
+                 sum(CASE WHEN e.sub_id = 1 THEN l.l END) AS l1,
+                 sum(CASE WHEN e.sub_id = 2 THEN l.l END) AS l2,
+                 sum(CASE WHEN e.sub_id = 3 THEN l.l END) AS l3
+          FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.code = e.code
+          GROUP BY 1, 2),
+adc AS (SELECT pa.query_id, pa.vec_id,
+               (((l0 + l1) + l2) + l3) + p.qc AS adc
+        FROM parts pa
+        JOIN assign a ON a.vec_id = pa.vec_id
+        JOIN probes p ON p.query_id = pa.query_id AND p.cid = a.cid),
 r AS (SELECT query_id, vec_id, adc,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY adc DESC, vec_id) AS rank
