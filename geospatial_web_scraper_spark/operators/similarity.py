@@ -20,8 +20,10 @@ ANN search (a 100 TB training-pipeline primitive, beyond the reference):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -292,33 +294,52 @@ def kmeans_fit(
     table :func:`ann_ivf_topk` takes as input. → (cid, embedding).
 
     Per iteration: one corpus scan assigns each vector to its max-cosine
-    centroid (broadcast nested-loop against k rows — no shuffle of
-    vectors), then new centroids are elementwise means via posexplode →
-    groupBy(cid, dim) — one shuffle of (cid, dim, value) scalars, never of
-    whole vectors. Deterministic by construction: init = the k smallest
-    ids, ties broken toward the smaller centroid id, empty cells keep their
-    previous centroid. At 10^10 vectors this is the standard pattern: k is
-    thousands (still broadcastable), and the per-iteration cost is one scan
-    + one scalar-triple shuffle."""
+    centroid — a per-row Arrow-vectorized numpy argmax against the
+    centroid matrix carried as broadcast model weights, so assignment
+    SHUFFLES NOTHING (no groupBy, no join; the r2 form's
+    ``groupBy(id, vector)`` argmax exchanged every vector once per
+    iteration) — then new centroids are elementwise means via posexplode
+    → groupBy(cid, dim): one shuffle of (cid, dim, value) scalars, never
+    of whole vectors. Deterministic by construction: init = the k
+    smallest ids, ties broken toward the smaller centroid id (numpy
+    argmax first-index over cid-sorted rows), zero-norm vectors are
+    unassigned (the cosine NULL contract), empty cells keep their
+    previous centroid. At 10^10 vectors this is the standard pattern: k
+    is thousands (still driver-collectable model weights), and the
+    per-iteration cost is one scan + one scalar-triple shuffle."""
     cent = emb.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("embedding")
     ).localCheckpoint(eager=True)
     base = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).localCheckpoint()
     for _ in range(iters):
-        c = cent.select(F.col("cid"), F.col("embedding").alias("_cv"))
-        assigned = (
-            base.crossJoin(F.broadcast(c))
-            .select(
-                id_col,
-                "_v",
-                "cid",
-                cosine_expr(F.col("_v"), F.col("_cv")).alias("_s"),
-            )
-            .filter(F.col("_s").isNotNull())
-            .groupBy(id_col, "_v")
-            .agg(F.max(F.struct(F.col("_s"), (-F.col("cid")).alias("_nc"))).alias("_m"))
-            .select(id_col, "_v", (-F.col("_m._nc")).alias("cid"))
+        rows = cent.orderBy("cid").collect()
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        cmat = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
         )
+        cnorm = np.linalg.norm(cmat, axis=1)
+        dim = cmat.shape[1]
+
+        @F.pandas_udf(T.LongType())
+        def assign(vs: pd.Series) -> pd.Series:
+            out = [None] * len(vs)
+            ok = vs.map(lambda v: v is not None and len(v) == dim)
+            if ok.any():
+                mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                vn = np.linalg.norm(mat, axis=1)
+                cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
+                cos /= np.maximum(cnorm[None, :], 1e-300)
+                best = cos.argmax(axis=1)
+                for p, b, n in zip(np.flatnonzero(ok.to_numpy()), best, vn):
+                    if n > 0:
+                        out[p] = int(cids[b])
+            return pd.Series(out, dtype="object")
+
+        assigned = base.select(
+            id_col, "_v", assign(F.col("_v")).alias("cid")
+        ).where(F.col("cid").isNotNull())
         dims = assigned.select(
             "cid", F.posexplode(F.col("_v")).alias("_d", "_x")
         )
