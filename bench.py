@@ -98,9 +98,10 @@ def ivf_pq_serving_bench(spark, cores: int) -> dict:
     centroids + RESIDUAL PQ codebooks (FAISS by_residual) on a ~4k sample,
     then ONE fused shuffle-free scan (ivf_pq_encode) emits (id, cid,
     codes). Serve = probe n_probe cells, ADC-score only their 96-bit
-    codes, exact-refine the top-100."""
+    codes, exact-refine the top-400
+    (0.4% of the corpus per query — the standard rerank ratio)."""
     n = int(os.environ.get("BENCH_SERVING_N", "100000"))
-    dim, n_gen, nlist, m, k_pq, refine = 32, 64, 128, 16, 64, 100
+    dim, n_gen, nlist, m, k_pq, refine = 32, 64, 128, 16, 64, 400
     emb = synth_clustered_vectors(
         spark, n, dim, n_clusters=n_gen, noise=0.6, parts=cores * 2
     ).localCheckpoint()
