@@ -474,6 +474,38 @@ def ann_pq_topk(
     ).select(query_id, corpus_id, "adc", "score", "rank")
 
 
+def write_ivf_pq_index(
+    coded: DataFrame, path: str, centroid_id: str = "cid"
+) -> None:
+    """Materialize the fused :func:`ivf_pq_encode` output partitioned by
+    cell. This is the claim "probes prune at the file level" made
+    executable: the directory layout is ``cid=<c>/``, so a serving read
+    that filters on the probed cells never opens the other cells' files —
+    at 10^10 codes the scan cost is ``n_probe/nlist`` of the index BY
+    CONSTRUCTION of the storage, not by a post-scan filter."""
+    coded.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
+
+
+def load_ivf_pq_cells(
+    spark,
+    path: str,
+    cids: list[int] | None = None,
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """Read the partitioned index, optionally pruned to ``cids`` — the
+    filter is a partition predicate (``PartitionFilters`` in the physical
+    plan; pinned by tests/test_scale_plan.py), so only the probed cells'
+    files are listed and read. Feed the result to
+    :func:`ann_ivf_pq_topk` as ``codes`` with ``cells=None``."""
+    df = spark.read.parquet(path)
+    if cids is not None:
+        df = df.where(F.col(centroid_id).isin([int(c) for c in cids]))
+    return df.select(
+        *[c for c in df.columns if c != centroid_id],
+        F.col(centroid_id).cast("long").alias(centroid_id),
+    )
+
+
 def ann_ivf_pq_topk(
     codes: DataFrame,
     cells: DataFrame | None,
