@@ -22,10 +22,7 @@ def await_drained(q: StreamingQuery, timeout_s: float) -> None:
     """
     if q.awaitTermination(timeout_s):
         return
-    try:
-        q.stop()
-    finally:
-        pass
+    q.stop()
     raise TimeoutError(
         f"streaming query {q.name or q.id} did not drain within "
         f"{timeout_s}s; stopped to prevent background commits"

@@ -631,3 +631,49 @@ def test_ivf_pq_residual_encode_and_serve(spark):
     for r in brute.collect():
         ba.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert fa == ba
+
+
+def test_grouped_topk_property_vs_reference(spark):
+    """Property pin for the reducer every ANN path rides: salted and
+    unsalted grouped_topk both equal the naive per-group sort — including
+    tie handling ((-score, id) total order), NULL-score drops, and
+    carry-column passthrough — on arbitrary small inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    row_st = st.tuples(
+        st.integers(0, 3),                       # group
+        st.integers(0, 40),                      # id
+        st.one_of(st.none(), st.integers(-4, 4)) # score (small: forces ties)
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row_st, min_size=1, max_size=60), st.integers(1, 4))
+    def check(rows, k):
+        df = spark.createDataFrame(
+            [(g, i, float(s) if s is not None else None, g * 100 + i)
+             for g, i, s in rows],
+            "g long, id long, score double, carry long",
+        )
+        want = {}
+        best = {}
+        for g, i, s in rows:
+            if s is None:
+                continue
+            best.setdefault(g, []).append((-float(s), i))
+        for g, lst in best.items():
+            lst.sort()
+            out = []
+            for rank, (ns, i) in enumerate(lst[:k], start=1):
+                out.append((g, i, -ns, g * 100 + i, rank))
+            want[g] = out
+        expect = sorted(t for lst in want.values() for t in lst)
+        for salt in (None, "id"):
+            got = sorted(
+                map(tuple, similarity.grouped_topk(
+                    df, "g", "id", "score", k,
+                    salt_col=salt, carry_cols=("carry",),
+                ).collect())
+            )
+            assert got == expect, (salt, k, got, expect)
+
+    check()
