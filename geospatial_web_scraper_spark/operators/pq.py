@@ -48,7 +48,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity import cosine_expr, dot_expr, grouped_topk
+from .similarity import (
+    argmax_cell_kernel,
+    cosine_expr,
+    dot_expr,
+    grouped_topk,
+)
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -123,8 +128,20 @@ def pq_fit(
     mean via posexplode → groupBy(sub_id, code, dim) (scalar shuffle).
     Empty cells keep their previous codeword. In production the training
     set is a sample (``emb.sample(...)``) — PQ codebooks need ~100k rows,
-    not the corpus."""
-    dim = len(emb.select(vec_col).first()[0])
+    not the corpus.
+
+    NULL-safe (review r3): :func:`residuals` emits ``(id, cid=NULL,
+    embedding=NULL)`` for zero-norm vectors (the cosine NULL contract), and
+    the documented ``by_residual`` flow trains on that output — NULL and
+    empty rows are dropped up front, which also matches the
+    ``ann_ivf_pq_residual`` DuckDB oracle's ``norm > 0`` init filter."""
+    emb = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_fit: no non-null training vectors")
+    dim = len(first[0])
     ds = _check_dims(dim, m)
     subs = emb.select(
         F.col(id_col),
@@ -217,8 +234,10 @@ def residuals(
     centroid_id: str = "cid",
 ) -> DataFrame:
     """→ (id_col, cid, vec_col = v − centroid[cid]) in ONE shuffle-free
-    scan: cell assignment (max-cosine, ties toward the smaller cid —
-    byte-identical to :func:`..similarity.ivf_assign_cells`) and residual
+    scan: cell assignment (max-cosine, ties toward the smaller cid — the
+    same rule as :func:`..similarity.ivf_assign_cells`, via the shared
+    :func:`..similarity.argmax_cell_kernel`; see that kernel's docstring
+    for the honest IEEE near-tie caveat vs the sequential fold) and residual
     subtraction fused in a single Arrow batch against the broadcast
     centroid matrix. Train the residual codebook on a SAMPLE of this
     (FAISS ``by_residual``): residuals carry the within-cell signal that
@@ -244,12 +263,9 @@ def residuals(
             mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
                 np.float64
             )
-            vn = np.linalg.norm(mat, axis=1)
-            cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
-            cos /= np.maximum(cnorm[None, :], 1e-300)
             # argmax first-index = smallest cid after the sort in
             # _centroids_np — same tie rule as ivf_assign_cells
-            best = cos.argmax(axis=1)
+            best, vn = argmax_cell_kernel(mat, cmat, cnorm)
             res = mat - cmat[best]
             for p, b, r, n in zip(
                 np.flatnonzero(ok.to_numpy()), best, res, vn
@@ -310,10 +326,7 @@ def ivf_pq_encode(
             mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
                 np.float64
             )
-            vn = np.linalg.norm(mat, axis=1)
-            cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
-            cos /= np.maximum(cnorm[None, :], 1e-300)
-            best = cos.argmax(axis=1)
+            best, vn = argmax_cell_kernel(mat, cmat, cnorm)
             codes = _argmin_codes(mat - cmat[best], cb).astype(np.int16)
             for p, b, c, n in zip(
                 np.flatnonzero(ok.to_numpy()), best, codes, vn

@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def argmax_cell_kernel(
+    mat: np.ndarray, cmat: np.ndarray, cnorm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """THE shared cosine-argmax kernel for every broadcast-centroid
+    assignment (kmeans assign, :func:`..pq.residuals`,
+    :func:`..pq.ivf_pq_encode`): one BLAS matmul, normalization by the
+    PRODUCT of norms (the same ``dot / (|v|·|c|)`` association the native
+    ``cosine_expr`` and the DuckDB oracles use), ties toward the first
+    (= smallest-cid, rows pre-sorted) index. Returns ``(best_index,
+    vector_norms)`` — callers must drop zero-norm rows (``vn == 0``), the
+    cosine NULL contract. Centralized so the tie rule / clamping / norm
+    association can never silently diverge between the three call sites.
+
+    Honest caveat (review r3): numpy's matmul accumulates dot products in
+    BLAS order while Catalyst/DuckDB fold sequentially, so two centroids
+    whose cosines differ by ~1 ulp could in principle rank differently
+    across backends. The assignment RULE is identical; bit-parity of the
+    comparison inputs is not guaranteed by IEEE — oracle runs at both
+    test scales pass, and anything nearer than ~1e-15 relative is a
+    measure-zero tie in real embedding data."""
+    vn = np.linalg.norm(mat, axis=1)
+    cos = (mat @ cmat.T) / np.maximum(
+        vn[:, None] * cnorm[None, :], 1e-300
+    )
+    return cos.argmax(axis=1), vn
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -328,10 +355,7 @@ def kmeans_fit(
                 mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(
                     np.float64
                 )
-                vn = np.linalg.norm(mat, axis=1)
-                cos = (mat @ cmat.T) / np.maximum(vn[:, None], 1e-300)
-                cos /= np.maximum(cnorm[None, :], 1e-300)
-                best = cos.argmax(axis=1)
+                best, vn = argmax_cell_kernel(mat, cmat, cnorm)
                 for p, b, n in zip(np.flatnonzero(ok.to_numpy()), best, vn):
                     if n > 0:
                         out[p] = int(cids[b])

@@ -172,7 +172,23 @@ class CrawlEngine:
             # down the definitely-new path (false negatives)
             self.seen_filter.update(seen.select("url"))
         trace_parts = self.store.read_series("trace", last)
-        download_parts = self.store.read_series("downloads", last)
+        # reconcile stored download snapshots with the CURRENT
+        # download_bytes setting (review r3): a crawl checkpointed without
+        # bodies and resumed with --download-bytes (or vice versa) would
+        # otherwise crash the stitch-time unionByName on the missing/extra
+        # `body` column. Old url-only rounds get body=NULL (honest: their
+        # bytes were never captured); resuming without bytes drops stored
+        # bodies so the run's declared schema holds.
+        download_parts = [
+            p.withColumn("body", F.lit(None).cast("binary"))
+            if self.download_bytes and "body" not in p.columns
+            else (
+                p.select("url")
+                if not self.download_bytes and "body" in p.columns
+                else p
+            )
+            for p in self.store.read_series("downloads", last)
+        ]
         text_parts = (
             self.store.read_series("texts", last) if self.collect_text else []
         )

@@ -208,3 +208,47 @@ def test_shuffle_fetch_fallback_trace_identical(spark, engine_run):
         tuple(r[c] for c in cols) for r in engine_run.trace.select(*cols).collect()
     )
     assert got == want
+
+
+def test_resume_with_toggled_download_bytes(spark, tmp_path_factory, oracle_run):
+    """Review r3: a crawl checkpointed WITHOUT bodies then resumed with
+    download_bytes=True (and the reverse) must stitch instead of crashing
+    on the missing/extra `body` column. Old url-only rounds surface
+    body=NULL (their bytes were never captured); rounds crawled after the
+    toggle carry real bytes; resuming without bytes drops stored bodies."""
+    pages = corpus.pages_dict(N)
+
+    # url-only checkpoint -> resume WITH bytes
+    store = SnapshotStore(spark, str(tmp_path_factory.mktemp("snap_dlb")))
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400,
+        store=store, max_rounds=2,
+    )
+    eng.run(corpus.seeds_df(spark, N))
+    eng2 = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400,
+        store=store, download_bytes=True,
+    )
+    run = eng2.resume()
+    assert run.downloads.columns == ["url", "body"]
+    rows = {r["url"]: r["body"] for r in run.downloads.collect()}
+    assert sorted(rows) == sorted(oracle_run.downloads)
+    for url, body in rows.items():
+        if body is not None:  # post-toggle rounds carry the true bytes
+            assert bytes(body) == pages[url]["html"].encode("utf-8"), url
+
+    # bytes checkpoint -> resume WITHOUT bytes
+    store2 = SnapshotStore(spark, str(tmp_path_factory.mktemp("snap_dlb2")))
+    eng3 = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400,
+        store=store2, max_rounds=2, download_bytes=True,
+    )
+    eng3.run(corpus.seeds_df(spark, N))
+    eng4 = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, store=store2,
+    )
+    run2 = eng4.resume()
+    assert run2.downloads.columns == ["url"]
+    assert sorted(r["url"] for r in run2.downloads.collect()) == sorted(
+        oracle_run.downloads
+    )

@@ -677,3 +677,45 @@ def test_grouped_topk_property_vs_reference(spark):
             assert got == expect, (salt, k, got, expect)
 
     check()
+
+
+def test_pq_fit_null_safe_on_residual_output(spark):
+    """Review r3: residuals() emits (id, cid=NULL, embedding=NULL) for
+    zero-norm vectors (the cosine NULL contract), and the documented
+    by_residual flow trains pq_fit on exactly that output. pq_fit must
+    drop NULL/empty rows (matching the ann_ivf_pq_residual oracle's
+    norm>0 init filter) instead of crashing in the dim probe, the init
+    window, or the Lloyd assign np.stack."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import pq
+
+    rng = np.random.default_rng(5)
+    rows = [(0, [0.0] * 8)]  # zero vector with the SMALLEST id → would
+    # otherwise enter the k-smallest-ids init as a NULL codeword
+    for i in range(1, 30):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * 7),
+            (1, [0.0, 1.0] + [0.0] * 6),
+        ],
+        "cid long, embedding array<double>",
+    )
+    res = pq.residuals(emb, cent)
+    assert res.where(F.col("embedding").isNull()).count() == 1  # the zero row
+    cb = pq.pq_fit(res.select("vec_id", "embedding"), m=4, k=8, iters=2)
+    got = cb.collect()
+    assert len(got) == 4 * 8
+    assert all(r["codeword"] is not None for r in got)
+    # and the trained codebook round-trips through encode (no NULL codes
+    # for real vectors; the NULL residual row gets NULL codes)
+    coded = pq.pq_encode(res, cb)
+    assert coded.where(F.col("codes").isNull()).count() == 1
+    # an all-NULL training set fails loudly, not cryptically
+    empty = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        pq.pq_fit(empty, m=4, k=8, iters=0)
