@@ -1015,6 +1015,16 @@ def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (operators/packing.py): per-document token offset + chunk range
+    at 256 tokens per training sequence. The running offset is the
+    two-pass partition-prefix pattern — never a global-order window."""
+    from .operators.packing import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), budget=256)
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1339,6 +1349,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_local_supplier": q_q5_local_supplier,
     "window_topn_per_group": q_window_topn_per_group,
     "broadcast_dim_join": q_broadcast_dim_join,
+    # r3: training-shard sequence packing (concat-and-chunk placement map);
+    # appended past position 50 like the other composed/showcase rows —
+    # the pytest mirror value-checks it against the oracle below
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -2142,4 +2156,23 @@ comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
 SELECT doc_id, md5(text) AS content_hash
 FROM uniq
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE component != id)
+"""
+
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_sql_toks('text')})::BIGINT AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM t)
+SELECT doc_id, n_tok, tok_offset,
+  (tok_offset // 256)::BIGINT AS first_chunk,
+  (CASE WHEN n_tok > 0 THEN (tok_offset + n_tok - 1) // 256
+        ELSE tok_offset // 256 END)::BIGINT AS last_chunk,
+  (CASE WHEN n_tok > 0
+        THEN (tok_offset + n_tok - 1) // 256 - tok_offset // 256 + 1
+        ELSE 0 END)::BIGINT AS chunks_spanned
+FROM c
 """

@@ -220,3 +220,19 @@ def test_ivf_pq_index_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, from_disk.collect())) == sorted(
         map(tuple, in_mem.collect())
     )
+
+
+def test_pack_sequences_window_is_partition_local(spark):
+    """pack_chunks' running token offset must be the two-pass
+    partition-prefix pattern: every window in the plan is keyed by the
+    physical-partition id (_pid), never a bare SUM() OVER (ORDER BY ...)
+    global window — which would funnel the whole corpus through one
+    reducer at 10^10 documents."""
+    df = entry_mod.queries()["pack_sequences"](spark, SF)
+    plan = _plan(df)
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "_pid" in line, line
+    assert saw_window, plan

@@ -719,3 +719,44 @@ def test_pq_fit_null_safe_on_residual_output(spark):
     )
     with pytest.raises(ValueError, match="no non-null"):
         pq.pq_fit(empty, m=4, k=8, iters=0)
+
+
+def test_pack_chunks_golden_and_spanning(spark):
+    """Concat-and-chunk packing: hand-checked placement at budget=5 over
+    token counts [3, 4, 0, 7, 2] in id order → stream of 16 tokens, chunks
+    of 5. Doc 3 (offset 7, len 7) spans chunks 1-2; the empty doc occupies
+    zero chunks at its boundary offset."""
+    from geospatial_web_scraper_spark.operators.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g"),
+            (2, "   "),
+            (3, "h i j k l m n"),
+            (4, "o p"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tok"], r["tok_offset"], r["first_chunk"],
+            r["last_chunk"], r["chunks_spanned"],
+        )
+        for r in pack_chunks(docs, budget=5).collect()
+    }
+    assert got == {
+        0: (3, 0, 0, 0, 1),
+        1: (4, 3, 0, 1, 2),   # spans the chunk-0/1 boundary
+        2: (0, 7, 1, 1, 0),   # empty doc: zero chunks
+        3: (7, 7, 1, 2, 2),   # spans chunks 1-2
+        4: (2, 14, 2, 3, 2),  # tokens at 14,15 → chunk 2 then chunk 3
+    }
+    # two-pass correctness is partition-count invariant
+    got2 = {
+        r["doc_id"]: r["tok_offset"]
+        for r in pack_chunks(docs, budget=5, num_partitions=3).collect()
+    }
+    assert got2 == {i: off for i, (_, off, *_rest) in got.items()}
+    with pytest.raises(ValueError, match="positive"):
+        pack_chunks(docs, budget=0)
