@@ -1015,6 +1015,21 @@ def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission dedup (operators/dedup.py incremental_dedup):
+    batch = documents with doc_id >= 250 arriving against a committed
+    corpus of doc_id < 250 — exact-vs-corpus anti-join, first-wins within
+    batch, then LSH-band candidates verified by exact n-gram Jaccard
+    against committed docs. Same minhash family/threshold as the
+    minhash_neardup catalog query."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        docs.where(F.col("doc_id") >= 250),
+        docs.where(F.col("doc_id") < 250),
+        threshold=0.3,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing over the documents
     table (operators/packing.py): per-document token offset + chunk range
@@ -1353,6 +1368,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # appended past position 50 like the other composed/showcase rows —
     # the pytest mirror value-checks it against the oracle below
     "pack_sequences": q_pack_sequences,
+    # r3: incremental admission dedup (batch vs committed corpus)
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -2175,4 +2192,82 @@ SELECT doc_id, n_tok, tok_offset,
         THEN (tok_offset + n_tok - 1) // 256 - tok_offset // 256 + 1
         ELSE 0 END)::BIGINT AS chunks_spanned
 FROM c
+"""
+
+
+def _minhash_bands_sql(src: str = "documents") -> str:
+    """(doc_id, band_idx, band_hash) — the LSH banding of the k=16/bands=4
+    minhash signatures over any (doc_id, text) relation; formula-identical
+    to the `bands` CTE inside :func:`_minhash_pairs_sql` and to the Spark
+    side's `dedup.minhash_bands` (same md5 base hash, same affine
+    coefficient literals, same band md5)."""
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coefficients(16))
+    )
+    sig = "[" + ", ".join(f"m{i}" for i in range(16)) + "]"
+    return f"""
+SELECT doc_id, u.b AS band_idx,
+  ('0x' || substr(md5(array_to_string(
+     list_transform(sig[u.b*4 + 1 : u.b*4 + 4], h -> h::VARCHAR), ',')),
+     1, 15))::BIGINT AS band_hash
+FROM (
+  SELECT doc_id, {sig} AS sig FROM (
+    SELECT doc_id, {mins} FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (
+        SELECT doc_id, unnest(g) AS s FROM (
+          SELECT doc_id,
+            CASE WHEN len(a) >= 3
+                 THEN list_transform(range(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+                 ELSE []::VARCHAR[] END AS g
+          FROM (SELECT doc_id, {_sql_toks('text')} AS a FROM {src})))) 
+    GROUP BY doc_id)), LATERAL (SELECT unnest(range(0, 4)) AS b) u
+"""
+
+
+# batch = doc_id >= 250 vs committed corpus = doc_id < 250; bands and gram
+# sets are computed once over the whole table and filtered by the split
+# (they are per-doc deterministic) — the Spark side computes them per
+# relation, same values
+ORACLES["dedup_incremental"] = f"""
+WITH allb AS MATERIALIZED ({_minhash_bands_sql('documents')}),
+allg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(g) AS s FROM (
+    SELECT doc_id,
+      CASE WHEN len(a) >= 3
+           THEN list_transform(range(1, len(a) - 1),
+                               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+           ELSE []::VARCHAR[] END AS g
+    FROM (SELECT doc_id, {_sql_toks('text')} AS a FROM documents))),
+sz AS (SELECT doc_id, count(*) AS sz FROM allg GROUP BY doc_id),
+bh AS (SELECT doc_id, md5({_sql_norm('text')}) AS content_hash
+       FROM documents WHERE doc_id >= 250),
+ch AS (SELECT DISTINCT md5({_sql_norm('text')}) AS content_hash
+       FROM documents WHERE doc_id < 250),
+s1 AS (SELECT * FROM bh
+       WHERE content_hash NOT IN (SELECT content_hash FROM ch)),
+s2 AS (SELECT content_hash, min(doc_id) AS doc_id FROM s1
+       GROUP BY content_hash),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid
+  FROM allb nb JOIN allb cb
+    ON nb.band_idx = cb.band_idx AND nb.band_hash = cb.band_hash
+  WHERE nb.doc_id IN (SELECT doc_id FROM s2) AND cb.doc_id < 250),
+inter AS (
+  SELECT c.nid, c.cid, count(*) AS i
+  FROM cand c
+  JOIN allg gn ON gn.doc_id = c.nid
+  JOIN allg gc ON gc.doc_id = c.cid AND gc.s = gn.s
+  GROUP BY c.nid, c.cid),
+dropped AS (
+  SELECT DISTINCT i.nid
+  FROM inter i
+  JOIN sz sn ON sn.doc_id = i.nid
+  JOIN sz sc ON sc.doc_id = i.cid
+  WHERE round(i.i / (sn.sz + sc.sz - i.i), 6) >= 0.3)
+SELECT doc_id, content_hash FROM s2
+WHERE doc_id NOT IN (SELECT nid FROM dropped)
 """

@@ -111,7 +111,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -119,13 +119,13 @@ def minhash_lsh_candidates(
     bands: int = 4,
     ngram: int = 3,
 ) -> DataFrame:
-    """→ candidate near-dup pairs (id_a < id_b) from LSH band collisions.
-    The banded signature table is localCheckpoint'ed: it is tiny (k longs
-    per doc) and both sides of the self-join read it without re-deriving
-    signatures from text."""
+    """→ (id_col, band_idx, band_hash): the LSH banding of the minhash
+    signatures — the table a committed corpus PERSISTS so future batches
+    join against it instead of re-banding the corpus (see
+    :func:`incremental_dedup`)."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, ngram)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -141,7 +141,22 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band_idx", "band_hash"),
-    ).localCheckpoint()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """→ candidate near-dup pairs (id_a < id_b) from LSH band collisions.
+    The banded signature table is localCheckpoint'ed: it is tiny (k longs
+    per doc) and both sides of the self-join read it without re-deriving
+    signatures from text."""
+    banded = minhash_bands(df, text_col, id_col, k, bands, ngram).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -497,3 +512,107 @@ def keep_canonical(
         F.col("component") != F.col("id")
     ).select(F.col("id").alias(id_col))
     return docs.join(non_canonical, id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Admission filter for a continuously-ingesting corpus build: admit
+    only the genuinely-new documents of an incoming batch against an
+    already-committed corpus. → surviving (id_col, content_hash).
+
+    Three gates, cheapest first:
+
+    1. exact-vs-corpus: drop batch docs whose normalized ``content_hash``
+       is already committed — a left-anti equi-join on the hash (one
+       scalar shuffle, never the text).
+    2. exact-within-batch: first-wins per batch content hash (the crawl F1
+       policy applied to content).
+    3. near-vs-corpus: the batch survivors' minhash LSH bands equi-join the
+       corpus bands — candidates are bounded by band collisions, never
+       batch × corpus — then exact n-gram-set Jaccard verifies CANDIDATE
+       pairs only; a batch doc within ``threshold`` of any committed doc
+       is dropped.
+
+    Within-batch NEAR dups are deliberately admitted: near-dup groups need
+    canonical *selection* (:func:`minhash_neardup_pairs` →
+    :func:`connected_components` → :func:`keep_canonical`), not admission
+    filtering — run the full pipeline over the batch before calling this.
+
+    Scale shape: both corpus sides here are derived from ``corpus_docs``,
+    but at 10^10 committed docs you persist them at commit time — the
+    hash set (:func:`exact_dedup` output) and the band table
+    (:func:`minhash_bands` output) — so each batch's cost is
+    O(batch + collisions), independent of corpus size, and the committed
+    TEXT is touched only for verify candidates (a semi-join)."""
+    new_h = new_docs.select(
+        F.col(id_col),
+        F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash"),
+    )
+    corpus_h = corpus_docs.select(
+        F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash")
+    ).distinct()
+    # gate 1 + 2
+    s2 = (
+        new_h.join(corpus_h, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_hash")
+    )
+    survivors = new_docs.join(s2.select(id_col), id_col)
+    # gate 3: band-collision candidates (batch survivor, committed doc)
+    nb = minhash_bands(survivors, text_col, id_col, k, bands, ngram)
+    cb = minhash_bands(corpus_docs, text_col, id_col, k, bands, ngram).select(
+        F.col(id_col).alias("_cid"), "band_idx", "band_hash"
+    )
+    cand = (
+        nb.join(cb, ["band_idx", "band_hash"])
+        .select(F.col(id_col), F.col("_cid"))
+        .distinct()
+    )
+    # exact n-gram Jaccard on candidates only (same formula as the batch
+    # verify stage in minhash_neardup_pairs)
+    gn = survivors.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+        ).alias("g"),
+    )
+    gc = corpus_docs.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(
+            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+        ).alias("g"),
+    )
+    sz_n = gn.groupBy(id_col).agg(F.count("*").alias("_szn"))
+    sz_c = gc.groupBy("_cid").agg(F.count("*").alias("_szc"))
+    inter = (
+        cand.join(gn, id_col)
+        .join(gc, ["_cid", "g"])
+        .groupBy(id_col, "_cid")
+        .agg(F.count("*").alias("_inter"))
+    )
+    near_dropped = (
+        inter.join(sz_n, id_col)
+        .join(sz_c, "_cid")
+        .where(
+            F.round(
+                F.col("_inter")
+                / (F.col("_szn") + F.col("_szc") - F.col("_inter")).cast(
+                    "double"
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return s2.join(near_dropped, id_col, "left_anti")

@@ -760,3 +760,36 @@ def test_pack_chunks_golden_and_spanning(spark):
     assert got2 == {i: off for i, (_, off, *_rest) in got.items()}
     with pytest.raises(ValueError, match="positive"):
         pack_chunks(docs, budget=0)
+
+
+def test_incremental_dedup_golden(spark):
+    """Admission gates against a committed corpus: exact-vs-corpus (raw and
+    whitespace-variant), first-wins within batch, near-dup-vs-corpus via
+    LSH bands + n-gram Jaccard verify; empty and genuinely-new docs are
+    admitted. Within-batch near-dups are admitted by contract."""
+    text_a = (
+        "the quick brown fox jumps over the lazy dog "
+        "and then runs far away into the deep dark forest today"
+    )
+    corpus_docs = spark.createDataFrame(
+        [(0, text_a), (3, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, text_a),                               # exact dup of corpus 0
+            (2, text_a.replace("today", "tonight")),   # near dup of corpus 0
+            (4, ""),                                   # empty → admitted
+            (5, "  " + text_a.replace(" dog ", "  dog \n") + "  "),  # ws variant of 0
+            (6, "a genuinely new document with enough words to shingle"),
+            (7, "a genuinely new document with enough words to shingle"),  # batch dup of 6
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            batch, corpus_docs, threshold=0.5
+        ).collect()
+    }
+    assert got == {4, 6}
