@@ -112,3 +112,39 @@ def pack_chunks(
             .alias("chunks_spanned"),
         )
     )
+
+
+def chunk_manifest(packed: DataFrame, budget: int, id_col: str = "doc_id") -> DataFrame:
+    """Invert :func:`pack_chunks`: → (chunk_id, doc_ids, n_docs, n_tokens)
+    — the per-training-sequence work-list a shard writer consumes (which
+    documents, in order, contribute tokens to chunk c, and how many).
+
+    One explode of each doc's (first_chunk..last_chunk) span — a doc adds
+    ``chunks_spanned`` rows, so the exploded size is ~(1 + tokens/budget)·
+    docs — then a groupBy(chunk_id). Every chunk's ``n_tokens`` equals
+    ``budget`` except the final partial chunk (an invariant the tests
+    pin). Empty documents (zero chunks) do not appear in any manifest."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spans = packed.where(F.col("n_tok") > 0).select(
+        F.col(id_col),
+        F.col("tok_offset"),
+        F.col("n_tok"),
+        F.explode(
+            F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+        ).alias("chunk_id"),
+    )
+    # tokens doc d contributes to chunk c: overlap of [off, off+n) with
+    # [c·B, (c+1)·B)
+    contrib = F.least(
+        F.col("tok_offset") + F.col("n_tok"), (F.col("chunk_id") + 1) * budget
+    ) - F.greatest(F.col("tok_offset"), F.col("chunk_id") * budget)
+    return (
+        spans.withColumn("_c", contrib)
+        .groupBy("chunk_id")
+        .agg(
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.count("*").alias("n_docs"),
+            F.sum("_c").alias("n_tokens"),
+        )
+    )

@@ -793,3 +793,38 @@ def test_incremental_dedup_golden(spark):
         ).collect()
     }
     assert got == {4, 6}
+
+
+def test_chunk_manifest_inverts_packing(spark):
+    """chunk_manifest over the pack_chunks golden: every chunk holds
+    exactly `budget` tokens except the last, doc spans appear in every
+    chunk they cross, empty docs appear nowhere, and total manifest
+    tokens equal total doc tokens."""
+    from geospatial_web_scraper_spark.operators.packing import (
+        chunk_manifest,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g"),
+            (2, "   "),
+            (3, "h i j k l m n"),
+            (4, "o p"),
+        ],
+        "doc_id long, text string",
+    )
+    packed = pack_chunks(docs, budget=5)
+    got = {
+        r["chunk_id"]: (list(r["doc_ids"]), r["n_docs"], r["n_tokens"])
+        for r in chunk_manifest(packed, budget=5).collect()
+    }
+    # stream: doc0 tokens 0-2, doc1 3-6, doc3 7-13, doc4 14-15 (16 total)
+    assert got == {
+        0: ([0, 1], 2, 5),
+        1: ([1, 3], 2, 5),
+        2: ([3, 4], 2, 5),
+        3: ([4], 1, 1),   # final partial chunk
+    }
+    assert sum(t for _, _, t in got.values()) == 16
