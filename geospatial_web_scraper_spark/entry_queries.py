@@ -1030,6 +1030,46 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al., arXiv:2112.11446 §A1.1),
+    occurrence/char-counted so every formula has an exact SQL mirror:
+    duplicate-word fraction, top-2-gram character fraction, duplicate
+    3-gram fraction. Pure whole-stage-codegen expressions — no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(textstats.dup_word_frac_expr(F.col("text")), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(textstats.top_ngram_char_frac_expr(F.col("text"), 2), 6).alias(
+            "top2_char_frac"
+        ),
+        F.round(textstats.dup_ngram_frac_expr(F.col("text"), 3), 6).alias(
+            "dup3_frac"
+        ),
+    )
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (operators/dedup.py span_dedup):
+    global first-occurrence-wins over 12-token window spans, documents
+    reassembled from survivors. The first-wins decision is a map-side-
+    combining groupBy on md5(span), never a window over the span hash."""
+    return dedup.span_dedup(_docs(spark, sf_dir))
+
+
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination (operators/dedup.py decontaminate):
+    eval set = doc_id % 29 == 0, train = the rest; per train doc the count
+    and fraction of its distinct 5-grams that occur anywhere in the eval
+    set. Eval gram set is broadcast; train grams are probed map-side."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs.where(F.col("doc_id") % 29 != 0),
+        docs.where(F.col("doc_id") % 29 == 0),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing over the documents
     table (operators/packing.py): per-document token offset + chunk range
@@ -1370,6 +1410,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     # r3: incremental admission dedup (batch vs committed corpus)
     "dedup_incremental": q_dedup_incremental,
+    # r3 (continuation): Gopher repetition gates, C4 span dedup, eval-set
+    # decontamination — appended past position 50 like the other composed
+    # rows; the pytest mirror value-checks each against its oracle below
+    "quality_repetition": q_quality_repetition,
+    "dedup_spans": q_dedup_spans,
+    "decontaminate_eval": q_decontaminate_eval,
 }
 
 
@@ -2270,4 +2316,84 @@ dropped AS (
   WHERE round(i.i / (sn.sz + sc.sz - i.i), 6) >= 0.3)
 SELECT doc_id, content_hash FROM s2
 WHERE doc_id NOT IN (SELECT nid FROM dropped)
+"""
+
+
+ORACLES["quality_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_sql_toks('text')} AS a FROM documents),
+g AS (
+  SELECT doc_id, a,
+    CASE WHEN len(a) >= 2
+         THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+         ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(a) >= 3
+         THEN list_transform(range(1, len(a) - 1),
+                             i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+         ELSE []::VARCHAR[] END AS g3
+  FROM t)
+SELECT doc_id,
+  round(CASE WHEN len(a) > 0
+        THEN 1.0 - len(list_distinct(a))::DOUBLE / len(a)
+        ELSE 0.0 END, 6) AS dup_word_frac,
+  round(CASE WHEN length(array_to_string(a, ' ')) > 0 AND len(g2) > 0
+        THEN list_max(list_transform(list_distinct(g2),
+               d -> len(list_filter(g2, x -> x = d)) * length(d)))::DOUBLE
+             / length(array_to_string(a, ' '))
+        ELSE 0.0 END, 6) AS top2_char_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+        ELSE 0.0 END, 6) AS dup3_frac
+FROM g
+"""
+
+# 12-token window spans; global first occurrence = row_number() = 1 over
+# (doc_id, span_idx) per span hash — the SQL twin of the Spark side's
+# groupBy(span_hash).min(struct(doc_id, span_idx))
+ORACLES["dedup_spans"] = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM documents),
+ss AS (
+  SELECT doc_id,
+    CASE WHEN len(a) > 0
+         THEN list_transform(range(1, len(a) + 1, 12),
+                             s -> array_to_string(a[s : s + 11], ' '))
+         ELSE []::VARCHAR[] END AS sl
+  FROM toks),
+spans AS (
+  SELECT doc_id,
+    unnest(range(0, len(sl))) AS span_idx,
+    unnest(sl) AS span
+  FROM ss),
+k AS (
+  SELECT doc_id, span_idx, span,
+    row_number() OVER (PARTITION BY md5(span)
+                       ORDER BY doc_id, span_idx) AS rn
+  FROM spans)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+  sum((rn = 1)::INT)::BIGINT AS n_kept,
+  md5(coalesce(string_agg(span, ' ' ORDER BY span_idx)
+               FILTER (WHERE rn = 1), '')) AS kept_hash
+FROM k GROUP BY doc_id
+"""
+
+ORACLES["decontaminate_eval"] = f"""
+WITH g5 AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(a) >= 5
+         THEN list_transform(range(1, len(a) - 3),
+                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                     || ' ' || a[i+3] || ' ' || a[i+4])
+         ELSE []::VARCHAR[] END) AS g
+  FROM (SELECT doc_id, {_sql_toks('text')} AS a FROM documents)),
+ev AS (SELECT DISTINCT unnest(g) AS s FROM g5 WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, g FROM g5 WHERE doc_id % 29 != 0),
+ol AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(g) AS s FROM tr) t JOIN ev ON ev.s = t.s
+  GROUP BY t.doc_id)
+SELECT tr.doc_id, len(tr.g)::BIGINT AS n_grams,
+  coalesce(ol.n_overlap, 0)::BIGINT AS n_overlap,
+  round(CASE WHEN len(tr.g) > 0
+        THEN coalesce(ol.n_overlap, 0)::DOUBLE / len(tr.g)
+        ELSE 0.0 END, 6) AS contam_frac
+FROM tr LEFT JOIN ol ON ol.doc_id = tr.doc_id
 """

@@ -616,3 +616,145 @@ def incremental_dedup(
         .distinct()
     )
     return s2.join(near_dropped, id_col, "left_anti")
+
+
+# --------------------------------------------------------- span-level dedup
+def token_window_spans_expr(text: Column, span_tokens: int = 12) -> Column:
+    """Non-overlapping ``span_tokens``-token windows of a document, each
+    joined back to a string — the deterministic "sentence" proxy this
+    corpus needs (its synthetic text has no newlines or punctuation). On
+    real web text pass ``F.split(text, '\\n')`` (or a sentence splitter)
+    to :func:`span_dedup` instead; the dedup dataflow is span-agnostic."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(span_tokens)),
+            lambda start: F.array_join(F.slice(toks, start, span_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_dedup(
+    df: DataFrame,
+    spans_expr: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document span dedup (Raffel et al., JMLR'20 §2.2
+    removed any three-sentence span occurring more than once in the
+    corpus): every span occurrence except its global first — first =
+    lowest (doc id, span index) — is dropped, and each document is
+    reassembled from its surviving spans.
+
+    → one row per document with ≥1 span:
+    ``(id_col, n_spans, n_kept, kept_hash)`` where ``kept_hash`` is the md5
+    of the surviving spans joined in document order (the reassembled text's
+    identity, without re-emitting the text).
+
+    Scale shape (10^10 docs): the global first-occurrence decision is a
+    groupBy on ``md5(span)`` with map-side partial aggregation — duplicate
+    mass combines before the shuffle, so a boilerplate span repeated 10^9
+    times contributes one row per map task, not 10^9 shuffled rows (the
+    skew-safe alternative to a window over the span hash). The winners
+    table (one row per DISTINCT span) then hash-joins back; only that join
+    and the per-document reassembly shuffle span text, each exactly once.
+    AQE's skew-join split covers residual hot hashes on the probe side."""
+    if spans_expr is None:
+        spans_expr = token_window_spans_expr(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans_expr).alias("span_idx", "span")
+    ).withColumn("span_hash", F.md5("span"))
+    winners = exploded.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_first")
+    )
+    flagged = exploded.join(winners, "span_hash").withColumn(
+        "_kept",
+        (F.col(id_col) == F.col("_first")[id_col])
+        & (F.col("span_idx") == F.col("_first")["span_idx"]),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(F.col("span_idx"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )
+
+
+# ----------------------------------------------------------- decontamination
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Eval-set contamination scan (the GPT-3 appendix-C / open-LM-suite
+    n-gram decontamination): for every training document, how many of its
+    distinct word ``ngram``-grams also occur anywhere in the eval set.
+
+    → ``(id_col, n_grams, n_overlap, contam_frac)`` for EVERY training doc
+    (zero-overlap docs included, so the output is a drop-in gate:
+    ``where(contam_frac < cutoff)``).
+
+    Scale shape: the eval side collapses to its DISTINCT gram set first —
+    eval suites are a few thousand documents even when the train side is
+    10^10, so that set is explicitly ``F.broadcast``; the train grams are
+    probed map-side (never shuffled), and the only exchange is the scalar
+    per-doc overlap count."""
+    eval_grams = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    train_grams = train_docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+        ).alias("g"),
+    )
+    overlap = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = train_docs.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+        ).cast("long").alias("n_grams"),
+    )
+    return (
+        base.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contam_frac"),
+        )
+    )

@@ -97,6 +97,55 @@ def word_ngrams_expr(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def dup_word_frac_expr(text: Column) -> Column:
+    """Fraction of token occurrences that repeat an earlier token
+    (1 - distinct/total; 0 for empty docs). The cheapest Gopher-style
+    repetition signal."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac_expr(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are duplicates of an
+    earlier occurrence (Gopher's duplicate-n-gram family, occurrence-counted
+    rather than character-counted so the formula has an exact SQL mirror)."""
+    grams = word_ngrams_expr(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(grams))).cast("double")
+        / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac_expr(text: Column, n: int = 2) -> Column:
+    """Largest fraction of the normalized text's characters attributable to
+    a single repeated word n-gram: max over distinct grams of
+    occurrences(g) * length(g) / length(normalized text). This is the
+    Gopher "top n-gram character fraction" repetition gate.
+
+    Cost note (100 TB): O(distinct_grams * total_grams) per document as a
+    pure whole-stage-codegen expression — no shuffle, no Python; for
+    book-length documents switch the counting to an Arrow `mapInPandas`
+    hash-map kernel, same contract."""
+    grams = word_ngrams_expr(text, n)
+    norm_len = F.length(F.array_join(tokens_expr(text), " "))
+    top_chars = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
+        )
+    )
+    return F.when(
+        (norm_len > 0) & top_chars.isNotNull(),
+        top_chars.cast("double") / norm_len.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def winnow_fingerprints_expr(
     text: Column, n: int = 3, window: int = 4, hash_fn=None
 ) -> Column:

@@ -828,3 +828,72 @@ def test_chunk_manifest_inverts_packing(spark):
         3: ([4], 1, 1),   # final partial chunk
     }
     assert sum(t for _, _, t in got.values()) == 16
+
+
+def test_repetition_stats_goldens(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x y z"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(textstats.dup_word_frac_expr(F.col("text")), 6).alias("dw"),
+            F.round(textstats.top_ngram_char_frac_expr(F.col("text"), 2), 6).alias("t2"),
+            F.round(textstats.dup_ngram_frac_expr(F.col("text"), 3), 6).alias("d3"),
+        ).collect()
+    }
+    # doc 0: 6 tokens 2 distinct; "a b" occurs 3x of len 3 over 11 norm chars;
+    # 4 trigrams 2 distinct
+    assert out[0]["dw"] == round(1 - 2 / 6, 6)
+    assert out[0]["t2"] == round(9 / 11, 6)
+    assert out[0]["d3"] == 0.5
+    # doc 1: no repetition; top 2-gram is any single occurrence (3 chars / 5)
+    assert out[1]["dw"] == 0.0
+    assert out[1]["t2"] == 0.6
+    assert out[1]["d3"] == 0.0
+    assert tuple(out[2][c] for c in ("dw", "t2", "d3")) == (0.0, 0.0, 0.0)
+
+
+def test_span_dedup_first_wins(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),  # spans "a b c", "d e f" — both first
+            (1, "a b c x y z"),  # "a b c" is a cross-doc dup; "x y z" kept
+            (2, "d e f"),        # entirely shadowed by doc 0's second span
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(
+            docs, spans_expr=dedup.token_window_spans_expr(F.col("text"), 3)
+        ).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["n_kept"]) == (2, 2)
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 1)
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (1, 0)
+    assert out[0]["kept_hash"] == hashlib.md5(b"a b c d e f").hexdigest()
+    assert out[1]["kept_hash"] == hashlib.md5(b"x y z").hexdigest()
+    assert out[2]["kept_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_decontaminate_golden(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # 5-grams: "a b c d e", "b c d e f"
+            (2, "p q r s t"),    # 5-gram:  "p q r s t"
+            (3, "short text"),   # fewer than 5 tokens → 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "z a b c d e")], "doc_id long, text string"
+    )  # eval grams: "z a b c d", "a b c d e"
+    out = {r["doc_id"]: r for r in dedup.decontaminate(train, ev).collect()}
+    assert (out[1]["n_grams"], out[1]["n_overlap"], out[1]["contam_frac"]) == (2, 1, 0.5)
+    assert (out[2]["n_overlap"], out[2]["contam_frac"]) == (0, 0.0)
+    assert (out[3]["n_grams"], out[3]["n_overlap"], out[3]["contam_frac"]) == (0, 0, 0.0)
