@@ -344,6 +344,27 @@ def q_crawl_bfs_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_crawl_bfs_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same crawl with the sharded CUCKOO seen-prefilter (the deletable
+    variant of the bloom — north rule "bloom/cuckoo"). Zero false negatives
+    while every inserted key remains present, so the seen set must again be
+    IDENTICAL to the plain engine's; delete/recrawl semantics are pinned in
+    tests/test_seen_cuckoo.py."""
+    from .operators.seen import ShardedCuckooSeenFilter
+
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=None,
+        lineage_detail=False,
+        seen_filter=ShardedCuckooSeenFilter(
+            spark, n_shards=8, buckets_per_shard=1 << 10
+        ),
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_crawl_trace_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted FIFO crawl trace, value-checked against the unrolled-round
     DuckDB oracle (`_trace_oracle_sql`); exact trace parity vs the Python
@@ -1391,6 +1412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_robots_trace": q_crawl_robots_trace,
     "multimodal_frames": q_multimodal_frames,
     "crawl_bfs_seen_bloom": q_crawl_bfs_seen_bloom,
+    "crawl_bfs_seen_cuckoo": q_crawl_bfs_seen_cuckoo,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     # r3: residual IVF-PQ serving (FAISS by_residual) — the compressed
     # serving path's dedicated oracle row; ann_pq_adc (first 50) covers the
@@ -2064,6 +2086,7 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE component != id)
 """
 
 ORACLES["crawl_bfs_seen_bloom"] = ORACLES["crawl_bfs_seen"]
+ORACLES["crawl_bfs_seen_cuckoo"] = ORACLES["crawl_bfs_seen"]
 
 # ann_pq_adc: replay the deterministic PQ pipeline value-for-value —
 # init-only codebook (codeword[j][t] = subvector j of the (t+1)-smallest

@@ -1,0 +1,95 @@
+"""Sharded cuckoo seen-filter: zero false negatives, delete support
+(the capability the bloom lacks), stash overflow path, and engine
+equivalence when enabled."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark import corpus
+from geospatial_web_scraper_spark.operators.seen import ShardedCuckooSeenFilter
+from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
+
+N = 120
+
+
+def _urls(spark, prefix, n):
+    return spark.range(0, n).select(
+        F.concat(F.lit(f"https://h.org/{prefix}/"), F.col("id")).alias("url")
+    )
+
+
+def test_power_of_two_enforced(spark):
+    with pytest.raises(ValueError):
+        ShardedCuckooSeenFilter(spark, n_shards=12)
+    with pytest.raises(ValueError):
+        ShardedCuckooSeenFilter(spark, n_shards=8, buckets_per_shard=100)
+
+
+def test_no_false_negatives_and_low_fp(spark):
+    f = ShardedCuckooSeenFilter(spark, n_shards=8, buckets_per_shard=1 << 10)
+    seen = _urls(spark, "a", 2000)
+    f.update(seen)
+    new_df, maybe_df = f.split(seen)
+    assert new_df.count() == 0  # no false negatives
+    assert maybe_df.count() == 2000
+    fresh = _urls(spark, "b", 2000)
+    new2, maybe2 = f.split(fresh)
+    fp = maybe2.count()
+    assert new2.count() + fp == 2000
+    # 16-bit fingerprints over 2 buckets x 4 slots: fp rate ~ 8/2^16
+    assert fp / 2000 <= 0.01, fp
+
+
+def test_delete_restores_crawlability(spark):
+    f = ShardedCuckooSeenFilter(spark, n_shards=4, buckets_per_shard=1 << 10)
+    a, b = _urls(spark, "keep", 1000), _urls(spark, "expire", 1000)
+    f.update(a)
+    f.update(b)
+    f.delete(b)
+    # every still-inserted key must remain maybe-seen (FN-free after delete)
+    new_a, maybe_a = f.split(a)
+    assert new_a.count() == 0
+    assert maybe_a.count() == 1000
+    # deleted keys become definitely-new again (minus bounded collisions)
+    new_b, maybe_b = f.split(b)
+    assert maybe_b.count() / 1000 <= 0.01, maybe_b.count()
+    assert new_b.count() + maybe_b.count() == 1000
+
+
+def test_delete_unknown_key_raises(spark):
+    f = ShardedCuckooSeenFilter(spark, n_shards=4, buckets_per_shard=1 << 10)
+    f.update(_urls(spark, "a", 10))
+    with pytest.raises(Exception) as e:
+        f.delete(_urls(spark, "never-inserted", 10))
+    assert "never inserted" in str(e.value)
+
+
+def test_stash_overflow_keeps_fn_free(spark):
+    # 1 shard x 8 buckets x 4 slots = 32 table slots; 200 keys force heavy
+    # eviction and a populated stash — membership must still be exact
+    f = ShardedCuckooSeenFilter(spark, n_shards=1, buckets_per_shard=8)
+    seen = _urls(spark, "s", 200)
+    f.update(seen)
+    assert f.stash_size() > 0
+    new_df, maybe_df = f.split(seen)
+    assert new_df.count() == 0
+    assert maybe_df.count() == 200
+    # deletes must also reach the stash
+    f.delete(seen)
+    assert f.stash_size() == 0
+    assert f.occupancy() == 0.0
+
+
+def test_engine_with_cuckoo_matches_engine_without(spark):
+    pages = corpus.corpus_df(spark, N)
+    seeds = corpus.seeds_df(spark, N)
+    plain = CrawlEngine(spark, pages, max_crawl=400).run(seeds)
+    cuckoo = CrawlEngine(
+        spark,
+        pages,
+        max_crawl=400,
+        seen_filter=ShardedCuckooSeenFilter(spark, n_shards=8, buckets_per_shard=1 << 10),
+    ).run(seeds)
+    a = [tuple(r) for r in plain.trace.orderBy("seq").collect()]
+    b = [tuple(r) for r in cuckoo.trace.orderBy("seq").collect()]
+    assert a == b
