@@ -1091,6 +1091,16 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling (operators/sampling.py): each
+    source down-sampled to a 700-token budget via a seedless md5 unit hash
+    keyed by source:doc_id — re-run/resume-stable, and the threshold
+    comparison itself is oracle-checkable (md5 + IEEE double division)."""
+    from .operators.sampling import sample_token_budget
+
+    return sample_token_budget(_docs(spark, sf_dir), budget_tokens=700)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing over the documents
     table (operators/packing.py): per-document token offset + chunk range
@@ -1438,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": q_quality_repetition,
     "dedup_spans": q_dedup_spans,
     "decontaminate_eval": q_decontaminate_eval,
+    "sample_token_budget": q_sample_token_budget,
 }
 
 
@@ -2419,4 +2430,22 @@ SELECT tr.doc_id, len(tr.g)::BIGINT AS n_grams,
         THEN coalesce(ol.n_overlap, 0)::DOUBLE / len(tr.g)
         ELSE 0.0 END, 6) AS contam_frac
 FROM tr LEFT JOIN ol ON ol.doc_id = tr.doc_id
+"""
+
+
+# u = 60-bit md5 hash / 2^60 (int64→double rounding and the power-of-two
+# division are IEEE-identical in both engines, so the kept threshold
+# comparison itself matches bit-for-bit, not just the rounded output)
+ORACLES["sample_token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len({_sql_toks('text')})::BIGINT AS n_tok,
+    ('0x' || substr(md5(source || ':' || doc_id), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents),
+tot AS (SELECT source, sum(n_tok) AS tokens_s FROM t GROUP BY source)
+SELECT t.doc_id, t.source, t.n_tok, round(t.u, 6) AS u,
+  t.u < (CASE WHEN tot.tokens_s > 700
+         THEN 700.0 / tot.tokens_s ELSE 1.0 END) AS kept
+FROM t JOIN tot ON tot.source = t.source
 """

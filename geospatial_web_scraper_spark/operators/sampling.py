@@ -1,0 +1,77 @@
+"""Deterministic data-mixture sampling for training-corpus builds.
+
+A corpus build rarely trains on the raw crawl mixture: each source (domain,
+dump, subcorpus) is down-sampled to a token budget so the final mixture
+matches a target recipe (The Pile, LLaMA-style mixture tables). The
+operator here is the distributed primitive those recipes need:
+coin-flip-free, seedless, deterministic sampling — a document's keep/drop
+decision is a pure function of its identity, so re-runs, resumes, and
+incremental batches all agree without coordination.
+
+All hashing is md5-based (bit-identical in every SQL engine) so the whole
+decision — including the keep threshold comparison — is value-checkable by
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash64_expr
+from .textstats import token_count_expr
+
+_TWO_60 = float(1 << 60)
+
+
+def uniform_unit_hash_expr(key: Column) -> Column:
+    """Deterministic uniform draw in [0, 1): the 60-bit md5 hash of ``key``
+    divided by 2^60. int64→double rounding and the power-of-two division
+    are IEEE-identical across engines, so thresholding this value is
+    reproducible anywhere (unlike rand(seed), which is engine-private)."""
+    return _md5_hash64_expr(key) / F.lit(_TWO_60)
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample each source to ≈``budget_tokens`` whitespace tokens:
+    keep a document iff its deterministic unit hash ``u`` (keyed by
+    ``source:id``) falls below ``rate_s = min(1, budget / tokens_s)``.
+    Sources already under budget are kept whole (rate 1).
+
+    → ``(id_col, source_col, n_tok, u, kept)`` for every input document —
+    a flag column, not a filter, so callers can audit the mixture
+    (``groupBy(source).agg(sum(when(kept, n_tok)))``) before dropping.
+
+    Scale shape (10^10 docs): per-source token totals are ONE map-side-
+    combining groupBy on the source key; the totals table is one row per
+    source — explicitly broadcast back — and the keep decision is then
+    evaluated map-side, so document rows never shuffle at all."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("n_tok"),
+        uniform_unit_hash_expr(
+            F.concat(F.col(source_col), F.lit(":"), F.col(id_col))
+        ).alias("_u"),
+    )
+    totals = toks.groupBy(source_col).agg(F.sum("n_tok").alias("_tokens_s"))
+    rate = F.when(
+        F.col("_tokens_s") > budget_tokens,
+        F.lit(float(budget_tokens)) / F.col("_tokens_s").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return (
+        toks.join(F.broadcast(totals), source_col)
+        .select(
+            id_col,
+            source_col,
+            "n_tok",
+            F.round(F.col("_u"), 6).alias("u"),
+            (F.col("_u") < rate).alias("kept"),
+        )
+    )

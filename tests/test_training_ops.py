@@ -897,3 +897,33 @@ def test_decontaminate_golden(spark):
     assert (out[1]["n_grams"], out[1]["n_overlap"], out[1]["contam_frac"]) == (2, 1, 0.5)
     assert (out[2]["n_overlap"], out[2]["contam_frac"]) == (0, 0.0)
     assert (out[3]["n_grams"], out[3]["n_overlap"], out[3]["contam_frac"]) == (0, 0, 0.0)
+
+
+def test_sample_token_budget_matches_python_mirror(spark):
+    import hashlib
+
+    from geospatial_web_scraper_spark.operators.sampling import (
+        sample_token_budget,
+    )
+
+    rows = [
+        # src "big": 4 docs x 6 tokens = 24 tokens, budget 12 → rate 0.5
+        *[(i, "big", "t u v w x y") for i in range(4)],
+        # src "small": 2 docs x 2 tokens = 4 tokens ≤ 12 → rate 1, all kept
+        (10, "small", "a b"),
+        (11, "small", "c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in sample_token_budget(df, budget_tokens=12).collect()
+    }
+
+    def u(source, doc_id):
+        return int(hashlib.md5(f"{source}:{doc_id}".encode()).hexdigest()[:15], 16) / 2**60
+
+    for i in range(4):
+        assert got[i]["kept"] == (u("big", i) < 12.0 / 24.0), i
+        assert got[i]["u"] == round(u("big", i), 6)
+    assert got[10]["kept"] and got[11]["kept"]  # under-budget source kept whole
+    assert got[10]["n_tok"] == 2
