@@ -1101,6 +1101,33 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_token_budget(_docs(spark, sf_dir), budget_tokens=700)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py): each document is augmented with a
+    deterministic synthetic email / phone / IPv4 (the corpus itself is
+    PII-free by construction), then counted and scrubbed. The md5 of the
+    scrubbed text value-checks the full redaction — pattern literals are
+    shared verbatim with the oracle, using only the Java∩RE2 regex
+    subset."""
+    from .operators.pii import pii_counts_exprs, scrub_pii_expr
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id"),
+        F.lit("@example.com call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.col("doc_id") % 256,
+        F.lit(".7"),
+    )
+    counts = pii_counts_exprs(aug)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[counts[k].cast("long").alias(k) for k in ("n_emails", "n_phones", "n_ips")],
+        F.md5(scrub_pii_expr(aug)).alias("scrub_hash"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing over the documents
     table (operators/packing.py): per-document token offset + chunk range
@@ -1449,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "decontaminate_eval": q_decontaminate_eval,
     "sample_token_budget": q_sample_token_budget,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -2448,4 +2476,29 @@ SELECT t.doc_id, t.source, t.n_tok, round(t.u, 6) AS u,
   t.u < (CASE WHEN tot.tokens_s > 700
          THEN 700.0 / tot.tokens_s ELSE 1.0 END) AS kept
 FROM t JOIN tot ON tot.source = t.source
+"""
+
+
+# pattern literals imported from operators/pii.py — the single source; the
+# replacement order (emails → phones → IPs) and tokens must match
+# pii._PASSES exactly
+from .operators import pii as _pii  # noqa: E402
+
+ORACLES["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' reach user' || doc_id || '@example.com call 555-123-'
+         || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_pii.EMAIL_PATTERN}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t, '{_pii.PHONE_PATTERN}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(t, '{_pii.IPV4_PATTERN}'))::BIGINT AS n_ips,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '{_pii.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+          '{_pii.PHONE_PATTERN}', '<PHONE>', 'g'),
+        '{_pii.IPV4_PATTERN}', '<IP>', 'g')) AS scrub_hash
+FROM aug
 """

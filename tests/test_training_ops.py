@@ -927,3 +927,34 @@ def test_sample_token_budget_matches_python_mirror(spark):
         assert got[i]["u"] == round(u("big", i), 6)
     assert got[10]["kept"] and got[11]["kept"]  # under-budget source kept whole
     assert got[10]["n_tok"] == 2
+
+
+def test_pii_scrub_golden(spark):
+    from geospatial_web_scraper_spark.operators.pii import (
+        pii_counts_exprs,
+        scrub_pii_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@foo-bar.org or 555-123-0042, host 10.0.3.7 end"),
+            (1, "no pii here"),
+            (2, "x@y.io x@y.io 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts_exprs(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[counts[k].alias(k) for k in ("n_emails", "n_phones", "n_ips")],
+            scrub_pii_expr(F.col("text")).alias("scrubbed"),
+        ).collect()
+    }
+    assert out[0]["scrubbed"] == "mail <EMAIL> or <PHONE>, host <IP> end"
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "no pii here"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "<EMAIL> <EMAIL> <IP>"
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (2, 1)
