@@ -1101,6 +1101,47 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_token_budget(_docs(spark, sf_dir), budget_tokens=700)
 
 
+def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed corpus build: language + quality + Gopher
+    repetition gates → eval-set decontamination → exact dedup → near-dup
+    canonical → token-budget mixture sampling, one declarative chain.
+    Eval set = doc_id % 29 == 0 (held out of the corpus); thresholds
+    chosen so every stage drops a non-trivial slice at sf0.01. Output is
+    per surviving document: content hash + its sampling audit columns."""
+    from .operators.sampling import sample_token_budget
+
+    docs = _docs(spark, sf_dir)
+    curated = curate_corpus(
+        docs.where(F.col("doc_id") % 29 != 0),
+        languages=("en",),
+        min_quality=0.3,
+        neardup_threshold=0.5,
+        max_top2gram_frac=0.18,
+        eval_docs=docs.where(F.col("doc_id") % 29 == 0),
+        max_contam_frac=0.05,
+    )
+    samp = sample_token_budget(curated, budget_tokens=600)
+    return (
+        curated.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(samp, "doc_id")
+        .select("doc_id", "content_hash", "n_tok", "u", "kept")
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): cluster-then-prune semantic dedup —
+    assign every vector to its max-cosine cell around the 8 deterministic
+    centroids (vec_id < 8, the same oracle-checkable stand-in as
+    ann_ivf_topk), then inside each cell drop vectors with a smaller-id
+    cell-mate at cosine ≥ 0.4. Per-vector keep/drop verdicts, not just
+    survivors, so the oracle value-checks both branches."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return similarity.semdedup(emb, cent, threshold=0.4)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/pii.py): each document is augmented with a
     deterministic synthetic email / phone / IPv4 (the corpus itself is
@@ -1477,6 +1518,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_eval": q_decontaminate_eval,
     "sample_token_budget": q_sample_token_budget,
     "pii_scrub": q_pii_scrub,
+    "curate_corpus_v2": q_curate_corpus_v2,
+    "semdedup": q_semdedup,
 }
 
 
@@ -2501,4 +2544,80 @@ SELECT doc_id,
           '{_pii.PHONE_PATTERN}', '<PHONE>', 'g'),
         '{_pii.IPV4_PATTERN}', '<IP>', 'g')) AS scrub_hash
 FROM aug
+"""
+
+
+# the v2 composed build: reuses the per-stage oracle fragments verbatim
+# (repetition, decontamination, lang, quality, the minhash pair pipeline)
+# so every gate's semantics has exactly one definition per engine
+ORACLES["curate_corpus_v2"] = f"""
+WITH RECURSIVE
+rep AS MATERIALIZED ({ORACLES["quality_repetition"]}),
+contam AS MATERIALIZED ({ORACLES["decontaminate_eval"]}),
+gated AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d
+  JOIN ({ORACLES["lang_id"]}) l ON l.doc_id = d.doc_id AND l.lang = 'en'
+  JOIN ({ORACLES["quality_score"]}) qs ON qs.doc_id = d.doc_id AND qs.q >= 0.3
+  JOIN rep r ON r.doc_id = d.doc_id AND r.top2_char_frac < 0.18
+  JOIN contam c ON c.doc_id = d.doc_id AND c.contam_frac <= 0.05
+  WHERE d.doc_id % 29 != 0),
+uniq AS MATERIALIZED (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           min(doc_id) OVER (PARTITION BY md5({_sql_norm('text')})) AS keep
+    FROM gated) WHERE doc_id = keep),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_minhash_pairs_sql('uniq', 0.5)})),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e2 e ON e.a = r.dst),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+surv AS MATERIALIZED (
+  SELECT doc_id, text, source FROM uniq
+  WHERE doc_id NOT IN (SELECT id FROM comp WHERE component != id)),
+st AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+    len({_sql_toks('text')})::BIGINT AS n_tok,
+    ('0x' || substr(md5(source || ':' || doc_id), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM surv),
+tot AS (SELECT source, sum(n_tok) AS tokens_s FROM st GROUP BY source)
+SELECT s.doc_id, s.content_hash, s.n_tok, round(s.u, 6) AS u,
+  s.u < (CASE WHEN tot.tokens_s > 600
+         THEN 600.0 / tot.tokens_s ELSE 1.0 END) AS kept
+FROM st s JOIN tot ON tot.source = s.source
+"""
+
+
+# SemDeDup: the casg CTE is the ann_ivf_topk assignment verbatim (argmax
+# cosine, ties toward the smaller cid); drop rule = exists smaller-id
+# cell-mate with round(cos,6) >= 0.4 — same rounding as the Spark side
+ORACLES["semdedup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+casg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+             THEN list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+             ELSE NULL END DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0)
+  WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT b.vec_id
+  FROM casg a JOIN casg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) >= 0.4)
+SELECT c.vec_id, c.cid,
+  c.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+FROM casg c
 """

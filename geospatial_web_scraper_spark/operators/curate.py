@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup
-from .textstats import lang_id_expr, quality_score_expr
+from .textstats import lang_id_expr, quality_score_expr, top_ngram_char_frac_expr
 
 
 def curate_corpus(
@@ -37,13 +37,38 @@ def curate_corpus(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     neardup_threshold: float = 0.5,
+    max_top2gram_frac: float | None = None,
+    eval_docs: DataFrame | None = None,
+    max_contam_frac: float = 0.0,
 ) -> DataFrame:
     """→ the curated subset of ``docs`` (original columns), surviving all
-    four gates. Deterministic: every keep/drop decision is min-id-wins."""
-    gated = docs.where(
-        lang_id_expr(F.col(text_col)).isin(*languages)
-        & (quality_score_expr(F.col(text_col)) >= min_quality)
+    gates. Deterministic: every keep/drop decision is min-id-wins.
+
+    Optional stages (each off by default, preserving the four-stage
+    pipeline): ``max_top2gram_frac`` folds the Gopher repetition gate into
+    the scan-local stage-1 filter; ``eval_docs`` adds an n-gram
+    decontamination gate after the cheap gates — documents whose distinct
+    5-gram overlap fraction with the (broadcast) eval set exceeds
+    ``max_contam_frac`` are dropped before any dedup work sees them."""
+    stage1 = lang_id_expr(F.col(text_col)).isin(*languages) & (
+        quality_score_expr(F.col(text_col)) >= min_quality
     )
+    if max_top2gram_frac is not None:
+        # rounded like the audit query so gate and oracle agree at ties
+        stage1 = stage1 & (
+            F.round(top_ngram_char_frac_expr(F.col(text_col), 2), 6)
+            < max_top2gram_frac
+        )
+    gated = docs.where(stage1)
+    if eval_docs is not None:
+        contaminated = (
+            dedup.decontaminate(
+                gated, eval_docs, text_col=text_col, id_col=id_col
+            )
+            .where(F.col("contam_frac") > max_contam_frac)
+            .select(id_col)
+        )
+        gated = gated.join(contaminated, id_col, "left_anti")
     exact_keep = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )

