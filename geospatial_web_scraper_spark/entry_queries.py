@@ -131,6 +131,90 @@ rec{r} AS (
     return "".join(parts)
 
 
+_SQL_HOST_ODD = r"regexp_extract(url, 'host(\d+)', 1)::INT % 2 = 1"
+
+
+def _recrawl_trace_oracle_sql(n: int, max_depth: int = 4) -> str:
+    """Two-phase TTL-recrawl trace as one DuckDB query, mirroring
+    ``CrawlEngine.run`` + ``run_with_seen`` stage-for-stage. Phase A
+    (``arec*`` chain) is the unbudgeted BFS — crawl 1. Expiry: every
+    recorded URL on an ODD host goes stale (``exp``), ordered by its
+    crawl-1 seq; the even-host survivors stay seen (``keep``). Phase B
+    (``rec*`` chain) recrawls the expired slice: rec0 = the expired URLs
+    as fresh depth-0 seeds, later rounds expand their links with seen =
+    keep ∪ all prior phase-B recs — still-fresh URLs are never re-fetched,
+    genuinely new URLs (beyond crawl 1's depth horizon) are discovered."""
+    parts = [f"WITH {corpus.sql_prelude(n)},"]
+    parts.append(
+        """
+arec0 AS MATERIALIZED (
+  SELECT seed_order::BIGINT AS seq, url,
+         0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
+  FROM seeds)"""
+    )
+    for r in range(1, max_depth):
+        seen = " UNION ALL ".join(f"SELECT url FROM arec{j}" for j in range(r))
+        offset = " + ".join(f"(SELECT count(*) FROM arec{j})" for j in range(r))
+        parts.append(
+            f""",
+acand{r} AS MATERIALIZED (
+  SELECT e.dst AS url, r.url AS parent_url, r.seq AS parent_seq, e.pos
+  FROM arec{r - 1} r JOIN pgu p ON p.url = r.url JOIN edges e ON e.src = p.i),
+anew{r} AS MATERIALIZED (
+  SELECT url, parent_url, parent_seq, pos FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM acand{r} c) WHERE rn = 1),
+arec{r} AS MATERIALIZED (
+  SELECT ({offset} + row_number() OVER (ORDER BY parent_seq, pos) - 1)::BIGINT AS seq,
+         url, {r} AS depth, parent_url, {r} AS round
+  FROM anew{r}
+  WHERE url NOT IN ({seen}))"""
+        )
+    allrec = " UNION ALL ".join(
+        f"SELECT seq, url FROM arec{j}" for j in range(max_depth)
+    )
+    parts.append(
+        f""",
+allrec AS MATERIALIZED ({allrec}),
+exp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY seq) - 1 AS seed_order, url
+  FROM allrec WHERE {_SQL_HOST_ODD}),
+keep AS MATERIALIZED (SELECT url FROM allrec WHERE NOT ({_SQL_HOST_ODD})),
+rec0 AS MATERIALIZED (
+  SELECT seed_order::BIGINT AS seq, url,
+         0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
+  FROM exp)"""
+    )
+    for r in range(1, max_depth):
+        seen = " UNION ALL ".join(
+            [f"SELECT url FROM rec{j}" for j in range(r)]
+            + ["SELECT url FROM keep"]
+        )
+        offset = " + ".join(f"(SELECT count(*) FROM rec{j})" for j in range(r))
+        parts.append(
+            f""",
+cand{r} AS MATERIALIZED (
+  SELECT e.dst AS url, r.url AS parent_url, r.seq AS parent_seq, e.pos
+  FROM rec{r - 1} r JOIN pgu p ON p.url = r.url JOIN edges e ON e.src = p.i),
+new{r} AS MATERIALIZED (
+  SELECT url, parent_url, parent_seq, pos FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM cand{r} c) WHERE rn = 1),
+rec{r} AS MATERIALIZED (
+  SELECT ({offset} + row_number() OVER (ORDER BY parent_seq, pos) - 1)::BIGINT AS seq,
+         url, {r} AS depth, parent_url, {r} AS round
+  FROM new{r}
+  WHERE url NOT IN ({seen}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seq, url, depth::INT AS depth, parent_url, round::INT AS round "
+        f"FROM rec{j}"
+        for j in range(max_depth)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def _sql_prio_for(depth: int) -> str:
     """priority_expr mirrored with an inline depth literal (depth == round
     in the synchronous crawl)."""
@@ -1128,6 +1212,36 @@ def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_recrawl_expired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-recrawl end-to-end (the flow the deletable cuckoo seen-filter
+    exists for): crawl 1 runs the unbudgeted BFS; every recorded URL on an
+    ODD host then expires; crawl 2 (`CrawlEngine.run_with_seen`) re-fetches
+    exactly the expired slice — expired URLs become fresh depth-0 seeds
+    ordered by their crawl-1 seq, the even-host survivors stay seen, and
+    links from refetched pages reach URLs beyond crawl 1's depth horizon.
+    The full phase-B (seq,url,depth,parent_url,round) trace is
+    value-checked by the two-phase unrolled oracle; cuckoo-maintained
+    filter parity is pinned in tests/test_seen_cuckoo.py."""
+    pages = corpus.corpus_df(spark, N)
+    first = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run(corpus.seeds_df(spark, N))
+    trace1 = first.trace.select("seq", "url").localCheckpoint()
+    host_odd = (
+        F.regexp_extract("url", r"host(\d+)", 1).cast("int") % 2 == 1
+    )
+    expired, _ = with_global_seq(
+        trace1.where(host_odd), ["seq"], seq_col="seed_order"
+    )
+    second = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run_with_seen(
+        expired.select("seed_order", "url"),
+        trace1.where(~host_odd).select("url"),
+    )
+    return second.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semdedup): cluster-then-prune semantic dedup —
     assign every vector to its max-cosine cell around the 8 deterministic
@@ -1520,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus_v2": q_curate_corpus_v2,
     "semdedup": q_semdedup,
+    "crawl_recrawl_expired": q_crawl_recrawl_expired,
 }
 
 
@@ -2621,3 +2736,6 @@ SELECT c.vec_id, c.cid,
   c.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
 FROM casg c
 """
+
+
+ORACLES["crawl_recrawl_expired"] = _recrawl_trace_oracle_sql(N)

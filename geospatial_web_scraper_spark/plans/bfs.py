@@ -123,6 +123,46 @@ class CrawlEngine:
                           trace_parts=[], download_parts=[], text_parts=[],
                           lineage_rows=[])
 
+    def run_with_seen(
+        self,
+        seeds: DataFrame,
+        seen_urls: DataFrame,
+        *,
+        update_filter: bool = True,
+    ) -> CrawlRun:
+        """Recrawl entry: a fresh crawl of ``seeds`` that treats
+        ``seen_urls`` (url) as already crawled — the flow a TTL/refresh
+        scheduler runs after expiring stale entries from the URL-seen set:
+        seeds = the expired URLs (re-fetch them), seen = the previous
+        crawl's seen set MINUS the expired slice (still-fresh pages are
+        never re-fetched, but links from refetched pages that lead to
+        genuinely new URLs are crawled normally). Nothing else changes —
+        the per-round J1 anti-join enforces the preloaded set exactly, and
+        a ``seen_filter`` is rebuilt from it by default so prefilter
+        routing stays false-negative-free (a URL in seen but missing from
+        the filter would be routed down the definitely-new path and
+        re-crawled). Pass ``update_filter=False`` when the caller already
+        maintains the filter incrementally — the deletable cuckoo flow
+        (operators.seen.ShardedCuckooSeenFilter: insert on crawl, delete
+        on TTL expiry), where a rebuild would double-insert the surviving
+        fingerprints and waste capacity."""
+        frontier = seeds.select(
+            F.col("url"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(-1).cast("long").alias("parent_seq"),
+            F.col("seed_order").cast("int").alias("pos"),
+            F.lit(False).alias("is_geo"),
+        )
+        seen = seen_urls.select(
+            F.col("url"), url_hash(F.col("url")).alias("url_hash")
+        )
+        if self.seen_filter is not None and update_filter:
+            self.seen_filter.update(seen.select("url"))
+        return self._loop(frontier, seen, start_round=0, recorded_total=0,
+                          trace_parts=[], download_parts=[], text_parts=[],
+                          lineage_rows=[])
+
     def resume(self, extra_seeds: DataFrame | None = None) -> CrawlRun:
         """Restart from the last committed snapshot (exactly-once rounds).
         ``extra_seeds`` (seed_order, url, …) are unioned into the pending

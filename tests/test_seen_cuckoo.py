@@ -93,3 +93,50 @@ def test_engine_with_cuckoo_matches_engine_without(spark):
     a = [tuple(r) for r in plain.trace.orderBy("seq").collect()]
     b = [tuple(r) for r in cuckoo.trace.orderBy("seq").collect()]
     assert a == b
+
+
+def test_recrawl_with_maintained_cuckoo_matches_exact(spark):
+    """The TTL-expiry flow the deletable cuckoo exists for, end-to-end:
+    crawl → delete the expired slice from the filter (NOT a rebuild) →
+    run_with_seen(update_filter=False). The incrementally-maintained
+    filter must yield the exact same recrawl trace as the filterless
+    engine — i.e. delete restores crawlability for exactly the expired
+    URLs while every surviving key stays routed through the anti-join."""
+    from geospatial_web_scraper_spark.functions.ordering import with_global_seq
+
+    pages = corpus.corpus_df(spark, N)
+    seeds = corpus.seeds_df(spark, N)
+    trace1 = (
+        CrawlEngine(spark, pages, max_crawl=None, lineage_detail=False)
+        .run(seeds)
+        .trace.select("seq", "url")
+        .localCheckpoint()
+    )
+    host_odd = F.regexp_extract("url", r"host(\d+)", 1).cast("int") % 2 == 1
+    expired, _ = with_global_seq(
+        trace1.where(host_odd), ["seq"], seq_col="seed_order"
+    )
+    seeds2 = expired.select("seed_order", "url").localCheckpoint()
+    keep = trace1.where(~host_odd).select("url").localCheckpoint()
+
+    exact = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run_with_seen(seeds2, keep)
+
+    f = ShardedCuckooSeenFilter(spark, n_shards=8, buckets_per_shard=1 << 10)
+    f.update(trace1.select("url"))           # crawl-1 inserts
+    f.delete(expired.select("url"))          # TTL expiry
+    maintained = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False, seen_filter=f
+    ).run_with_seen(seeds2, keep, update_filter=False)
+
+    a = [tuple(r) for r in exact.trace.orderBy("seq").collect()]
+    b = [tuple(r) for r in maintained.trace.orderBy("seq").collect()]
+    assert a == b
+    # the recrawl re-records every expired URL at depth 0, in crawl-1 order
+    n_expired = seeds2.count()
+    depth0 = [t for t in a if t[2] == 0]
+    assert len(depth0) == n_expired
+    # and the survivors are never re-fetched
+    refetched = {t[1] for t in a}
+    assert not refetched & {r["url"] for r in keep.collect()}
