@@ -1256,6 +1256,38 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, cent, threshold=0.4)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit — the one-pass report every corpus build is
+    asked for: document count, total tokens, mean quality, English
+    fraction, exact-duplicate count. ONE groupBy of scalar aggregates (a
+    single map-side-combining shuffle at any corpus size; the wide text
+    column never moves). Mean quality is averaged in integer micro-units
+    (per-doc q rounded to 6 → ×1e6 → bigint sum) so float summation order
+    can never flip the last digit between engines."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    q6 = F.round(textstats.quality_score_expr(t), 6)
+    return (
+        docs.select(
+            "source",
+            textstats.token_count_expr(t).alias("_tok"),
+            F.round(q6 * 1000000, 0).cast("long").alias("_qm"),
+            (textstats.lang_id_expr(t) == "en").cast("int").alias("_en"),
+            F.md5(dedup.normalized_text_expr(t)).alias("_h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.round(F.sum("_qm") / F.count("*") / 1000000.0, 6).alias("avg_q"),
+            F.round(
+                F.sum("_en").cast("double") / F.count("*"), 6
+            ).alias("en_frac"),
+            (F.count("*") - F.countDistinct("_h")).alias("n_exact_dups"),
+        )
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/pii.py): each document is augmented with a
     deterministic synthetic email / phone / IPv4 (the corpus itself is
@@ -1635,6 +1667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus_v2": q_curate_corpus_v2,
     "semdedup": q_semdedup,
     "crawl_recrawl_expired": q_crawl_recrawl_expired,
+    "corpus_report": q_corpus_report,
 }
 
 
@@ -2739,3 +2772,25 @@ FROM casg c
 
 
 ORACLES["crawl_recrawl_expired"] = _recrawl_trace_oracle_sql(N)
+
+
+# corpus_report: reuses the quality/lang oracle fragments verbatim; mean
+# quality in integer micro-units (sum order can't flip the rounded digit)
+ORACLES["corpus_report"] = f"""
+WITH q AS ({ORACLES["quality_score"]}),
+l AS ({ORACLES["lang_id"]}),
+per AS (
+  SELECT d.source,
+    len({_sql_toks('d.text')})::BIGINT AS tok,
+    CAST(round(q.q * 1000000, 0) AS BIGINT) AS qm,
+    CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END AS en,
+    md5({_sql_norm('d.text')}) AS h
+  FROM documents d JOIN q ON q.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id)
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  sum(tok)::BIGINT AS n_tokens,
+  round(sum(qm)::DOUBLE / count(*) / 1000000.0, 6) AS avg_q,
+  round(sum(en)::DOUBLE / count(*), 6) AS en_frac,
+  (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups
+FROM per GROUP BY source
+"""

@@ -140,3 +140,44 @@ def test_recrawl_with_maintained_cuckoo_matches_exact(spark):
     # and the survivors are never re-fetched
     refetched = {t[1] for t in a}
     assert not refetched & {r["url"] for r in keep.collect()}
+
+
+@pytest.mark.parametrize("mod,res", [(3, 0), (5, 2), (7, 4)])
+def test_recrawl_property_arbitrary_expiry(spark, mod, res):
+    """Property over arbitrary expiry subsets (id % mod == res on the page
+    number): the recrawl's depth-0 slice is exactly the expired set in
+    crawl-1 seq order, no surviving URL is ever re-fetched, and every
+    deeper row is genuinely new (neither expired nor kept)."""
+    from geospatial_web_scraper_spark.functions.ordering import with_global_seq
+
+    pages = corpus.corpus_df(spark, N)
+    trace1 = (
+        CrawlEngine(spark, pages, max_crawl=None, lineage_detail=False)
+        .run(corpus.seeds_df(spark, N))
+        .trace.select("seq", "url")
+        .localCheckpoint()
+    )
+    page_num = F.regexp_extract("url", r"/(?:page/|data/file_)(\d+)", 1).cast("int")
+    is_exp = page_num % mod == res
+    expired, n_exp = with_global_seq(
+        trace1.where(is_exp), ["seq"], seq_col="seed_order"
+    )
+    keep_urls = {r["url"] for r in trace1.where(~is_exp).collect()}
+    exp_ordered = [
+        r["url"] for r in expired.orderBy("seed_order").collect()
+    ]
+    run2 = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run_with_seen(
+        expired.select("seed_order", "url"),
+        trace1.where(~is_exp).select("url"),
+    )
+    rows = [tuple(r) for r in run2.trace.orderBy("seq").collect()]
+    d0 = [t for t in rows if t[2] == 0]
+    assert [t[1] for t in d0] == exp_ordered          # exact order by crawl-1 seq
+    assert len(d0) == n_exp
+    fetched = [t[1] for t in rows]
+    assert len(fetched) == len(set(fetched))          # no URL recorded twice
+    assert not set(fetched) & keep_urls               # survivors never re-fetched
+    deeper = {t[1] for t in rows if t[2] > 0}
+    assert not deeper & set(exp_ordered)
