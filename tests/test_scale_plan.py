@@ -236,3 +236,16 @@ def test_pack_sequences_window_is_partition_local(spark):
             saw_window = True
             assert "_pid" in line, line
     assert saw_window, plan
+
+
+def test_semdedup_pairs_join_is_cell_blocked(spark):
+    """semdedup's within-cell prune must execute the cid equi-join
+    (candidates bounded per Voronoi cell), never an all-pairs theta join;
+    and its cell assignment must be the broadcast-weights Arrow UDF — no
+    Exchange between the corpus scan and the assignment projection."""
+    df = entry_mod.queries()["semdedup"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only window-free reduction: a join keyed on cid
+    assert "cid" in plan, plan
