@@ -34,6 +34,8 @@ from .functions.urls import (
 )
 from .operators import dedup, pq, similarity, textstats
 from .operators.curate import curate_corpus
+from .operators.graph import pagerank_fixed_point
+from .operators.lm import bigram_lm_scores
 from .operators.extract import extract_links_udf, extract_meta_udf
 from .operators.multimodal import decode_features
 from .operators.politeness import priority_expr
@@ -1325,6 +1327,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_docs(spark, sf_dir), budget=256)
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the crawl's page→page link graph
+    (operators/graph.py): the recrawl-priority signal a production frontier
+    scheduler ranks by. Nodes are all page URLs; edges are the extracted
+    non-geo links (geo leaves are downloads, not pages). Integer (1e-12
+    fixed-point) iteration — bit-exact under any shuffle order, so the
+    DuckDB oracle reproduces every digit."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return pagerank_fixed_point(nodes, e)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (operators/lm.py): add-one bigram LM
+    trained on the documents table itself, per-doc cross-entropy in
+    micro-nat integer units, exact tertile head/middle/tail buckets."""
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1668,6 +1695,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "crawl_recrawl_expired": q_crawl_recrawl_expired,
     "corpus_report": q_corpus_report,
+    # r3 (continuation): link-graph PageRank (frontier recrawl priority)
+    # and the CCNet-style bigram-LM perplexity gate — appended past
+    # position 50 like the other beyond-the-reference rows; both carry
+    # full DuckDB oracles below, value-checked by the pytest mirror
+    "link_pagerank": q_link_pagerank,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 
@@ -2793,4 +2826,82 @@ SELECT source,
   round(sum(en)::DOUBLE / count(*), 6) AS en_frac,
   (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups
 FROM per GROUP BY source
+"""
+
+
+def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank — integer arithmetic only, so every
+    CTE is digit-exact against the Spark iteration (operators/graph.py;
+    the SCALE and the 15/85 damping split are shared constants). Each
+    iteration's rank CTE is referenced twice by the next (contrib AND
+    dangling mass) — AS MATERIALIZED, or DuckDB's default CTE inlining
+    goes exponential in iters (same gotcha as the deferral chains)."""
+    s = 10**12
+    base = (15 * s // 100) // n
+    parts = [
+        f"WITH {PRE},",
+        "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
+        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),",
+        f"r0 AS MATERIALIZED (SELECT i AS v, {s // n}::BIGINT AS r FROM pgu),",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0)::BIGINT AS dm"
+            f" FROM r{t} r LEFT JOIN deg ON deg.src = r.v WHERE deg.src IS NULL),"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS v, sum(r.r // deg.od)::BIGINT AS c"
+            f" FROM e JOIN r{t} r ON r.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),"
+        )
+        parts.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
+            f" ({base} + (85 * (coalesce(c.c, 0) + (SELECT dm FROM d{t}) // {n})) // 100)::BIGINT AS r"
+            f" FROM pgu p LEFT JOIN c{t} c ON c.v = p.i),"
+        )
+    parts.append(
+        "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY 1)\n"
+        "SELECT r.v AS node_id, coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
+        "  coalesce(ind.ind, 0)::BIGINT AS in_deg, r.r AS rank_fp\n"
+        f"FROM r{iters} r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_pagerank"] = _pagerank_oracle_sql(N)
+
+
+# lm_perplexity: the bigram-LM gate. Per-bigram log-probs are rounded to
+# integer micro-nats BEFORE the per-doc sum (order-independent, the same
+# micro-unit trick as corpus_report); the tertile cut is exact integer
+# arithmetic on the (h6, doc_id) rank.
+ORACLES["lm_perplexity"] = f"""
+WITH d AS (SELECT doc_id, list_transform({_sql_toks('text')}, x -> lower(x)) AS a
+           FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+uni AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cu FROM tok GROUP BY 1),
+voc AS (SELECT count(*)::BIGINT AS v FROM uni),
+bg AS MATERIALIZED (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+bgc AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+sc AS (
+  SELECT g.doc_id,
+    CAST(round(ln((c.cb + 1)::DOUBLE / (u.cu + (SELECT v FROM voc))) * 1000000,
+               0) AS BIGINT) AS lp
+  FROM bg g
+  JOIN bgc c ON c.w1 = g.w1 AND c.w2 = g.w2
+  JOIN uni u ON u.w = g.w1),
+ag AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp)::BIGINT AS s
+       FROM sc GROUP BY 1),
+h AS (SELECT doc_id, n_bigrams,
+        round((-s)::DOUBLE / n_bigrams / 1000000.0, 6) AS h6 FROM ag),
+r AS (SELECT doc_id, n_bigrams, h6,
+        row_number() OVER (ORDER BY h6, doc_id) - 1 AS rn,
+        count(*) OVER () AS cnt FROM h)
+SELECT doc_id, n_bigrams, h6,
+  CASE WHEN rn * 3 < cnt THEN 'head'
+       WHEN rn * 3 < 2 * cnt THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM r
 """

@@ -1,0 +1,140 @@
+"""Link-graph analytics over the crawl's extracted edges — fixed-point
+PageRank for frontier prioritization.
+
+The reference crawls breadth-first and (in priority mode) dequeues by a
+static per-URL priority; a production recrawl scheduler wants a *link-graph*
+signal — pages many fetched pages point at should be fetched (and refreshed)
+first. PageRank over the (src, dst) edge table the extraction kernel already
+produces is that signal. There is no counterpart in the reference
+(``internal/crawler/crawler.go`` has no graph pass); this is one of the
+engine's beyond-the-reference training-/crawl-pipeline operators.
+
+Why fixed-point (integer) arithmetic
+------------------------------------
+A float PageRank is not reproducible across engines or even across runs:
+``sum()`` over doubles is order-dependent, and shuffle partitioning decides
+the order. Every rank here is a BIGINT in units of 1e-12 (``SCALE``), and
+every iteration uses only integer +, *, and floor division — integer
+addition is associative and commutative, so the result is bit-exact under
+ANY aggregation order, any partitioning, and in any engine (the DuckDB
+oracle reproduces it digit-for-digit). The truncation each ``div`` applies
+loses at most ``n_edges + n_nodes`` units of 1e-12 of probability mass per
+iteration — irrelevant for ranking, invaluable for reproducibility at
+100 TB (re-running the job on a different cluster layout yields the same
+bytes).
+
+Iteration (damping d = ``damping_pct``/100, nodes N, scale S)::
+
+    r_0(v)   = S div N
+    share(u) = r_t(u) div outdeg(u)                   (u with outlinks)
+    dang_t   = sum of r_t(u) over sink nodes (outdeg 0)
+    r_{t+1}(v) = (15*S div 100) div N
+               + (85 * (sum_{u->v} share(u) + dang_t div N)) div 100
+
+Scale shape: per iteration ONE shuffle equi-join (edges ⋈ ranks on src,
+map-side partial aggregation into the dst groupBy) plus one scalar
+aggregate (the dangling mass — a single BIGINT to the driver, same class
+as the engine's per-round counters). The edge table with its out-degrees
+is materialized once (``localCheckpoint``) and reused every iteration;
+ranks are checkpointed per iteration so the plan stays O(1) deep (the
+same lineage-truncation rule as the crawl round loop, plans/bfs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over ``edges`` (BIGINT endpoints, deduplicated here) for the
+    node set ``nodes`` (one row per ``node_col``; nodes absent from the edge
+    table are dangling and receive teleport + dangling mass like any sink).
+
+    Returns one row per node: ``(node_id, out_deg, in_deg, rank_fp)`` with
+    ``rank_fp`` the fixed-point rank in units of 1e-12 (all BIGINT).
+    Damping is fixed at 0.85 / 5 iterations by default — the conventional
+    web-graph setting (Page et al. 1999); both constants are exact in the
+    integer iteration above.
+    """
+    spark = nodes.sparkSession
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(node_col).cast("long").alias("node_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("in_deg"),
+            F.lit(0).cast("long").alias("rank_fp"),
+        )
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint()
+
+    base = (15 * SCALE // 100) // n_nodes  # teleport term, exact
+    node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
+    # rank state carries od so the dangling filter and the share division
+    # never re-join the degree table inside the loop
+    ranks = (
+        node_ids.join(deg, node_ids["v"] == deg["src"], "left")
+        .select(
+            "v",
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("od"),
+            F.lit(SCALE // n_nodes).cast("long").alias("r"),
+        )
+        .localCheckpoint()
+    )
+
+    for _ in range(iters):
+        dang = (
+            ranks.filter(F.col("od") == 0).agg(F.sum("r").alias("s")).collect()
+        )[0]["s"] or 0
+        contrib = (
+            e.join(ranks.filter(F.col("od") > 0), e["src"] == ranks["v"])
+            .select("dst", F.expr("r div od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                "od",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"85 * (coalesce(c, 0L) + {dang // n_nodes}L) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    return (
+        ranks.join(indeg, ranks["v"] == indeg["dst"], "left")
+        .select(
+            F.col("v").alias("node_id"),
+            F.col("od").alias("out_deg"),
+            F.coalesce(F.col("ind"), F.lit(0)).cast("long").alias("in_deg"),
+            F.col("r").alias("rank_fp"),
+        )
+    )

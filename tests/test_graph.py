@@ -1,0 +1,83 @@
+"""Fixed-point PageRank (operators/graph.py): exactness against a pure-
+Python reference iteration, dangling-node handling, and mass conservation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark.operators.graph import SCALE, pagerank_fixed_point
+
+
+def _py_pagerank(n_nodes, edges, iters=5):
+    """The spec, straight-line: same integer ops, any iteration order."""
+    e = sorted(set(edges))
+    od = {}
+    for s, _ in e:
+        od[s] = od.get(s, 0) + 1
+    r = {v: SCALE // n_nodes for v in range(n_nodes)}
+    base = (15 * SCALE // 100) // n_nodes
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n_nodes) if od.get(v, 0) == 0)
+        contrib = {}
+        for s, d in e:
+            contrib[d] = contrib.get(d, 0) + r[s] // od[s]
+        r = {
+            v: base + (85 * (contrib.get(v, 0) + dang // n_nodes)) // 100
+            for v in range(n_nodes)
+        }
+    return r, od, e
+
+
+def _run(spark, n_nodes, edges, iters=5):
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    got = pagerank_fixed_point(nodes, e, iters=iters)
+    return {r["node_id"]: r for r in got.collect()}
+
+
+@pytest.mark.parametrize(
+    "n_nodes,edges",
+    [
+        # hub-and-spoke: 0 -> {1,2,3}, all point back to 0
+        (4, [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]),
+        # chain with a dangling tail and a self-loop
+        (5, [(0, 1), (1, 2), (2, 3), (3, 3)]),
+        # disconnected node 4 + duplicate edge (must dedup)
+        (5, [(0, 1), (0, 1), (1, 0), (2, 3)]),
+    ],
+)
+def test_matches_python_reference(spark, n_nodes, edges):
+    want, od, e = _py_pagerank(n_nodes, edges)
+    got = _run(spark, n_nodes, edges)
+    ind = {}
+    for _, d in e:
+        ind[d] = ind.get(d, 0) + 1
+    assert set(got) == set(range(n_nodes))
+    for v in range(n_nodes):
+        assert got[v]["rank_fp"] == want[v], (v, got[v], want[v])
+        assert got[v]["out_deg"] == od.get(v, 0)
+        assert got[v]["in_deg"] == ind.get(v, 0)
+
+
+def test_mass_conserved_up_to_truncation(spark):
+    n, edges = 6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 0), (0, 3)]
+    got = _run(spark, n, edges)
+    total = sum(r["rank_fp"] for r in got.values())
+    # floor divisions only ever LOSE mass, at most (n_edges + n + 2) units/iter
+    assert total <= SCALE
+    assert total >= SCALE - 5 * (len(edges) + n + 2)
+    assert all(r["rank_fp"] > 0 for r in got.values())
+
+
+def test_sink_collects_more_than_isolated(spark):
+    # every node feeds 3; node 4 is isolated (teleport + dangling share only)
+    got = _run(spark, 5, [(0, 3), (1, 3), (2, 3)])
+    assert got[3]["rank_fp"] > got[4]["rank_fp"]
+
+
+def test_empty_graph(spark):
+    got = _run(spark, 3, [])
+    # no edges: every node is dangling; ranks stay equal and positive
+    vals = {r["rank_fp"] for r in got.values()}
+    assert len(vals) == 1 and vals.pop() > 0

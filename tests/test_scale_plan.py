@@ -249,3 +249,31 @@ def test_semdedup_pairs_join_is_cell_blocked(spark):
     assert "CartesianProduct" not in plan, plan
     # the only window-free reduction: a join keyed on cid
     assert "cid" in plan, plan
+
+
+def test_pagerank_joins_are_equi(spark):
+    """Every PageRank iteration must reduce via equi-joins + hash
+    aggregation (edges ⋈ ranks on src, groupBy dst with map-side partial
+    agg) — no cartesian/theta join anywhere, and no global-order window:
+    the iteration state is O(nodes) and the only per-iteration driver
+    value is the dangling-mass scalar."""
+    df = entry_mod.queries()["link_pagerank"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_lm_perplexity_rank_is_partition_local(spark):
+    """The tertile cut must use the two-pass global-seq pattern: any
+    window in the plan is keyed by _pid, never a bare global ORDER BY
+    window (single reducer over every scored document)."""
+    df = entry_mod.queries()["lm_perplexity"](spark, SF)
+    plan = _plan(df)
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "_pid" in line, line
+    assert saw_window, plan
+    assert "CartesianProduct" not in plan, plan
