@@ -32,10 +32,11 @@ from .functions.urls import (
     url_host,
     url_path,
 )
-from .operators import dedup, pq, similarity, textstats
+from .operators import dedup, pq, similarity, sketch, textstats
 from .operators.curate import curate_corpus
 from .operators.graph import pagerank_fixed_point
 from .operators.lm import bigram_lm_scores
+from .operators.relevance import bm25_oracle_sql, bm25_scores
 from .operators.extract import extract_links_udf, extract_meta_udf
 from .operators.multimodal import decode_features
 from .operators.politeness import priority_expr
@@ -1352,6 +1353,40 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
+#: fixed term set for the catalog's BM25 query — four tokens present in
+#: the synthetic documents vocabulary (any term set works; the operator
+#: takes an arbitrary sequence)
+BM25_TERMS = ("spark", "window", "hash", "customer")
+
+#: KMV sketch size for the catalog's cardinality query
+KMV_K = 64
+
+
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-size KMV sketch (operators/sketch.py): the
+    mergeable distinct-count synopsis a 100 TB audit keeps instead of an
+    exact count(DISTINCT token) shuffle. The md5-based hash makes the
+    sketch contents AND the estimate digit-exact against the DuckDB
+    oracle; sources with < k distinct tokens report the exact count."""
+    tok = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.transform(
+                textstats.tokens_expr(F.col("text")), lambda x: F.lower(x)
+            )
+        ).alias("w"),
+    )
+    return sketch.kmv_sketch(tok, "source", "w", k=KMV_K)
+
+
+def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 topical filter (operators/relevance.py): score every document
+    against a fixed domain-term set — the classical pre-embedding
+    relevance gate. Per-(doc, term) contributions are micro-unit-rounded
+    BIGINTs before the order-independent per-doc sum."""
+    return bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1701,6 +1736,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # full DuckDB oracles below, value-checked by the pytest mirror
     "link_pagerank": q_link_pagerank,
     "lm_perplexity": q_lm_perplexity,
+    # mergeable KMV distinct-cardinality sketch + the BM25 topical gate
+    "cardinality_sketch": q_cardinality_sketch,
+    "bm25_relevance": q_bm25_relevance,
 }
 
 
@@ -2905,3 +2943,42 @@ SELECT doc_id, n_bigrams, h6,
        ELSE 'tail' END AS bucket
 FROM r
 """
+
+
+def _kmv_oracle_sql(k: int) -> str:
+    """DuckDB mirror of q_cardinality_sketch. The hash is the repo's
+    shared md5-based 60-bit value (dedup._md5_hash64_expr), so sketch
+    contents and kth minimum are digit-exact; the estimate's two float
+    constants (k-1 and the 2^60 hash space) are embedded via repr so both
+    engines divide the identical doubles (sketch.HASH_SPACE — change the
+    formula in operators/sketch.py and here together)."""
+    c_k1 = repr(float(k - 1))
+    c_m = repr(float(sketch.HASH_SPACE))
+    return f"""
+WITH d AS (SELECT source, list_transform({_sql_toks('text')}, x -> lower(x)) AS a
+           FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+tot AS MATERIALIZED (SELECT source, count(*)::BIGINT AS n_rows FROM tok GROUP BY 1),
+h AS (SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+r AS (SELECT source, h,
+        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+s AS (SELECT source, count(*)::BIGINT AS n_sketch, max(h) AS kth_hash,
+        list_sort(list(h)) AS sketch
+      FROM r WHERE rn <= {k} GROUP BY 1)
+SELECT s.source, tot.n_rows, s.n_sketch, s.kth_hash, s.sketch,
+  CASE WHEN s.n_sketch < {k} THEN s.n_sketch::DOUBLE
+       ELSE round(CAST('{c_k1}' AS DOUBLE) * CAST('{c_m}' AS DOUBLE)
+                  / s.kth_hash::DOUBLE, 1)
+  END AS est_distinct
+FROM s JOIN tot USING (source)
+"""
+
+
+ORACLES["cardinality_sketch"] = _kmv_oracle_sql(KMV_K)
+
+# BM25: the oracle generator lives next to the operator
+# (operators/relevance.py) so the derived constants k1+1 / k1*(1-b) / k1*b
+# are computed once and embedded bit-identically on both sides.
+ORACLES["bm25_relevance"] = bm25_oracle_sql(
+    BM25_TERMS, toks_sql=_sql_toks("text")
+)

@@ -1,0 +1,157 @@
+"""KMV (k-minimum-values) distinct-cardinality sketches.
+
+A 100 TB corpus build constantly asks "how many distinct X per group?" —
+vocabulary size per source, distinct URLs per host, unique shingles per
+shard — and an exact ``count(DISTINCT x)`` shuffles every distinct value.
+The KMV estimator (Bar-Yossef et al. 2002; Beyer et al. 2007 "On synopses
+for distinct-value estimation") keeps only the k smallest hash values per
+group: if the k-th smallest of n uniform hashes in [0, M) is h_k, then
+n ≈ (k-1)·M/h_k. The sketch is tiny (k longs), MERGEABLE (union the
+hash sets, re-take the k smallest — exactly how per-shard sketches roll
+up to a corpus total without re-scanning), and with fewer than k distinct
+values it degrades to the EXACT count.
+
+Unlike HyperLogLog (Spark's ``approx_count_distinct``), KMV is
+deterministic given the hash function and exactly reproducible in any SQL
+engine: the hash here is the repo's md5-based 60-bit value
+(``dedup._md5_hash64_expr`` — bit-identical in Spark and DuckDB), so the
+sketch contents, the k-th minimum, and the estimate all oracle-check
+digit-for-digit. The only float is the final estimate, a single division
+of two exact integers (IEEE-correctly-rounded, identical in any engine —
+the same two-exact-ints trick as lm.bigram_lm_scores' h6).
+
+Scale shape: one ``(group, hash)`` distinct (map-side combining hash
+aggregate), then the salted two-phase k-smallest (``grouped_topk`` — the
+same no-per-group-window reduction every ANN path uses: a group's hashes
+spread over salt_parts reducers, ≤k survive per salt, final hash agg over
+≤ groups·salt_parts·k rows). No global window, no skewed shuffle: a group
+with 10^9 distinct values never lands on one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hash64_expr
+from .similarity import grouped_topk
+
+#: hash space: _md5_hash64_expr yields 15 hex chars = [0, 16^15) = [0, 2^60)
+HASH_SPACE = 16**15
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    k: int = 64,
+) -> DataFrame:
+    """Per-``group_col`` KMV sketch of ``value_col`` (a column name or
+    Column expression).
+
+    Returns one row per group::
+
+        (group, n_rows BIGINT,        -- total value occurrences (exact)
+         n_sketch BIGINT,             -- hashes held (= exact distinct if < k)
+         kth_hash BIGINT,             -- max held hash (the KMV statistic)
+         sketch ARRAY<BIGINT>,        -- the k smallest hashes, ascending
+         est_distinct DOUBLE)         -- exact n_sketch if n_sketch < k,
+                                      -- else round((k-1)·M/kth, 1)
+
+    ``n_rows/est_distinct`` is the duplication factor a curation audit
+    reports per source. Sketches from disjoint shards merge losslessly via
+    :func:`kmv_merge`.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.select(
+        F.col(group_col).alias("_g"), _md5_hash64_expr(val).alias("_h")
+    )
+    totals = hashed.groupBy("_g").agg(F.count("*").alias("n_rows"))
+    distinct = hashed.distinct()
+    # k-smallest == top-k of the negated hash; salt on the hash itself so
+    # a hot group's distinct stream spreads across reducers
+    low = grouped_topk(
+        distinct.withColumn("_neg", -F.col("_h")),
+        "_g",
+        "_h",
+        "_neg",
+        k,
+        salt_col="_h",
+    )
+    sk = low.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("_h").alias("kth_hash"),
+        F.sort_array(F.collect_list("_h")).alias("sketch"),
+    )
+    est = (
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(HASH_SPACE))
+                / F.col("kth_hash").cast("double"),
+                1,
+            )
+        )
+        .alias("est_distinct")
+    )
+    return sk.join(totals, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        "n_sketch",
+        "kth_hash",
+        "sketch",
+        est,
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Merge per-shard sketches (rows of ``(group, n_rows, sketch)``) into
+    one sketch per group — union the held hashes, re-take the k smallest.
+    Exactly equals :func:`kmv_sketch` run over the concatenated shards
+    (pinned by tests/test_sketch.py): the k smallest of a union are a
+    subset of the per-shard k-smallest sets.
+    """
+    exploded = sketches.select(
+        F.col(group_col).alias("_g"),
+        F.col("n_rows"),
+        F.explode("sketch").alias("_h"),
+    )
+    totals = (
+        sketches.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+    distinct = exploded.select("_g", "_h").distinct()
+    low = grouped_topk(
+        distinct.withColumn("_neg", -F.col("_h")),
+        "_g",
+        "_h",
+        "_neg",
+        k,
+        salt_col="_h",
+    )
+    sk = low.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("_h").alias("kth_hash"),
+        F.sort_array(F.collect_list("_h")).alias("sketch"),
+    )
+    est = (
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(HASH_SPACE))
+                / F.col("kth_hash").cast("double"),
+                1,
+            )
+        )
+        .alias("est_distinct")
+    )
+    return sk.join(totals, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        "n_sketch",
+        "kth_hash",
+        "sketch",
+        est,
+    )

@@ -277,3 +277,29 @@ def test_lm_perplexity_rank_is_partition_local(spark):
             assert "_pid" in line, line
     assert saw_window, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_sketch_topk_is_salted(spark):
+    """The k-smallest reduction must be the salted two-phase form: every
+    window in the plan is keyed by (_g, _salt), never the group alone — a
+    source with 10^9 distinct tokens must spread across reducers."""
+    df = entry_mod.queries()["cardinality_sketch"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    saw = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw = True
+            assert "_salt" in line, line
+    assert saw, plan
+
+
+def test_bm25_has_no_window_and_broadcasts_stats(spark):
+    """BM25 reduces purely via hash aggregates + broadcast joins: no
+    window operator at all, no cartesian product; the only nested-loop
+    join is the one-row corpus-totals broadcast cross join."""
+    df = entry_mod.queries()["bm25_relevance"](spark, SF)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # dft and lens joins
