@@ -36,6 +36,7 @@ from .operators import dedup, pq, similarity, sketch, textstats
 from .operators.curate import curate_corpus
 from .operators.graph import pagerank_fixed_point
 from .operators.lm import bigram_lm_scores
+from .operators.profile import group_quantiles, heavy_hitters
 from .operators.relevance import bm25_oracle_sql, bm25_scores
 from .operators.extract import extract_links_udf, extract_meta_udf
 from .operators.multimodal import decode_features
@@ -1361,6 +1362,9 @@ BM25_TERMS = ("spark", "window", "hash", "customer")
 #: KMV sketch size for the catalog's cardinality query
 KMV_K = 64
 
+#: quantile probes for the token-length distribution query
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.95)
+
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-size KMV sketch (operators/sketch.py): the
@@ -1368,15 +1372,7 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count(DISTINCT token) shuffle. The md5-based hash makes the
     sketch contents AND the estimate digit-exact against the DuckDB
     oracle; sources with < k distinct tokens report the exact count."""
-    tok = _docs(spark, sf_dir).select(
-        "source",
-        F.explode(
-            F.transform(
-                textstats.tokens_expr(F.col("text")), lambda x: F.lower(x)
-            )
-        ).alias("w"),
-    )
-    return sketch.kmv_sketch(tok, "source", "w", k=KMV_K)
+    return sketch.kmv_sketch(_doc_tokens(spark, sf_dir), "source", "w", k=KMV_K)
 
 
 def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,6 +1381,55 @@ def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance gate. Per-(doc, term) contributions are micro-unit-rounded
     BIGINTs before the order-independent per-doc sum."""
     return bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """(source [, extra cols], w) — one row per lowered token occurrence."""
+    return _docs(spark, sf_dir).select(
+        "source",
+        *extra,
+        F.explode(
+            F.transform(
+                textstats.tokens_expr(F.col("text")), lambda x: F.lower(x)
+            )
+        ).alias("w"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 most frequent tokens per source (operators/profile.py):
+    the stopword/boilerplate profile a curation audit prints. One
+    map-side-combining count then the salted two-phase top-k — the raw
+    token stream never meets a per-group window."""
+    return heavy_hitters(_doc_tokens(spark, sf_dir), "source", "w", k=5)
+
+
+def q_token_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles of per-document token count per source
+    (operators/profile.py): the length distribution behind every length
+    gate. The running-sum window is over the aggregated distinct-length
+    table, never over documents."""
+    lens = _docs(spark, sf_dir).select(
+        "source",
+        F.size(textstats.tokens_expr(F.col("text"))).cast("long").alias("dl"),
+    )
+    return group_quantiles(lens, "source", "dl", qs=QUANTILE_QS)
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between the even- and odd-doc_id halves of each
+    source, estimated from their KMV sketches (sketch.kmv_jaccard): the
+    cross-shard contamination/overlap number sketches exist to answer
+    without re-scanning either corpus. Exact whenever the union sketch is
+    under k."""
+    tok = _doc_tokens(spark, sf_dir, "doc_id")
+    ska = sketch.kmv_sketch(
+        tok.filter(F.col("doc_id") % 2 == 0), "source", "w", k=KMV_K
+    )
+    skb = sketch.kmv_sketch(
+        tok.filter(F.col("doc_id") % 2 == 1), "source", "w", k=KMV_K
+    )
+    return sketch.kmv_jaccard(ska, skb, "source", k=KMV_K)
 
 
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,6 +1784,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mergeable KMV distinct-cardinality sketch + the BM25 topical gate
     "cardinality_sketch": q_cardinality_sketch,
     "bm25_relevance": q_bm25_relevance,
+    # corpus profiling: exact heavy hitters, exact length quantiles,
+    # sketch-estimated cross-shard vocabulary overlap
+    "heavy_hitters": q_heavy_hitters,
+    "token_len_quantiles": q_token_len_quantiles,
+    "vocab_overlap": q_vocab_overlap,
 }
 
 
@@ -2982,3 +3032,93 @@ ORACLES["cardinality_sketch"] = _kmv_oracle_sql(KMV_K)
 ORACLES["bm25_relevance"] = bm25_oracle_sql(
     BM25_TERMS, toks_sql=_sql_toks("text")
 )
+
+
+# heavy_hitters: exact counts, tie toward the lexicographically smaller
+# token — identical to grouped_topk's (desc cnt, asc value) total order.
+ORACLES["heavy_hitters"] = f"""
+WITH d AS (SELECT list_transform({_sql_toks('text')}, x -> lower(x)) AS a,
+           source FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+c AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+r AS (SELECT source, w, cnt,
+        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rank
+      FROM c)
+SELECT source, w, cnt, rank FROM r WHERE rank <= 5
+"""
+
+
+def _quantiles_oracle_sql(qs) -> str:
+    """Type-1 quantiles over the aggregated (source, length, count) table.
+    The probes are CAST('…' AS DOUBLE) via repr so ceil(q*n) multiplies
+    the identical IEEE double on both sides (bare decimal literals would
+    be DECIMAL in DuckDB and change the arithmetic)."""
+    probes = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in qs)
+    return f"""
+WITH d AS (SELECT source, len({_sql_toks('text')})::BIGINT AS v FROM documents),
+c AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+cum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+        FROM c),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+qs AS (SELECT unnest([{probes}]) AS q)
+SELECT cum.source, qs.q, tot.n, min(cum.v) AS value
+FROM cum JOIN tot ON tot.source = cum.source CROSS JOIN qs
+WHERE cum.cum >= ceil(qs.q * tot.n)
+GROUP BY 1, 2, 3
+"""
+
+
+ORACLES["token_len_quantiles"] = _quantiles_oracle_sql(QUANTILE_QS)
+
+
+def _vocab_overlap_oracle_sql(k: int) -> str:
+    """Mirror of q_vocab_overlap: per-side k-smallest md5-60bit token
+    hashes (even vs odd doc_id), union k-smallest, membership flags, and
+    the three derived floats — each computed from exact integers with the
+    same op order as sketch.kmv_jaccard (constants repr-embedded from
+    sketch.HASH_SPACE, same rule as _kmv_oracle_sql)."""
+    c_k1 = repr(float(k - 1))
+    c_m = repr(float(sketch.HASH_SPACE))
+    return f"""
+WITH d AS (SELECT doc_id, source,
+             list_transform({_sql_toks('text')}, x -> lower(x)) AS a
+           FROM documents),
+tok AS (SELECT doc_id, source, unnest(a) AS w FROM d),
+ha AS (SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       FROM tok WHERE doc_id % 2 = 0),
+hb AS (SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       FROM tok WHERE doc_id % 2 = 1),
+ra AS (SELECT source, h FROM (
+         SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM ha)
+       WHERE rn <= {k}),
+rb AS (SELECT source, h FROM (
+         SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hb)
+       WHERE rn <= {k}),
+u AS (SELECT source, h,
+        max(s = 'a')::INT AS ina, max(s = 'b')::INT AS inb
+      FROM (SELECT source, h, 'a' AS s FROM ra
+            UNION ALL SELECT source, h, 'b' AS s FROM rb)
+      GROUP BY 1, 2),
+ru AS (SELECT source, h, ina, inb,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM u),
+agg AS (SELECT source, count(*)::BIGINT AS n_union_sketch,
+          sum((ina = 1 AND inb = 1)::INT)::BIGINT AS n_both,
+          max(h) AS kth_hash
+        FROM ru WHERE rn <= {k} GROUP BY 1),
+j AS (SELECT source, n_union_sketch, n_both, kth_hash,
+        round(n_both::DOUBLE / n_union_sketch, 6) AS jaccard6,
+        CASE WHEN n_union_sketch < {k} THEN n_union_sketch::DOUBLE
+             ELSE round(CAST('{c_k1}' AS DOUBLE) * CAST('{c_m}' AS DOUBLE)
+                        / kth_hash::DOUBLE, 1)
+        END AS est_union
+      FROM agg)
+SELECT source, n_union_sketch, n_both, kth_hash, jaccard6, est_union,
+  CASE WHEN n_union_sketch < {k} THEN n_both::DOUBLE
+       ELSE round(jaccard6 * est_union, 1) END AS est_intersection
+FROM j
+"""
+
+
+ORACLES["vocab_overlap"] = _vocab_overlap_oracle_sql(KMV_K)

@@ -1,0 +1,89 @@
+"""Corpus profiling: exact per-group heavy hitters and distribution
+quantiles — the audit numbers a 100 TB curation run reports per source
+alongside corpus_report's scalars.
+
+Both are EXACT (no sampling, no sketch error) yet scale-shaped:
+
+* **heavy hitters** — one map-side-combining ``groupBy(group, value)``
+  count collapses the corpus to its distinct values, then the salted
+  two-phase ``grouped_topk`` reduces to the top-k per group. No per-group
+  window ever sees raw rows; a group with 10^9 occurrences of one token
+  is ONE row after the combine.
+* **quantiles** — type-1 (lower-value) quantiles computed on the
+  value-AGGREGATED ``(group, value, count)`` table: the running-sum
+  window is over DISTINCT VALUES per group, not rows, so it's bounded by
+  the value domain (token counts, quality scores in fixed units), not by
+  corpus size. For genuinely unbounded continuous columns, bin first —
+  the docstring contract, not a hidden assumption.
+
+Determinism: counts and cumulative ranks are exact BIGINTs; the only
+float is the quantile probe ``ceil(q * n)`` where ``q`` is the same
+literal double on both engine sides (IEEE multiply + ceil — identical),
+so the selected value is identical in any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import grouped_topk
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k most frequent ``value_col`` per ``group_col``.
+
+    Returns ``(group, value, cnt BIGINT, rank)`` with ties broken toward
+    the lexicographically smaller value (grouped_topk's (desc count,
+    asc value) total order — reproducible in any engine).
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    top = grouped_topk(counts, "_g", "_v", "cnt", k, salt_col="_v")
+    return top.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        F.col("cnt"),
+        "rank",
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact type-1 quantiles of ``num_col`` per ``group_col``: for each
+    q, the smallest value whose cumulative count reaches ``ceil(q·n)``.
+
+    Returns ``(group, q DOUBLE, n BIGINT, value)`` — one row per
+    (group, q). The value column keeps its input type.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(num_col).alias("_v")
+    ).agg(F.count("*").cast("long").alias("_c"))
+    # running sum over the aggregated distinct-value table (bounded by the
+    # value domain per group — the scale contract in the module docstring)
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    tot = counts.groupBy("_g").agg(F.sum("_c").cast("long").alias("n"))
+    probes = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    return (
+        cum.join(tot, "_g")
+        .select("_g", "_v", "_cum", "n", probes)
+        .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("_g", "q", "n")
+        .agg(F.min("_v").alias("value"))
+        .select(F.col("_g").alias(group_col), "q", "n", "value")
+    )

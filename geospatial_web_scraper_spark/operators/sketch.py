@@ -105,6 +105,88 @@ def kmv_sketch(
     )
 
 
+def kmv_jaccard(
+    sk_a: DataFrame, sk_b: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Set-overlap estimate per group from two KMV sketches (Beyer et al.
+    2007 §5.2): take the k smallest hashes of the UNION of the two
+    sketches; the Jaccard estimate is the fraction of those present in
+    BOTH input sketches (each union k-minimum is a uniform sample of the
+    union, and membership in both sketches == membership in the
+    intersection). When the union sketch holds fewer than k hashes it is
+    the whole union, so jaccard and the counts are EXACT.
+
+    Returns ``(group, n_union_sketch, n_both, kth_hash, jaccard6 DOUBLE,
+    est_union DOUBLE, est_intersection DOUBLE)``. All inputs to the three
+    floats are exact integers (plus the already-rounded jaccard6), so
+    every digit reproduces in any engine.
+
+    Scale shape: sketches are k longs per group — everything here is
+    sketch-sized (explode + hash-agg + plain grouped_topk, no salt
+    needed: ≤ 2k rows per group by construction).
+    """
+    ea = sk_a.select(
+        F.col(group_col).alias("_g"), F.explode("sketch").alias("_h")
+    ).withColumn("_s", F.lit("a"))
+    eb = sk_b.select(
+        F.col(group_col).alias("_g"), F.explode("sketch").alias("_h")
+    ).withColumn("_s", F.lit("b"))
+    flags = (
+        ea.unionByName(eb)
+        .groupBy("_g", "_h")
+        .agg(
+            F.max(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("_ina"),
+            F.max(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("_inb"),
+        )
+    )
+    low = grouped_topk(
+        flags.withColumn("_neg", -F.col("_h")),
+        "_g",
+        "_h",
+        "_neg",
+        k,
+        carry_cols=("_ina", "_inb"),
+    )
+    agg = low.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_union_sketch"),
+        F.sum(
+            ((F.col("_ina") == 1) & (F.col("_inb") == 1)).cast("long")
+        ).alias("n_both"),
+        F.max("_h").alias("kth_hash"),
+    )
+    j6 = F.round(
+        F.col("n_both").cast("double") / F.col("n_union_sketch"), 6
+    ).alias("jaccard6")
+    est_u = (
+        F.when(
+            F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(HASH_SPACE))
+                / F.col("kth_hash").cast("double"),
+                1,
+            )
+        )
+        .alias("est_union")
+    )
+    out = agg.select(
+        F.col("_g").alias(group_col),
+        "n_union_sketch",
+        "n_both",
+        "kth_hash",
+        j6,
+        est_u,
+    )
+    return out.withColumn(
+        "est_intersection",
+        F.when(
+            F.col("n_union_sketch") < k, F.col("n_both").cast("double")
+        ).otherwise(F.round(F.col("jaccard6") * F.col("est_union"), 1)),
+    )
+
+
 def kmv_merge(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     """Merge per-shard sketches (rows of ``(group, n_rows, sketch)``) into
     one sketch per group — union the held hashes, re-take the k smallest.

@@ -1,0 +1,106 @@
+"""Corpus profiling (operators/profile.py) and KMV overlap
+(sketch.kmv_jaccard): parity with straight-line Python references."""
+
+import hashlib
+import math
+
+from geospatial_web_scraper_spark.operators.profile import (
+    group_quantiles,
+    heavy_hitters,
+)
+from geospatial_web_scraper_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+
+def test_heavy_hitters_exact_and_tiebreak(spark):
+    rows = (
+        [("a", "x")] * 5
+        + [("a", "y")] * 5  # tie with x -> y ranks after x (lexicographic)
+        + [("a", "z")] * 7
+        + [("a", "w")] * 1
+        + [("b", "only")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g"], r["rank"]): (r["v"], r["cnt"])
+        for r in heavy_hitters(df, "g", "v", k=3).collect()
+    }
+    assert got == {
+        ("a", 1): ("z", 7),
+        ("a", 2): ("x", 5),
+        ("a", 3): ("y", 5),
+        ("b", 1): ("only", 2),
+    }
+
+
+def _py_quantiles(vals, qs):
+    s = sorted(vals)
+    n = len(s)
+    return {q: s[max(0, math.ceil(q * n) - 1)] for q in qs}
+
+
+def test_group_quantiles_matches_python(spark):
+    qs = (0.25, 0.5, 0.75, 0.95)
+    ga = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    gb = list(range(100))
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q"]): (r["n"], r["value"])
+        for r in group_quantiles(df, "g", "v", qs=qs).collect()
+    }
+    pa, pb = _py_quantiles(ga, qs), _py_quantiles(gb, qs)
+    want = {("a", q): (len(ga), pa[q]) for q in qs}
+    want.update({("b", q): (len(gb), pb[q]) for q in qs})
+    assert got == want
+
+
+def test_group_quantiles_single_value(spark):
+    df = spark.createDataFrame([("g", 7)] * 9, "g string, v long")
+    out = group_quantiles(df, "g", "v").collect()
+    assert all(r["value"] == 7 and r["n"] == 9 for r in out)
+    assert len(out) == 4
+
+
+def _h(v):
+    return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_jaccard_exact_below_k(spark):
+    """Union under k => sketch holds the whole union: jaccard and the
+    intersection count are EXACT."""
+    a = [("g", f"v{i}") for i in range(30)]          # v0..v29
+    b = [("g", f"v{i}") for i in range(20, 50)]      # v20..v49; |∩|=10 |∪|=50
+    dfa = spark.createDataFrame(a, "g string, v string")
+    dfb = spark.createDataFrame(b, "g string, v string")
+    ska = kmv_sketch(dfa, "g", "v", k=64)
+    skb = kmv_sketch(dfb, "g", "v", k=64)
+    row = kmv_jaccard(ska, skb, "g", k=64).collect()[0]
+    assert row["n_union_sketch"] == 50
+    assert row["n_both"] == 10
+    assert row["jaccard6"] == round(10 / 50, 6)
+    assert row["est_union"] == 50.0
+    assert row["est_intersection"] == 10.0
+
+
+def test_kmv_jaccard_matches_python_kmv(spark):
+    """Above k, the estimate must equal the straight-line KMV computation
+    over the same md5 hashes (no RNG anywhere)."""
+    k = 64
+    va = [f"t{i}" for i in range(400)]
+    vb = [f"t{i}" for i in range(200, 700)]
+    dfa = spark.createDataFrame([("g", v) for v in va], "g string, v string")
+    dfb = spark.createDataFrame([("g", v) for v in vb], "g string, v string")
+    row = kmv_jaccard(
+        kmv_sketch(dfa, "g", "v", k=k), kmv_sketch(dfb, "g", "v", k=k), "g", k=k
+    ).collect()[0]
+
+    sa = set(sorted(map(_h, set(va)))[:k])
+    sb = set(sorted(map(_h, set(vb)))[:k])
+    union_k = sorted(sa | sb)[:k]
+    n_both = sum(1 for h in union_k if h in sa and h in sb)
+    assert row["n_union_sketch"] == k
+    assert row["n_both"] == n_both
+    assert row["kth_hash"] == union_k[-1]
+    assert row["jaccard6"] == round(n_both / k, 6)
+    # and the true jaccard (300/700 ≈ 0.43) is inside a loose 3σ band
+    assert 0.2 < row["jaccard6"] < 0.65

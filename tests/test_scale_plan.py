@@ -303,3 +303,31 @@ def test_bm25_has_no_window_and_broadcasts_stats(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # dft and lens joins
+
+
+def test_heavy_hitters_topk_is_salted(spark):
+    """Top tokens per source: the only windows allowed are the salted
+    pre-cut over the AGGREGATED counts — never a bare per-source window."""
+    df = entry_mod.queries()["heavy_hitters"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_salt" in line, line
+
+
+def test_quantiles_window_is_post_aggregation(spark):
+    """The running-sum window must consume the (source, length, count)
+    hash aggregate, not raw documents: a HashAggregate appears below the
+    Window in the plan tree."""
+    df = entry_mod.queries()["token_len_quantiles"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    win = [i for i, l in enumerate(lines) if " Window [" in l]
+    assert win, plan
+    # below the Window (deeper in the printed tree = later lines), a
+    # partial_count aggregate collapses documents before the sort
+    assert any(
+        "HashAggregate" in l and "count" in l for l in lines[win[0]:]
+    ), plan
