@@ -37,6 +37,7 @@ from .operators.curate import curate_corpus
 from .operators.graph import pagerank_fixed_point
 from .operators.lm import bigram_lm_scores
 from .operators.profile import group_quantiles, heavy_hitters
+from .operators.sessions import sessionize
 from .operators.relevance import bm25_oracle_sql, bm25_scores
 from .operators.extract import extract_links_udf, extract_meta_udf
 from .operators.multimodal import decode_features
@@ -1416,6 +1417,13 @@ def q_token_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(lens, "source", "dl", qs=QUANTILE_QS)
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): native
+    session_window groupBy — a hash aggregate, no per-user window
+    function. 30-minute gap; value summed in integer cents."""
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
 def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary overlap between the even- and odd-doc_id halves of each
     source, estimated from their KMV sketches (sketch.kmv_jaccard): the
@@ -1789,6 +1797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "token_len_quantiles": q_token_len_quantiles,
     "vocab_overlap": q_vocab_overlap,
+    # gap-based sessionization via native session_window (hash agg form)
+    "sessionize_events": q_sessionize_events,
 }
 
 
@@ -3122,3 +3132,23 @@ FROM j
 
 
 ORACLES["vocab_overlap"] = _vocab_overlap_oracle_sql(KMV_K)
+
+
+# sessionize_events: lag/islands mirror of the session_window groupBy.
+# Boundary is INCLUSIVE (an event at exactly prev+gap still merges —
+# pinned by tests/test_sessions.py); diffs computed in microseconds.
+ORACLES["sessionize_events"] = """
+WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        AS pus FROM e),
+m AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+        THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*)::BIGINT AS n_events, min(event_id)::BIGINT AS first_event,
+  round(CAST(sum(cents) AS DOUBLE) / CAST('100.0' AS DOUBLE), 2) AS value_sum
+FROM s GROUP BY user_id, sid
+"""

@@ -331,3 +331,14 @@ def test_quantiles_window_is_post_aggregation(spark):
     assert any(
         "HashAggregate" in l and "count" in l for l in lines[win[0]:]
     ), plan
+
+
+def test_sessionize_is_hash_agg_not_window(spark):
+    """session_window must plan as aggregation (map-side partial merge,
+    one shuffle on user_id) — never a per-user window function over raw
+    events."""
+    df = entry_mod.queries()["sessionize_events"](spark, SF)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MergingSessions" in plan or "HashAggregate" in plan, plan
