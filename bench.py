@@ -310,6 +310,38 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("ann_pq_adc", _pq_adc)
 
+        # --- r3 LLM-data ops: corpus-trained bigram LM gate over the sf
+        # documents, and fixed-point PageRank over a synthetic web graph
+        # (hash-derived edges, ~10 out-links/node — generated distributed,
+        # identical every run). Both end in actions that force the full
+        # computation (bucket groupBy / rank sum), and pagerank's per-
+        # iteration localCheckpoints materialize each round eagerly.
+        from geospatial_web_scraper_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+        from geospatial_web_scraper_spark.operators.lm import bigram_lm_scores
+
+        timed(
+            "lm_perplexity",
+            lambda: bigram_lm_scores(docs).groupBy("bucket").count().collect(),
+        )
+
+        def _pagerank():
+            n = int(os.environ.get("BENCH_GRAPH_NODES", "200000"))
+            deg = 10
+            nodes = spark.range(0, n, 1, cores * 2).select(
+                F.col("id").alias("node_id")
+            )
+            edges = spark.range(0, n * deg, 1, cores * 2).select(
+                (F.col("id") % n).alias("src"),
+                F.pmod(F.xxhash64("id"), F.lit(n)).alias("dst"),
+            )
+            pagerank_fixed_point(nodes, edges, iters=3).agg(
+                F.sum("rank_fp")
+            ).collect()
+
+        timed("link_pagerank", _pagerank)
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 
