@@ -788,6 +788,22 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(fps).alias("fp"))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional Broder containment over df-capped winnowing
+    fingerprints (n=3, window=4, max_df=20, C ≥ 0.5) — the asymmetric
+    complement to the symmetric Jaccard/MinHash near-dup family: a doc
+    quoted inside a larger doc scores ~1 here and ~0 there. md5-based
+    gram hash so DuckDB reproduces every fingerprint value."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir),
+        n=3,
+        window=4,
+        threshold=0.5,
+        max_df=20,
+        hash_fn=lambda g: dedup._md5_hash64_expr(g),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang")
@@ -1799,6 +1815,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_overlap": q_vocab_overlap,
     # gap-based sessionization via native session_window (hash agg form)
     "sessionize_events": q_sessionize_events,
+    # directional Broder containment (asymmetric near-dup) over df-capped
+    # winnowing fingerprints — appended past position 50 like the other
+    # beyond-the-reference rows; oracle-checked by the pytest mirror
+    "dedup_containment": q_dedup_containment,
 }
 
 
@@ -3151,4 +3171,41 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
   count(*)::BIGINT AS n_events, min(event_id)::BIGINT AS first_event,
   round(CAST(sum(cents) AS DOUBLE) / CAST('100.0' AS DOUBLE), 2) AS value_sum
 FROM s GROUP BY user_id, sid
+"""
+
+
+# dedup_containment: the winnow fingerprint chain (same n=3 / window=4 /
+# md5 gram hash as the winnow_fingerprints oracle), then the df-capped
+# containment join: drop fingerprints in > max_df docs, candidate pairs
+# from the fingerprint equi-join, C(src⊆dst) = shared / |fp(src)|.
+# Rounding-then-filter order matches dedup.containment_pairs exactly.
+ORACLES["dedup_containment"] = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(a) >= 3
+         THEN list_transform(range(1, len(a) - 1),
+                             i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+         ELSE []::VARCHAR[] END AS g
+  FROM toks),
+hs AS (SELECT doc_id,
+  list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM grams),
+mins AS (
+  SELECT doc_id,
+    CASE WHEN len(h) - 3 > 0
+         THEN list_transform(range(1, len(h) - 2), i -> list_min(h[i : i+3]))
+         ELSE h END AS m
+  FROM hs),
+fps AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM keep GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS shared
+  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+c AS (SELECT src_id, dst_id,
+        round(shared::DOUBLE / n_fp::DOUBLE, 6) AS containment
+      FROM shared JOIN sizes ON sizes.doc_id = shared.src_id)
+SELECT src_id, dst_id, containment FROM c WHERE containment >= 0.5
 """

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .textstats import tokens_expr, word_ngrams_expr
+from .textstats import tokens_expr, winnow_fingerprints_expr, word_ngrams_expr
 
 
 # --------------------------------------------------------------------- exact
@@ -249,6 +249,75 @@ def minhash_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------- containment
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 20,
+    hash_fn=None,
+) -> DataFrame:
+    """Directional Broder containment C(A⊆B) = |fp(A)∩fp(B)| / |fp(A)|
+    over winnowing fingerprints (Broder, SEQUENCES'97 "resemblance and
+    containment"; fingerprints per Schleimer et al., SIGMOD'03) →
+    ``(src_id, dst_id, containment)`` rows where at least ``threshold``
+    of src's fingerprints also occur in dst. Catches the asymmetric
+    duplication that symmetric Jaccard near-dup structurally misses: a
+    short page quoted inside a long one, a partial scrape, a
+    boilerplate-wrapped mirror — resemblance of a small doc against a
+    huge superset is ~0 while containment is ~1.
+
+    Scale shape (100 TB): one explode of the per-doc DISTINCT
+    fingerprint set, then a document-frequency cap (``max_df``) applied
+    BEFORE pair generation — simultaneously the skew guard for the
+    fingerprint equi-join (no hot boilerplate fingerprint survives with
+    more than ``max_df`` rows, so the join's per-key fan-out is bounded
+    by ``max_df²``) and a precision filter (ubiquitous fingerprints
+    carry no containment signal). Candidate pairs come from the
+    fingerprint equi-join; sizes from one scalar aggregate. No quadratic
+    stage. The capped fingerprint table is localCheckpoint'ed so the
+    self-join reads it instead of re-deriving the higher-order winnow
+    expression on both sides (the projection-collapse recompute trap);
+    at cluster scale swap that for ``persist(DISK_ONLY)``."""
+    fp_expr = winnow_fingerprints_expr(
+        F.col(text_col), n=n, window=window, hash_fn=hash_fn
+    )
+    fps = df.select(F.col(id_col), F.explode(fp_expr).alias("fp"))
+    rare = fps.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    kept = fps.join(
+        rare.filter(F.col("dfreq") <= max_df).select("fp"), "fp"
+    ).localCheckpoint()
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("src_id"),
+            F.col(f"b.{id_col}").alias("dst_id"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("src_id"), "n_fp"), "src_id"
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_fp").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
     )
 
 

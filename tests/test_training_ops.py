@@ -1017,3 +1017,41 @@ def test_semdedup_matches_naive(spark):
     assert 6 not in got                      # zero vector excluded
     assert got[2] == (0, False) and got[3] == (0, False) and got[4] == (1, False)
     assert got[0][1] and got[1][1] and got[5][1] and got[7][1]
+
+
+def test_containment_pairs_directional_and_df_capped(spark):
+    # small doc quoted verbatim inside a much longer doc: containment is
+    # directional (small ⊆ big, not the reverse) — the case symmetric
+    # Jaccard near-dup structurally misses.
+    small = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+        "phi chi psi omega aleph bet gimel dalet he vav"
+    )
+    big = (
+        "intro words before the quoted passage starts here now " + small +
+        " closing remarks trail the quotation with many extra words "
+        "that keep the big document much longer than the small one "
+        "so its own fingerprint set is far larger overall in the end "
+        "and no fragment of it repeats the quoted passage again ever"
+    )
+    # 25 docs sharing identical boilerplate (> max_df=20): every
+    # boilerplate fingerprint is df-capped out, so no boiler-boiler pair
+    # survives — the skew guard doubling as a precision filter.
+    boiler = (
+        "this site uses cookies accept our terms privacy policy "
+        "all rights reserved contact us subscribe newsletter footer"
+    )
+    rows = [(0, small), (1, big)]
+    rows += [
+        (10 + i, boiler + f" unique{i} tail{i} words{i} differ{i} end{i}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 0.5, got
+    assert (1, 0) not in got, got          # asymmetric: big ⊄ small
+    assert all(s < 10 or d < 10 for (s, d) in got), got  # boiler capped out
