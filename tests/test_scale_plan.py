@@ -342,3 +342,13 @@ def test_sessionize_is_hash_agg_not_window(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "MergingSessions" in plan or "HashAggregate" in plan, plan
+
+
+def test_containment_join_is_equi_not_cartesian(spark):
+    """dedup_containment's pair generation must stay a fingerprint
+    EQUI-join (hash/sort-merge on fp) — never a nested-loop/cartesian
+    scan — and the df-cap pre-filter bounds every join key's fan-out."""
+    df = entry_mod.queries()["dedup_containment"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
