@@ -592,6 +592,9 @@ def incremental_dedup(
     bands: int = 4,
     ngram: int = 3,
     threshold: float = 0.7,
+    corpus_hashes: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    corpus_gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Admission filter for a continuously-ingesting corpus build: admit
     only the genuinely-new documents of an incoming batch against an
@@ -615,19 +618,30 @@ def incremental_dedup(
     :func:`connected_components` → :func:`keep_canonical`), not admission
     filtering — run the full pipeline over the batch before calling this.
 
-    Scale shape: both corpus sides here are derived from ``corpus_docs``,
-    but at 10^10 committed docs you persist them at commit time — the
-    hash set (:func:`exact_dedup` output) and the band table
-    (:func:`minhash_bands` output) — so each batch's cost is
-    O(batch + collisions), independent of corpus size, and the committed
-    TEXT is touched only for verify candidates (a semi-join)."""
+    Scale shape: the committed side is touched ONLY through artifacts that
+    are per-doc-bounded — the distinct hash set, the band table, and the
+    per-doc gram counts — and the committed TEXT is n-gram-exploded only
+    for the band-collision candidate ids (an explicit broadcast semi-join
+    BEFORE the explode, pinned by
+    tests/test_scale_plan.py::test_incremental_verify_is_candidate_bounded),
+    so a batch's cost is O(batch + collisions), independent of corpus
+    size. At 10^10 committed docs you don't even re-derive the artifacts:
+    pass the ones persisted at commit time — ``corpus_hashes``
+    (content_hash; :func:`exact_dedup`-shaped), ``corpus_bands``
+    (doc_id/``id_col``, band_idx, band_hash; :func:`minhash_bands`
+    output) and ``corpus_gram_counts`` (``id_col``, n_grams) — and the
+    only committed-text scan left is the candidate-sliced verify read."""
     new_h = new_docs.select(
         F.col(id_col),
         F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash"),
     )
-    corpus_h = corpus_docs.select(
-        F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash")
-    ).distinct()
+    corpus_h = (
+        corpus_hashes.select("content_hash").distinct()
+        if corpus_hashes is not None
+        else corpus_docs.select(
+            F.md5(normalized_text_expr(F.col(text_col))).alias("content_hash")
+        ).distinct()
+    )
     # gate 1 + 2
     s2 = (
         new_h.join(corpus_h, "content_hash", "left_anti")
@@ -638,30 +652,54 @@ def incremental_dedup(
     survivors = new_docs.join(s2.select(id_col), id_col)
     # gate 3: band-collision candidates (batch survivor, committed doc)
     nb = minhash_bands(survivors, text_col, id_col, k, bands, ngram)
-    cb = minhash_bands(corpus_docs, text_col, id_col, k, bands, ngram).select(
-        F.col(id_col).alias("_cid"), "band_idx", "band_hash"
+    cb = (
+        corpus_bands.select(
+            F.col(id_col).alias("_cid"), "band_idx", "band_hash"
+        )
+        if corpus_bands is not None
+        else minhash_bands(corpus_docs, text_col, id_col, k, bands, ngram)
+        .select(F.col(id_col).alias("_cid"), "band_idx", "band_hash")
     )
+    # the candidate set is re-read three times below (verify explode,
+    # gram counts when underived, the intersection join) — materialize it
+    # once so the band self-join never recomputes
     cand = (
         nb.join(cb, ["band_idx", "band_hash"])
         .select(F.col(id_col), F.col("_cid"))
         .distinct()
+        .localCheckpoint()
     )
+    cand_ids = F.broadcast(cand.select("_cid").distinct())
     # exact n-gram Jaccard on candidates only (same formula as the batch
-    # verify stage in minhash_neardup_pairs)
+    # verify stage in minhash_neardup_pairs). The committed side is
+    # candidate-bounded BEFORE any gram is generated: the broadcast
+    # semi-join on _cid sits under the explode, so committed text never
+    # streams through the gram shuffle for non-candidate docs (the r3
+    # scale defect — gate 3 used to explode the whole corpus per batch).
     gn = survivors.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
         ).alias("g"),
     )
-    gc = corpus_docs.select(
-        F.col(id_col).alias("_cid"),
-        F.explode(
-            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
-        ).alias("g"),
+    gc = (
+        corpus_docs.select(F.col(id_col).alias("_cid"), F.col(text_col))
+        .join(cand_ids, "_cid")
+        .select(
+            "_cid",
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+            ).alias("g"),
+        )
     )
     sz_n = gn.groupBy(id_col).agg(F.count("*").alias("_szn"))
-    sz_c = gc.groupBy("_cid").agg(F.count("*").alias("_szc"))
+    sz_c = (
+        corpus_gram_counts.select(
+            F.col(id_col).alias("_cid"), F.col("n_grams").alias("_szc")
+        ).join(cand_ids, "_cid")
+        if corpus_gram_counts is not None
+        else gc.groupBy("_cid").agg(F.count("*").alias("_szc"))
+    )
     inter = (
         cand.join(gn, id_col)
         .join(gc, ["_cid", "g"])

