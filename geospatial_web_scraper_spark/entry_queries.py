@@ -526,6 +526,54 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def _corpus_rank_table(spark: SparkSession) -> DataFrame:
+    """(url, rank_fp): fixed-point PageRank over the corpus's page→page
+    link graph mapped back to URLs — the exact table q_link_pagerank
+    checks, re-keyed for the scheduler's rank join."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return (
+        pagerank_fixed_point(nodes, e)
+        .join(urlmap, F.col("node_id") == F.col("page_id"))
+        .select("url", "rank_fp")
+    )
+
+
+def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-weighted recrawl priority end-to-end (VERDICT r3 ask #7):
+    the link_pagerank signal feeds the salted priority dequeue — dequeue
+    order is (static geo priority + rank_fp) DESC, url ASC, so graph
+    authority dominates (rank_fp is in 1e-12 BIGINT units, exact as a
+    double) and unranked URLs fall back to the static order among
+    themselves. The whole trace (pagerank fixed point → rank join →
+    per-round ordering → budget cut) is value-checked by one composed
+    DuckDB oracle built from the SAME pagerank CTE fragment as
+    link_pagerank's."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=1_000_000_000,
+        defer_overflow=False,
+        tiebreak="url",
+        rank_table=_corpus_rank_table(spark),
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 _ROBOTS_RULES = [
     ("host0.example.org", ["/data/", "/page/2"]),
     ("host3.example.org", ["/page/"]),
@@ -1695,7 +1743,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- crawl engine end-to-end (S1/F1/F4/F5/F7/F10/J1/T3/R1-R3/X1/U1) ----
     "crawl_bfs_seen": q_crawl_bfs_seen,
     "crawl_trace_budget": q_crawl_trace_budget,
-    "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
     "crawl_priority_trace": q_crawl_priority_trace,
     "crawl_deferral_trace": q_crawl_deferral_trace,
     # -- extraction kernel surfaces (X1/X2/S6/C10/C7/C8) -------------------
@@ -1723,13 +1770,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_batch_accumulate": q_a4_batch_accumulate,
     # -- training-data pipeline: dedup families ----------------------------
     "dedup_exact": q_dedup_exact,
-    "jaccard_pairs": q_jaccard_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "dedup_groups": q_dedup_groups,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "neardup_embedding": q_neardup_embedding,
+    # the 5th dedup family (semantic cluster-then-prune) — promoted into
+    # the driver window in r4 (VERDICT r3 ask #4); jaccard_pairs and
+    # winnow_fingerprints ceded slots (both are verify-stage building
+    # blocks of families already rowed here, see the 51+ comment)
+    "semdedup": q_semdedup,
     "curate_corpus": q_curate_corpus,
+    # the fully-composed curation pipeline v2 (Gopher gates + decontam +
+    # token-budget sampling in ONE Catalyst plan) — promoted in r4
+    "curate_corpus_v2": q_curate_corpus_v2,
     # -- similarity search / ranking ---------------------------------------
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1738,6 +1791,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_cosine_scores": q_a2_cosine_scores,
     "t1_sort_rank": q_t1_sort_rank,
     "t2_topk_quirk": q_t2_topk_quirk,
+    # fixed-point link-graph PageRank (the recrawl-priority signal; also
+    # feeds the crawl_pagerank_priority trace) — promoted into the driver
+    # window in r4
+    "link_pagerank": q_link_pagerank,
     # -- text analysis & multimodal ----------------------------------------
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -1764,6 +1821,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   it ceded its slot to curate_corpus (the composed curation pipeline).
     # - multimodal_frames shares its operator family with multimodal_decode
     #   (in the first 50); it ceded its slot to ann_pq_adc.
+    # - crawl_trace_budget_cut is the tighter-budget *variant* of
+    #   crawl_trace_budget (R3) and f10_global_budget (F10), both in the
+    #   first 50; jaccard_pairs and winnow_fingerprints are the verify-stage
+    #   building blocks of minhash_neardup / fingerprint / dedup_containment.
+    #   All three ceded their slots in r4 to semdedup, curate_corpus_v2 and
+    #   link_pagerank (VERDICT r3 ask #4).
+    "crawl_trace_budget_cut": q_crawl_trace_budget_cut,
+    "jaccard_pairs": q_jaccard_pairs,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "crawl_robots_trace": q_crawl_robots_trace,
     "multimodal_frames": q_multimodal_frames,
     "crawl_bfs_seen_bloom": q_crawl_bfs_seen_bloom,
@@ -1795,15 +1861,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_eval": q_decontaminate_eval,
     "sample_token_budget": q_sample_token_budget,
     "pii_scrub": q_pii_scrub,
-    "curate_corpus_v2": q_curate_corpus_v2,
-    "semdedup": q_semdedup,
     "crawl_recrawl_expired": q_crawl_recrawl_expired,
     "corpus_report": q_corpus_report,
-    # r3 (continuation): link-graph PageRank (frontier recrawl priority)
-    # and the CCNet-style bigram-LM perplexity gate — appended past
-    # position 50 like the other beyond-the-reference rows; both carry
-    # full DuckDB oracles below, value-checked by the pytest mirror
-    "link_pagerank": q_link_pagerank,
+    # the CCNet-style bigram-LM perplexity gate (r3) — appended past
+    # position 50 like the other beyond-the-reference rows; full DuckDB
+    # oracle below, value-checked by the pytest mirror
     "lm_perplexity": q_lm_perplexity,
     # mergeable KMV distinct-cardinality sketch + the BM25 topical gate
     "cardinality_sketch": q_cardinality_sketch,
@@ -1815,6 +1877,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_overlap": q_vocab_overlap,
     # gap-based sessionization via native session_window (hash agg form)
     "sessionize_events": q_sessionize_events,
+    # r4: PageRank-weighted recrawl priority end-to-end (link_pagerank →
+    # scheduler rank join → budgeted trace); oracle composes the pagerank
+    # CTE fragment with the unrolled priority chain
+    "crawl_pagerank_priority": q_crawl_pagerank_priority,
     # directional Broder containment (asymmetric near-dup) over df-capped
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
@@ -2947,17 +3013,19 @@ FROM per GROUP BY source
 """
 
 
-def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
-    """Unrolled fixed-point PageRank — integer arithmetic only, so every
-    CTE is digit-exact against the Spark iteration (operators/graph.py;
-    the SCALE and the 15/85 damping split are shared constants). Each
-    iteration's rank CTE is referenced twice by the next (contrib AND
-    dangling mass) — AS MATERIALIZED, or DuckDB's default CTE inlining
-    goes exponential in iters (same gotcha as the deferral chains)."""
+def _pagerank_ctes(n: int, iters: int = 5) -> str:
+    """The fixed-point PageRank iteration as a reusable CTE fragment
+    (assumes the corpus prelude is already in scope; yields ``r{iters}``
+    with (v, r)). Integer arithmetic only, so every CTE is digit-exact
+    against the Spark iteration (operators/graph.py; the SCALE and the
+    15/85 damping split are shared constants). Each iteration's rank CTE
+    is referenced twice by the next (contrib AND dangling mass) — AS
+    MATERIALIZED, or DuckDB's default CTE inlining goes exponential in
+    iters (same gotcha as the deferral chains). Shared by the standalone
+    ``link_pagerank`` oracle and the ``crawl_pagerank_priority`` trace."""
     s = 10**12
     base = (15 * s // 100) // n
     parts = [
-        f"WITH {PRE},",
         "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
         " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
         "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),",
@@ -2977,6 +3045,16 @@ def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
             f" ({base} + (85 * (coalesce(c.c, 0) + (SELECT dm FROM d{t}) // {n})) // 100)::BIGINT AS r"
             f" FROM pgu p LEFT JOIN c{t} c ON c.v = p.i),"
         )
+    return "\n".join(parts)
+
+
+def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
+    """link_pagerank: the shared iteration fragment plus the final
+    (node_id, out_deg, in_deg, rank_fp) projection."""
+    parts = [
+        f"WITH {PRE},",
+        _pagerank_ctes(n, iters),
+    ]
     parts.append(
         "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY 1)\n"
         "SELECT r.v AS node_id, coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
@@ -2987,6 +3065,64 @@ def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
 
 
 ORACLES["link_pagerank"] = _pagerank_oracle_sql(N)
+
+
+def _pagerank_priority_trace_sql(
+    n: int, budget: int, iters: int = 5, max_depth: int = 4
+) -> str:
+    """crawl_pagerank_priority: the pagerank CTE fragment (verbatim the
+    link_pagerank iteration) mapped to (url, rank_fp), then the unrolled
+    priority-trace chain with p = static priority + coalesce(rank_fp, 0).
+    Both terms are exact in a double (rank_fp < 2^41 in 1e-12 units, the
+    static term an integer-valued double ≤ ~150), so the sum carries no
+    rounding and Spark/DuckDB order identically."""
+    parts = [f"WITH {PRE},", _pagerank_ctes(n, iters)]
+    parts.append(
+        f"""
+ranks AS MATERIALIZED (
+  SELECT p.url AS url, r.r AS rank_fp FROM r{iters} r JOIN pgu p ON p.i = r.v),
+s0 AS (SELECT url, FALSE AS is_geo FROM seeds),
+p0 AS (SELECT t.url, {_sql_prio_for(0)} + coalesce(rk.rank_fp, 0)::DOUBLE AS p
+       FROM (SELECT url, is_geo, {_SQL_PATH} AS path FROM s0) t
+       LEFT JOIN ranks rk ON rk.url = t.url),
+rec0 AS (
+  SELECT (row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, 0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
+  FROM p0 QUALIFY seq <= {budget})"""
+    )
+    for r in range(1, max_depth):
+        seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
+        offset = " + ".join(f"(SELECT count(*) FROM rec{j})" for j in range(r))
+        parts.append(
+            f""",
+cand{r} AS (
+  SELECT ed.dst AS url, r.url AS parent_url, r.seq AS parent_seq, ed.pos, ed.is_geo
+  FROM rec{r - 1} r JOIN pgu p ON p.url = r.url JOIN edges ed ON ed.src = p.i),
+new{r} AS (
+  SELECT url, parent_url, parent_seq, pos, is_geo FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
+    FROM cand{r} c) WHERE rn = 1),
+pr{r} AS (
+  SELECT t.url, t.parent_url,
+         {_sql_prio_for(r)} + coalesce(rk.rank_fp, 0)::DOUBLE AS p
+  FROM (SELECT *, {_SQL_PATH} AS path FROM new{r}) t
+  LEFT JOIN ranks rk ON rk.url = t.url
+  WHERE t.url NOT IN ({seen})),
+rec{r} AS (
+  SELECT ({offset} + row_number() OVER (ORDER BY p DESC, url ASC) - 1)::BIGINT AS seq,
+         url, {r} AS depth, parent_url, {r} AS round
+  FROM pr{r} QUALIFY seq <= {budget})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seq, url, depth::INT AS depth, parent_url, round::INT AS round "
+        f"FROM rec{j}"
+        for j in range(max_depth)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+ORACLES["crawl_pagerank_priority"] = _pagerank_priority_trace_sql(N, 120)
 
 
 # lm_perplexity: the bigram-LM gate. Per-bigram log-probs are rounded to

@@ -69,6 +69,7 @@ class PolitenessScheduler:
         n_salts: int = 8,
         defer_overflow: bool = True,
         tiebreak: str = "url_hash",  # "url_hash" (uniform) or "url" (SQL-mirrorable)
+        rank_table: DataFrame | None = None,  # (url, rank_fp) PageRank signal
     ):
         self.robots = robots
         self.host_budget = host_budget
@@ -76,6 +77,7 @@ class PolitenessScheduler:
         self.n_salts = n_salts
         self.defer_overflow = defer_overflow
         self.tiebreak = tiebreak
+        self.rank_table = rank_table
         self.deferred: DataFrame | None = None
 
     def apply(self, df: DataFrame, rnd: int) -> DataFrame:
@@ -105,6 +107,35 @@ class PolitenessScheduler:
         d = d.withColumn(
             "_prio", priority_expr(F.col("url"), is_geo, F.col("depth"))
         )
+
+        # link-graph recrawl signal (operators/graph.py): rank_fp is a
+        # BIGINT in 1e-12 units, so its double cast is exact (< 2^53) and
+        # the additive priority stays bit-reproducible in a SQL oracle.
+        # rank_fp ≤ SCALE dwarfs the static term (≤ ~150): ranked URLs
+        # order by graph authority, unranked ones (coalesce 0) fall back
+        # to the static geo-signal order among themselves. Scale shape:
+        # a plain equi-join on url — at 10^10 URLs the rank table is huge
+        # but the per-round frontier slice is small, so AQE broadcasts
+        # the frontier side into the rank scan (no hint needed; the small
+        # side here is d, not the rank table).
+        if self.rank_table is not None:
+            d = (
+                d.join(
+                    self.rank_table.select(
+                        F.col("url").alias("_rurl"),
+                        F.col("rank_fp").alias("_rank_fp"),
+                    ),
+                    d["url"] == F.col("_rurl"),
+                    "left",
+                )
+                .drop("_rurl")
+                .withColumn(
+                    "_prio",
+                    F.col("_prio")
+                    + F.coalesce(F.col("_rank_fp"), F.lit(0)).cast("double"),
+                )
+                .drop("_rank_fp")
+            )
 
         # per-host token budget
         if self.host_budget is not None:

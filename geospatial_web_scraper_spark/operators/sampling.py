@@ -38,11 +38,17 @@ def sample_token_budget(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tok_col: Column | None = None,
 ) -> DataFrame:
     """Down-sample each source to ≈``budget_tokens`` whitespace tokens:
     keep a document iff its deterministic unit hash ``u`` (keyed by
     ``source:id``) falls below ``rate_s = min(1, budget / tokens_s)``.
     Sources already under budget are kept whole (rate 1).
+
+    ``n_tok_col`` swaps the whitespace count for any other per-doc token
+    measure — pass ``tokenize.bpe_token_count_expr(F.col(text_col),
+    merges)`` to budget in MODEL tokens (the real shard currency); the
+    mixture math is count-agnostic.
 
     → ``(id_col, source_col, n_tok, u, kept)`` for every input document —
     a flag column, not a filter, so callers can audit the mixture
@@ -52,10 +58,13 @@ def sample_token_budget(
     combining groupBy on the source key; the totals table is one row per
     source — explicitly broadcast back — and the keep decision is then
     evaluated map-side, so document rows never shuffle at all."""
+    n_tok = (
+        token_count_expr(F.col(text_col)) if n_tok_col is None else n_tok_col
+    )
     toks = df.select(
         F.col(id_col),
         F.col(source_col),
-        token_count_expr(F.col(text_col)).cast("long").alias("n_tok"),
+        n_tok.cast("long").alias("n_tok"),
         uniform_unit_hash_expr(
             F.concat(F.col(source_col), F.lit(":"), F.col(id_col))
         ).alias("_u"),

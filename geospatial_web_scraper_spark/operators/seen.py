@@ -54,6 +54,7 @@ class ShardedBloomSeenFilter:
         self.k = n_hashes
         self.bitmaps = np.zeros((n_shards, bits_per_shard // 8), dtype=np.uint8)
         self._bc = None
+        self._probed: DataFrame | None = None
 
     # ------------------------------------------------------------- internals
     @staticmethod
@@ -93,14 +94,30 @@ class ShardedBloomSeenFilter:
                 res &= ((bitmaps[shard, byte] >> bit) & 1).astype(bool)
             return pd.Series(res)
 
+        # the persist exists so the double filter below probes each row once;
+        # releasing the PREVIOUS round's probed cache here (and in
+        # release(), called by the engine after the crawl) bounds the cached
+        # state to one round regardless of crawl length (review r4 — the
+        # frontier columns are wide, and a long crawl leaked one cached
+        # DataFrame per round)
+        self.release()
         probed = (
             df.withColumn("_h", url_hash(F.col(url_col)))
             .withColumn("_maybe", maybe_seen(F.col("_h")))
             .persist()
         )
+        self._probed = probed
         new = probed.filter(~F.col("_maybe")).drop("_h", "_maybe")
         maybe = probed.filter(F.col("_maybe")).drop("_h", "_maybe")
         return new, maybe
+
+    def release(self) -> None:
+        """Drop the cached probe of the last :meth:`split` (safe once its
+        round has materialized past it — the engine's per-round eager
+        checkpoint guarantees that before the next split)."""
+        if self._probed is not None:
+            self._probed.unpersist()
+            self._probed = None
 
     def update(self, urls: DataFrame, url_col: str = "url") -> None:
         """Fold newly-recorded URLs into the shard bitmaps — built
@@ -190,6 +207,7 @@ class ShardedCuckooSeenFilter:
             {} for _ in range(n_shards)
         ]
         self._bc = None
+        self._probed: DataFrame | None = None
 
     # ------------------------------------------------------------- internals
     @staticmethod
@@ -347,14 +365,24 @@ class ShardedCuckooSeenFilter:
                         res[j] = True
             return pd.Series(res)
 
+        # same one-round cache bound as the bloom (see its split/release)
+        self.release()
         probed = (
             df.withColumn("_h", url_hash(F.col(url_col)))
             .withColumn("_maybe", maybe_seen(F.col("_h")))
             .persist()
         )
+        self._probed = probed
         new = probed.filter(~F.col("_maybe")).drop("_h", "_maybe")
         maybe = probed.filter(F.col("_maybe")).drop("_h", "_maybe")
         return new, maybe
+
+    def release(self) -> None:
+        """Drop the cached probe of the last :meth:`split` (see the bloom's
+        :meth:`ShardedBloomSeenFilter.release`)."""
+        if self._probed is not None:
+            self._probed.unpersist()
+            self._probed = None
 
     # ------------------------------------------------------------- metrics
     def occupancy(self) -> float:

@@ -45,11 +45,21 @@ def argmax_cell_kernel(
     across backends. The assignment RULE is identical; bit-parity of the
     comparison inputs is not guaranteed by IEEE — oracle runs at both
     test scales pass, and anything nearer than ~1e-15 relative is a
-    measure-zero tie in real embedding data."""
+    measure-zero tie in real embedding data.
+
+    Zero-norm CENTROID columns are masked to -inf (review r4): cosine to
+    a zero vector is undefined — the native ``cosine_expr`` yields NULL
+    and every oracle excludes such centroids from the candidate set — so
+    a zero-norm centroid must never win the argmax (before the mask, its
+    clamped 0.0 won whenever every real cosine was negative). Callers
+    must supply at least one non-zero-norm centroid; with none, every
+    row's score is -inf and the returned index 0 is meaningless
+    (:func:`semdedup` pre-filters and handles the empty case)."""
     vn = np.linalg.norm(mat, axis=1)
     cos = (mat @ cmat.T) / np.maximum(
         vn[:, None] * cnorm[None, :], 1e-300
     )
+    cos[:, cnorm == 0] = -np.inf
     return cos.argmax(axis=1), vn
 
 
@@ -504,6 +514,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "cid",
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     cluster-then-prune — the 5th dedup family (exact / MinHash / SimHash /
@@ -529,8 +540,34 @@ def semdedup(
     model (pick k ~ sqrt(N) cells so cells stay ~sqrt(N)). Norms and cell
     ids are materialized (localCheckpoint) BEFORE the self-join so
     projection collapse cannot re-derive them per pair (measured 3× on the
-    embedding near-dup benchmark)."""
-    rows = centroids.orderBy(centroid_id).collect()
+    embedding near-dup benchmark).
+
+    That cost model is ENFORCED, not assumed (review r3): centroids are
+    caller-supplied, and the classic web-corpus failure mode — boilerplate
+    pages collapsing into one mega-cluster — would silently make that
+    cell's self-join quadratic-hot. A cell with more than ``max_cell``
+    members raises ValueError (one O(cells) hash-agg over the already-
+    checkpointed assignment — no extra corpus scan) naming the hot cells;
+    re-cluster with more centroids (k ~ sqrt(N) keeps cells at the
+    10^10-corpus design point under the 100k default) or raise/disable
+    the bound (``max_cell=None``) when the quadratic term is intended.
+
+    Zero-norm CENTROIDS are excluded before assignment — cosine to a zero
+    vector is undefined, so such a row can never own a cell (matching the
+    DuckDB oracle, which drops them from the candidate set; review r4).
+    With no usable centroid at all the result is empty."""
+    rows = [
+        r
+        for r in centroids.orderBy(centroid_id).collect()
+        if any(x != 0 for x in r[vec_col])
+    ]
+    if not rows:
+        return (
+            emb.select(F.col(id_col))
+            .limit(0)
+            .withColumn(centroid_id, F.lit(None).cast("long"))
+            .withColumn("kept", F.lit(True))
+        )
     cids = np.array([r[centroid_id] for r in rows], dtype=np.int64)
     cmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     cnorm = np.linalg.norm(cmat, axis=1)
@@ -555,6 +592,25 @@ def semdedup(
         .where(F.col(centroid_id).isNotNull() & (F.col("_n") > 0))
         .localCheckpoint()
     )
+    if max_cell is not None:
+        hot = (
+            base.groupBy(centroid_id)
+            .count()
+            .where(F.col("count") > max_cell)
+            .orderBy(F.desc("count"))
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(
+                f"{centroid_id}={r[centroid_id]}:{r['count']}" for r in hot
+            )
+            raise ValueError(
+                f"semdedup cell(s) exceed max_cell={max_cell} ({detail}); "
+                "the within-cell self-join would go quadratic on them — "
+                "re-cluster with more centroids (k ~ sqrt(N)) or pass "
+                "max_cell=None to accept the cost"
+            )
     a, b = base.alias("a"), base.alias("b")
     dropped = (
         a.join(

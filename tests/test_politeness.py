@@ -161,3 +161,39 @@ def test_priority_expr_values(spark):
         ).collect()
     ]
     assert got == [109.0, 9.0, -1.0, -3.0]
+
+
+def test_rank_table_dominates_dequeue_order(spark):
+    """With a rank_table, dequeue order is (static prio + rank_fp) DESC:
+    a high-PageRank plain URL outranks a geo-signal URL (rank_fp units of
+    1e-12 dwarf the static term by design), and unranked URLs keep the
+    static order among themselves via coalesce(rank_fp, 0)."""
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.org/data/a.zip", 0, None, -1, 0, True),   # static 109
+            ("https://h.org/plain_hub.html", 0, None, -1, 1, False),  # static -0
+            ("https://h.org/plain_leaf.html", 0, None, -1, 2, False),
+            ("https://h.org/unranked_geo.zip", 0, None, -1, 3, True),
+        ],
+        "url string, depth int, parent_url string, parent_seq long,"
+        " pos int, is_geo boolean",
+    )
+    ranks = spark.createDataFrame(
+        [
+            ("https://h.org/plain_hub.html", 5_000_000_000),
+            ("https://h.org/data/a.zip", 1_000_000_000),
+        ],
+        "url string, rank_fp long",
+    )
+    sched = PolitenessScheduler(
+        default_tokens_per_round=100, defer_overflow=False,
+        tiebreak="url", rank_table=ranks,
+    )
+    out = sched.apply(frontier, 0)
+    got = [r["url"] for r in out.orderBy("_ord1", "_ord2").collect()]
+    assert got == [
+        "https://h.org/plain_hub.html",      # rank 5e9 wins over geo+rank 1e9
+        "https://h.org/data/a.zip",          # rank 1e9 + 109
+        "https://h.org/unranked_geo.zip",    # unranked: static 100
+        "https://h.org/plain_leaf.html",     # unranked plain: static 0
+    ], got

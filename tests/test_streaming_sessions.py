@@ -6,6 +6,7 @@ every real session's close, so append mode emits exactly the batch
 result (the sentinel's own still-open session stays withheld)."""
 
 import datetime as dt
+import os
 import time
 
 from geospatial_web_scraper_spark.operators.sessions import sessionize
@@ -41,12 +42,21 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     ev = _events(spark)
     src = str(tmp_path / "events_src")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
-    time.sleep(1.1)  # distinct mtime so the sentinel lands in batch 2
+    before = set(os.listdir(src))
     sentinel = spark.createDataFrame(
         [(100000, T0 + dt.timedelta(days=30), SENTINEL_USER, 0.0)],
         "event_id long, ts timestamp, user_id long, value double",
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    # pin mtimes explicitly so the sentinel file sorts into micro-batch 2
+    # regardless of filesystem mtime granularity or clock skew (a shared
+    # sub-second mtime could land both files in one trigger, advancing the
+    # watermark in the same batch — flaky, not wrong; review r4)
+    now = time.time()
+    for name in os.listdir(src):
+        p = os.path.join(src, name)
+        t = now + 60 if name not in before else now - 60
+        os.utime(p, (t, t))
 
     stream = (
         spark.readStream.schema(ev.schema)

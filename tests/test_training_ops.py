@@ -1081,6 +1081,64 @@ def test_semdedup_matches_naive(spark):
     assert got[0][1] and got[1][1] and got[5][1] and got[7][1]
 
 
+def test_semdedup_zero_norm_centroid_never_owns_a_cell(spark):
+    """A zero-norm CENTROID must be excluded from the candidate set (the
+    oracle's contract): before the r4 mask, its clamped cosine 0.0 won the
+    argmax whenever every real-centroid cosine was negative, silently
+    diverging from the SQL oracle. All-negative vectors must land in the
+    best REAL cell; an all-zero centroid table yields an empty result."""
+    emb = spark.createDataFrame(
+        [
+            (0, [-1.0, 0.0]),   # cos to cid0 = -1 < 0: the pre-mask trap
+            (1, [-1.0, -0.2]),
+            (2, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [0.0, 0.0])],
+        "cid long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in similarity.semdedup(emb, cent, threshold=0.99).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
+
+    all_zero = spark.createDataFrame(
+        [(7, [0.0, 0.0])], "cid long, embedding array<double>"
+    )
+    empty = similarity.semdedup(emb, all_zero, threshold=0.5)
+    assert empty.columns == ["vec_id", "cid", "kept"]
+    assert empty.count() == 0
+
+
+def test_semdedup_oversized_cell_guard(spark):
+    """One mega-cluster (every vector in one cell) past max_cell must
+    raise — the documented quadratic cost model becomes enforceable
+    instead of a silent hot task — and max_cell=None opts out."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "cid long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_cell"):
+        similarity.semdedup(emb, cent, threshold=0.99, max_cell=10)
+    assert (
+        similarity.semdedup(emb, cent, threshold=0.99, max_cell=None).count()
+        == 40
+    )
+    assert (
+        similarity.semdedup(emb, cent, threshold=0.99, max_cell=40).count()
+        == 40
+    )
+
+
 def test_containment_pairs_directional_and_df_capped(spark):
     # small doc quoted verbatim inside a much longer doc: containment is
     # directional (small ⊆ big, not the reverse) — the case symmetric
