@@ -342,6 +342,40 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("link_pagerank", _pagerank)
 
+        # --- r4: the remaining heavy LLM-data paths (VERDICT r3 ask #6) ----
+        # directional containment over winnowed fingerprints (df-capped
+        # pair join), SemDeDup around the catalog's 8 deterministic
+        # centroids (cell-blocked self-join), the fully-composed curation
+        # v2 chain, and native session_window sessionization — each timed
+        # at the same sf/partitioning discipline as the other table ops
+        timed(
+            "dedup_containment",
+            lambda: dedup.containment_pairs(docs, threshold=0.5).count(),
+        )
+
+        def _semdedup():
+            cent = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cid"), "embedding"
+            )
+            similarity.semdedup(emb, cent, threshold=0.4).count()
+
+        timed("semdedup", _semdedup)
+
+        from geospatial_web_scraper_spark import entry_queries
+        from geospatial_web_scraper_spark.operators.sessions import sessionize
+
+        timed(
+            "curate_corpus_v2",
+            lambda: entry_queries.q_curate_corpus_v2(spark, sf_dir).count(),
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            cores * 2
+        )
+        timed(
+            "sessionize_events",
+            lambda: sessionize(ev, gap_minutes=30).count(),
+        )
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 

@@ -1263,7 +1263,14 @@ def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per surviving document: content hash + its sampling audit columns."""
     from .operators.sampling import sample_token_budget
 
-    docs = _docs(spark, sf_dir)
+    # the testdata table is ONE parquet file → a 1-partition scan; spread
+    # it once so the gate/minhash scan work parallelizes (a production
+    # table has many splits — same note as bench.py), and materialize the
+    # curated survivors before the sampling fan-out below re-reads them
+    # twice (audit hash + budget join)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     curated = curate_corpus(
         docs.where(F.col("doc_id") % 29 != 0),
         languages=("en",),
@@ -1272,7 +1279,7 @@ def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_top2gram_frac=0.18,
         eval_docs=docs.where(F.col("doc_id") % 29 == 0),
         max_contam_frac=0.05,
-    )
+    ).localCheckpoint()
     samp = sample_token_budget(curated, budget_tokens=600)
     return (
         curated.select("doc_id", F.md5("text").alias("content_hash"))

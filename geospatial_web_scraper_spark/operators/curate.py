@@ -59,7 +59,14 @@ def curate_corpus(
             F.round(top_ngram_char_frac_expr(F.col(text_col), 2), 6)
             < max_top2gram_frac
         )
-    gated = docs.where(stage1)
+    # materialize the gate ONCE: `gated` fans out to decontamination,
+    # exact dedup, the survivor semi-join and (via uniq) the minhash +
+    # canonical-keep stages, and Catalyst's projection collapse would
+    # otherwise re-evaluate the string-heavy stage-1 exprs per consumer
+    # (the measured 3-4× gotcha from the minhash/embedding benchmarks —
+    # here it multiplies the WHOLE gate scan). Same lineage-truncation
+    # role as the per-round checkpoint in the crawl loop.
+    gated = docs.where(stage1).localCheckpoint()
     if eval_docs is not None:
         contaminated = (
             dedup.decontaminate(

@@ -128,20 +128,38 @@ def top_ngram_char_frac_expr(text: Column, n: int = 2) -> Column:
     occurrences(g) * length(g) / length(normalized text). This is the
     Gopher "top n-gram character fraction" repetition gate.
 
-    Cost note (100 TB): O(distinct_grams * total_grams) per document as a
-    pure whole-stage-codegen expression — no shuffle, no Python; for
-    book-length documents switch the counting to an Arrow `mapInPandas`
-    hash-map kernel, same contract."""
+    Cost note (100 TB): one ``array_sort`` + one linear run-length
+    ``aggregate`` per document — O(grams log grams), pure whole-stage
+    codegen, no shuffle, no Python. (The r3 form — ``filter`` inside a
+    ``transform`` over the distinct grams — was O(distinct × total) with
+    the gram-array subtree re-evaluated per lambda element, measured in
+    MINUTES per 5k-doc partition at sf0.1; equal grams are adjacent after
+    the sort, so a single pass tracking the current run yields the exact
+    same max(count·len) value.)"""
     grams = word_ngrams_expr(text, n)
     norm_len = F.length(F.array_join(tokens_expr(text), " "))
-    top_chars = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
+    zero = F.lit(0).cast("int")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("int")
         )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).cast("int").alias("best"),
+        )
+
+    top_chars = F.aggregate(
+        F.array_sort(grams), init, step, lambda acc: acc["best"]
     )
     return F.when(
-        (norm_len > 0) & top_chars.isNotNull(),
+        (norm_len > 0) & (top_chars > 0),
         top_chars.cast("double") / norm_len.cast("double"),
     ).otherwise(F.lit(0.0))
 

@@ -54,6 +54,10 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--robots", help="robots parquet (host, disallow_prefixes)")
     ap.add_argument("--host-budgets", help="parquet (host, tokens_per_round)")
+    ap.add_argument("--rank-table", help="parquet (url, rank_fp) — PageRank "
+                    "recrawl signal added to the priority (scheduler=priority "
+                    "only); produce it with graph.pagerank_fixed_point over a "
+                    "previous crawl's extracted edges")
     ap.add_argument("--bloom-shards", type=int, default=0,
                     help=">0 enables the sharded bloom seen prefilter")
     args = ap.parse_args()
@@ -100,6 +104,11 @@ def main() -> None:
             host_budget=budgets,
             default_tokens_per_round=args.default_tokens,
             n_salts=args.n_salts,
+            rank_table=(
+                spark.read.parquet(args.rank_table).select("url", "rank_fp")
+                if args.rank_table
+                else None
+            ),
         )
 
     seen_filter = (
