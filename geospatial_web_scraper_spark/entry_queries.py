@@ -2670,7 +2670,10 @@ SELECT query_id, vec_id, round(adc, 6) AS adc, rank FROM r WHERE rank <= 5
 # (parameterized) runs over the exact-dedup survivors at τ=0.5, and the
 # recursive reachability closure drops non-canonical members. MATERIALIZED
 # on the cross-referenced stage CTEs keeps DuckDB from exponentially
-# inlining the minhash subquery (see CLAUDE.md gotcha).
+# inlining the minhash subquery (DuckDB inlines CTEs by default, and a CTE
+# referenced by several later stages expands multiplicatively per
+# reference — measured >12 min vs ~1 s materialized on the unrolled
+# deferral chains, the same class of blow-up).
 ORACLES["curate_corpus"] = f"""
 WITH RECURSIVE
 gated AS MATERIALIZED (

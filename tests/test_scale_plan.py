@@ -385,3 +385,18 @@ def test_incremental_verify_is_candidate_bounded(spark):
         assert any(
             "Join" in s and "_cid#" in s for s in subtree
         ), "\n".join([lines[i], *subtree])
+
+
+def test_curate_v2_fanout_reads_materialized_survivors(spark):
+    """curate_corpus_v2's audit/sampling fan-out must consume the CURATED
+    survivors from a materialized checkpoint (both consumers read the same
+    RDD scan), never re-derive the gate/minhash chain per consumer — and
+    no stage of the composed plan may fall back to a cartesian or
+    nested-loop join."""
+    df = entry_mod.queries()["curate_corpus_v2"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the fan-out sits on the checkpoint: the executed plan scans an
+    # existing RDD instead of re-running the curation chain
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

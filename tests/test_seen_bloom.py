@@ -49,3 +49,24 @@ def test_engine_with_bloom_matches_engine_without(spark):
     a = [tuple(r) for r in plain.trace.orderBy("seq").collect()]
     b = [tuple(r) for r in bloom.trace.orderBy("seq").collect()]
     assert a == b
+
+
+def test_split_probe_cache_is_single_round(spark):
+    """split() persists its probe so the double filter evaluates the UDF
+    once — but the cache must be bounded to ONE round: the next split()
+    releases the previous probe, and release() (called by the engine at
+    crawl end) clears the last one. Before r4 a long crawl accumulated one
+    cached DataFrame per round."""
+    f = ShardedBloomSeenFilter(spark, n_shards=4, bits_per_shard=1 << 12)
+    df = spark.createDataFrame(
+        [(f"https://h.org/p{i}",) for i in range(10)], "url string"
+    )
+    new1, maybe1 = f.split(df)
+    assert new1.count() + maybe1.count() == 10  # materialize the probe
+    p1 = f._probed
+    assert p1 is not None and p1.is_cached
+    f.split(df)
+    assert not p1.is_cached, "previous round's probe cache not released"
+    assert f._probed is not None and f._probed.is_cached
+    f.release()
+    assert f._probed is None
