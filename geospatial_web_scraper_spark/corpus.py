@@ -486,6 +486,73 @@ def xml_docs_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "url string, xml string")
 
 
+def robots_txt_of_host(h: int) -> str:
+    """Synthetic per-host robots.txt, built to exercise every branch of
+    ``operators.robots.parse_robots_txt``: the ``*`` group, a mixed-case
+    exact-agent line joining the same group ACROSS a blank line (the
+    parser's last_was_agent survives skipped lines), trailing comments,
+    an empty Disallow (allow-all, ignored), a separator-less noise line,
+    Crawl-delay inside a group, an exact-match group that overrides the
+    ``*`` group (RFC 9309 precedence), and a non-matching agent group.
+    Exists in TWO synchronized forms (this mirror and
+    :func:`robots_sql_body` — change together; byte parity pinned in
+    tests/test_robots.py)."""
+    lines = [
+        f"# robots for host{h}",
+        "User-Agent: *",
+    ]
+    if h % 3 == 0:
+        lines.append("")
+        lines.append("user-agent: GWSSBOT")
+    lines.append(f"Disallow: /page/{h % 5}")
+    if h % 2 == 0:
+        lines.append(f"Crawl-delay: {h % 7}")
+    lines.append(f"Disallow: /data/{h % 4}/  # trailing comment")
+    lines.append("Disallow:")
+    lines.append("noise without separator")
+    lines.append("")
+    if h % 4 == 1:
+        lines.append("User-agent: gwssbot")
+        lines.append(f"Disallow: /private/{h % 3}")
+    lines.append("User-agent: otherbot")
+    lines.append(f"Disallow: /other/{h}")
+    return "\n".join(lines)
+
+
+def robots_docs_df(spark: SparkSession) -> DataFrame:
+    """(host, robots_txt) for every corpus host — the per-host robots
+    cache table the scheduler's rules are parsed from."""
+    rows = [
+        (f"host{h}.example.org", robots_txt_of_host(h)) for h in range(N_HOSTS)
+    ]
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def robots_sql_body(h_expr: str = "h") -> str:
+    """DuckDB expression rebuilding :func:`robots_txt_of_host` byte-for-
+    byte from a host index column (concat_ws skips the NULL branches of
+    the conditional lines but keeps the empty-string blank lines, exactly
+    like the Python list building)."""
+    h = h_expr
+    return (
+        "concat_ws(chr(10),\n"
+        f"  '# robots for host' || {h},\n"
+        "  'User-Agent: *',\n"
+        f"  CASE WHEN {h} % 3 = 0 THEN '' END,\n"
+        f"  CASE WHEN {h} % 3 = 0 THEN 'user-agent: GWSSBOT' END,\n"
+        f"  'Disallow: /page/' || ({h} % 5),\n"
+        f"  CASE WHEN {h} % 2 = 0 THEN 'Crawl-delay: ' || ({h} % 7) END,\n"
+        f"  'Disallow: /data/' || ({h} % 4) || '/  # trailing comment',\n"
+        "  'Disallow:',\n"
+        "  'noise without separator',\n"
+        "  '',\n"
+        f"  CASE WHEN {h} % 4 = 1 THEN 'User-agent: gwssbot' END,\n"
+        f"  CASE WHEN {h} % 4 = 1 THEN 'Disallow: /private/' || ({h} % 3) END,\n"
+        "  'User-agent: otherbot',\n"
+        f"  'Disallow: /other/' || {h})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL prelude (independent oracle side)
 # ---------------------------------------------------------------------------

@@ -574,6 +574,24 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots.txt PARSER itself, oracle-checked (r4): the production
+    ``robots_rules_df`` (Arrow mapInPandas over per-host robots bodies,
+    RFC 9309 group semantics — exact-agent groups override the ``*``
+    group, UA runs survive skipped lines, comments stripped, empty
+    Disallow ignored) run for agent "gwssbot" over the synthetic per-host
+    cache table, exploded to (host, pos, prefix). The DuckDB oracle
+    re-parses the byte-identical bodies with window SQL — group ids from
+    UA-run boundaries over the KEPT lines, exact-vs-star precedence per
+    host — so every parsing branch is value-checked."""
+    from .operators.robots import robots_rules_df
+
+    rules = robots_rules_df(corpus.robots_docs_df(spark), agent="gwssbot")
+    return rules.select(
+        "host", F.posexplode("disallow_prefixes").alias("pos", "prefix")
+    )
+
+
 _ROBOTS_RULES = [
     ("host0.example.org", ["/data/", "/page/2"]),
     ("host3.example.org", ["/page/"]),
@@ -1888,6 +1906,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scheduler rank join → budgeted trace); oracle composes the pagerank
     # CTE fragment with the unrolled priority chain
     "crawl_pagerank_priority": q_crawl_pagerank_priority,
+    # r4: the robots.txt PARSER oracle-checked — production Arrow
+    # mapInPandas parse vs a window-SQL re-parse of byte-identical bodies
+    "robots_parse": q_robots_parse,
     # directional Broder containment (asymmetric near-dup) over df-capped
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
@@ -3133,6 +3154,58 @@ rec{r} AS (
 
 
 ORACLES["crawl_pagerank_priority"] = _pagerank_priority_trace_sql(N, 120)
+
+
+# robots_parse: window-SQL mirror of parse_robots_txt over byte-identical
+# bodies (corpus.robots_sql_body == corpus.robots_txt_of_host, parity
+# pinned in tests/test_robots.py). Semantics mirrored exactly: comment
+# strip + trim, lines without ':' or empty are SKIPPED (so a User-agent
+# run survives them — the lag runs over kept lines only), group id
+# increments at a user-agent line whose previous kept line is not one,
+# rules before any group land in gid 0 (never chosen), and the chosen set
+# is the exact-match groups when any exist for the host, else the ``*``
+# groups, concatenated in document order with empty Disallow ignored.
+ORACLES["robots_parse"] = f"""
+WITH hosts AS (SELECT unnest(range({corpus.N_HOSTS}))::BIGINT AS h),
+bodies AS (SELECT h, {corpus.robots_sql_body("h")} AS txt FROM hosts),
+split AS (SELECT h, str_split(txt, chr(10)) AS lst FROM bodies),
+rawlines AS (
+  SELECT h, u.ord, trim(split_part(lst[u.ord], '#', 1)) AS l
+  FROM split, LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS ord) u),
+kept AS (
+  SELECT h, ord,
+         lower(trim(split_part(l, ':', 1))) AS field,
+         trim(substr(l, strpos(l, ':') + 1)) AS value
+  FROM rawlines WHERE l <> '' AND strpos(l, ':') > 0),
+bnd AS (
+  SELECT *, CASE WHEN field = 'user-agent'
+                  AND coalesce(lag(field) OVER (PARTITION BY h ORDER BY ord),
+                               'x') <> 'user-agent'
+                 THEN 1 ELSE 0 END AS boundary
+  FROM kept),
+grp AS (
+  SELECT *, sum(boundary)
+            OVER (PARTITION BY h ORDER BY ord ROWS UNBOUNDED PRECEDING) AS gid
+  FROM bnd),
+agents AS (
+  SELECT h, gid,
+         bool_or(field = 'user-agent' AND lower(value) = 'gwssbot') AS has_exact,
+         bool_or(field = 'user-agent' AND value = '*') AS has_star
+  FROM grp GROUP BY 1, 2),
+hostmode AS (SELECT h, bool_or(has_exact) AS any_exact FROM agents GROUP BY 1),
+chosen AS (
+  SELECT a.h, a.gid
+  FROM agents a JOIN hostmode m ON m.h = a.h
+  WHERE CASE WHEN m.any_exact THEN a.has_exact ELSE a.has_star END),
+hits AS (
+  SELECT g.h, g.ord, g.value
+  FROM grp g JOIN chosen c ON c.h = g.h AND c.gid = g.gid
+  WHERE g.field = 'disallow' AND g.value <> '')
+SELECT 'host' || h || '.example.org' AS host,
+       (row_number() OVER (PARTITION BY h ORDER BY ord) - 1)::INT AS pos,
+       value AS prefix
+FROM hits
+"""
 
 
 # lm_perplexity: the bigram-LM gate. Per-bigram log-probs are rounded to

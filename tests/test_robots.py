@@ -85,3 +85,35 @@ def test_end_to_end_robots_cache_feeds_scheduler(spark):
     assert urls
     assert not any(u.startswith("https://host0.example.org/data/") for u in urls)
     assert any("/data/file_" in u for u in urls)  # other hosts unaffected
+
+
+def test_robots_bodies_two_form_parity_and_parse_golden():
+    """corpus.robots_txt_of_host (Spark input) and corpus.robots_sql_body
+    (oracle input) must stay byte-identical, and the parser goldens pin
+    the precedence semantics the robots_parse catalog query value-checks:
+    exact-agent groups override the * group, UA runs survive blank lines,
+    empty Disallow ignored."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql_bodies = dict(
+        con.execute(
+            f"SELECT h, {corpus.robots_sql_body('h')} FROM "
+            f"(SELECT unnest(range({corpus.N_HOSTS}))::BIGINT AS h)"
+        ).fetchall()
+    )
+    for h in range(corpus.N_HOSTS):
+        assert sql_bodies[h] == corpus.robots_txt_of_host(h), h
+
+    assert parse_robots_txt(corpus.robots_txt_of_host(0), "gwssbot")[
+        "disallow"
+    ] == ["/page/0", "/data/0/"]  # * and gwssbot in ONE group (blank inside run)
+    assert parse_robots_txt(corpus.robots_txt_of_host(1), "gwssbot")[
+        "disallow"
+    ] == ["/private/1"]  # exact group overrides the * group entirely
+    assert parse_robots_txt(corpus.robots_txt_of_host(9), "gwssbot")[
+        "disallow"
+    ] == ["/page/4", "/data/1/", "/private/0"]  # two exact groups concat
+    assert parse_robots_txt(corpus.robots_txt_of_host(2), "otherbot")[
+        "disallow"
+    ] == ["/other/2"]
