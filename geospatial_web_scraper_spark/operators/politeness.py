@@ -65,20 +65,33 @@ class PolitenessScheduler:
         self,
         robots: DataFrame | None = None,
         host_budget: DataFrame | None = None,
-        default_tokens_per_round: int = 40,  # the reference's semaphore width
+        default_tokens_per_round: int | None = 40,  # reference semaphore width
         n_salts: int = 8,
         defer_overflow: bool = True,
         tiebreak: str = "url_hash",  # "url_hash" (uniform) or "url" (SQL-mirrorable)
         rank_table: DataFrame | None = None,  # (url, rank_fp) PageRank signal
     ):
+        """``default_tokens_per_round=None`` (with no ``host_budget``)
+        means UNCAPPED: priority ORDER still applies, but no per-host
+        admission limit exists, so ``apply`` skips the two-phase dequeue
+        entirely — zero window shuffles, nothing persisted, nothing
+        deferred. That is the right plan for a priority-ordered crawl
+        without politeness caps; a huge finite budget (the old idiom)
+        pays two full-frontier window exchanges to admit everything."""
         self.robots = robots
         self.host_budget = host_budget
         self.default_tokens = default_tokens_per_round
         self.n_salts = n_salts
         self.defer_overflow = defer_overflow
         self.tiebreak = tiebreak
+        if default_tokens_per_round is None and host_budget is not None:
+            raise ValueError(
+                "default_tokens_per_round=None means uncapped and cannot "
+                "combine with a host_budget table"
+            )
         self.rank_table = rank_table
         self.deferred: DataFrame | None = None
+        self._ranked: DataFrame | None = None
 
     def apply(self, df: DataFrame, rnd: int) -> DataFrame:
         d = df.withColumn("_host", url_host(F.col("url"))).withColumn(
@@ -137,6 +150,17 @@ class PolitenessScheduler:
                 .drop("_rank_fp")
             )
 
+        tb = F.col("_uh") if self.tiebreak == "url_hash" else F.col("url")
+        # uncapped: priority order without admission limits — no windows,
+        # no persisted rank state, no deferral (see __init__)
+        if self.host_budget is None and self.default_tokens is None:
+            self.deferred = None
+            return d.select(
+                *df.columns,
+                (-F.col("_prio")).alias("_ord1"),
+                tb.alias("_ord2"),
+            )
+
         # per-host token budget
         if self.host_budget is not None:
             d = (
@@ -160,14 +184,19 @@ class PolitenessScheduler:
         # two-phase skew-safe dequeue; tiebreak column: url_hash spreads
         # uniformly (default), plain url keeps the total order reproducible
         # in an external SQL oracle (xxhash64 is Spark-specific)
-        tb = F.col("_uh") if self.tiebreak == "url_hash" else F.col("url")
         d = d.withColumn("_salt", F.pmod(F.col("_uh"), F.lit(self.n_salts)))
         wa = Window.partitionBy("_host", "_salt").orderBy(F.desc("_prio"), tb.asc())
         phase_a = d.withColumn("_ra", F.row_number().over(wa)).filter(
             F.col("_ra") <= F.col("_budget")
         )
         wb = Window.partitionBy("_host").orderBy(F.desc("_prio"), tb.asc())
+        # the persist exists so admitted + overflow both read one ranking
+        # pass; bounded to ONE round — releasing the previous round's
+        # cache here and at crawl end (CrawlEngine calls release()) is the
+        # same single-round rule as the seen filters' probe cache
+        self.release()
         ranked = phase_a.withColumn("_rb", F.row_number().over(wb)).persist()
+        self._ranked = ranked
 
         admitted = ranked.filter(F.col("_rb") <= F.col("_budget"))
         if self.defer_overflow:
@@ -195,3 +224,11 @@ class PolitenessScheduler:
                 "_ord2"
             ),
         )
+
+    def release(self) -> None:
+        """Drop the cached ranking of the last :meth:`apply` (safe once
+        its round materialized past it — the engine's per-round eager
+        checkpoint guarantees that before the next apply)."""
+        if self._ranked is not None:
+            self._ranked.unpersist()
+            self._ranked = None

@@ -493,12 +493,14 @@ class CrawlEngine:
             if not self.lineage_detail and n_recorded == 0:
                 break
 
-        # the prefilter's per-round probe cache is single-round by
-        # construction (split() releases the previous round); release the
-        # final round's too — everything downstream of it was materialized
-        # by that round's eager checkpoint
+        # the prefilter's probe cache and the scheduler's ranking cache are
+        # single-round by construction (each round releases the previous);
+        # release the final round's too — everything downstream of them was
+        # materialized by that round's eager checkpoint
         if self.seen_filter is not None and hasattr(self.seen_filter, "release"):
             self.seen_filter.release()
+        if self.scheduler is not None and hasattr(self.scheduler, "release"):
+            self.scheduler.release()
 
         spark = self.spark
         empty_trace = spark.createDataFrame([], TRACE_SCHEMA)

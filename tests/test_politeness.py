@@ -197,3 +197,60 @@ def test_rank_table_dominates_dequeue_order(spark):
         "https://h.org/unranked_geo.zip",    # unranked: static 100
         "https://h.org/plain_leaf.html",     # unranked plain: static 0
     ], got
+
+
+def test_uncapped_scheduler_skips_windows_and_matches_capped_order(spark):
+    """default_tokens_per_round=None (uncapped) must admit the same rows
+    in the same (_ord1, _ord2) order as a huge finite budget, with ZERO
+    window functions in the plan (the two-phase dequeue exists to CAP —
+    an uncapped priority crawl should not pay two full-frontier window
+    exchanges), and nothing deferred or persisted."""
+    frontier = spark.createDataFrame(
+        [
+            (f"https://h{i % 3}.org/{'data/' if i % 2 else ''}p{i}.html",
+             i % 4, None, -1, i, i % 5 == 0)
+            for i in range(40)
+        ],
+        "url string, depth int, parent_url string, parent_seq long,"
+        " pos int, is_geo boolean",
+    )
+    capped = PolitenessScheduler(
+        default_tokens_per_round=1_000_000_000, defer_overflow=False,
+        tiebreak="url",
+    ).apply(frontier, 0)
+    unc_sched = PolitenessScheduler(
+        default_tokens_per_round=None, defer_overflow=False, tiebreak="url",
+    )
+    uncapped = unc_sched.apply(frontier, 0)
+    a = [tuple(r) for r in capped.orderBy("_ord1", "_ord2").collect()]
+    b = [tuple(r) for r in uncapped.orderBy("_ord1", "_ord2").collect()]
+    assert a == b and len(a) == 40
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan, plan
+    assert unc_sched.deferred is None and unc_sched._ranked is None
+    with pytest.raises(ValueError, match="uncapped"):
+        PolitenessScheduler(
+            default_tokens_per_round=None,
+            host_budget=spark.createDataFrame(
+                [("h0.org", 2)], "host string, tokens_per_round int"
+            ),
+        )
+
+
+def test_scheduler_rank_cache_is_single_round(spark):
+    """The capped dequeue's ranking persist is bounded to one round:
+    apply() releases the previous round's cache, release() the last."""
+    frontier = spark.createDataFrame(
+        [(f"https://h.org/p{i}.html", 0, None, -1, i, False) for i in range(8)],
+        "url string, depth int, parent_url string, parent_seq long,"
+        " pos int, is_geo boolean",
+    )
+    sched = PolitenessScheduler(default_tokens_per_round=3, tiebreak="url")
+    out1 = sched.apply(frontier, 0)
+    assert out1.count() == 3  # materialize round 1's ranking
+    r1 = sched._ranked
+    assert r1 is not None and r1.is_cached
+    sched.apply(frontier, 1)
+    assert not r1.is_cached, "previous round's ranking cache not released"
+    sched.release()
+    assert sched._ranked is None
