@@ -528,6 +528,64 @@ def robots_docs_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "host string, robots_txt string")
 
 
+def sitemap_xml_of_host(h: int) -> str:
+    """Synthetic per-host sitemap XML: hosts h % 4 == 2 publish a
+    sitemapindex (nested ``<sitemap><loc>`` entries, one loc padded with
+    whitespace), the rest a urlset of 2 + h % 3 ``<url>`` entries with
+    whitespace-padded ``<loc>`` values and lastmod noise. TWO synchronized
+    forms (this mirror and :func:`sitemap_sql_bodies` — change together;
+    byte parity pinned in tests/test_sitemap.py)."""
+    if h % 4 == 2:
+        return (
+            '<?xml version="1.0"?><sitemapindex>'
+            f"<sitemap><loc>https://host{h}.example.org/sitemap_a.xml</loc></sitemap>"
+            f"<sitemap><loc> https://host{h}.example.org/sitemap_b.xml </loc></sitemap>"
+            "</sitemapindex>"
+        )
+    entries = "".join(
+        f"<url><loc> https://host{h}.example.org/page/{(7 * h + 11 * j) % 50}.html </loc>"
+        f"<lastmod>2026-0{1 + (h + j) % 9}-01</lastmod></url>"
+        for j in range(2 + h % 3)
+    )
+    return f'<?xml version="1.0"?><urlset>{entries}</urlset>'
+
+
+def sitemap_docs_df(spark: SparkSession) -> DataFrame:
+    """(host, xml) — the fetched-sitemap cache table, one row per host."""
+    rows = [
+        (f"host{h}.example.org", sitemap_xml_of_host(h)) for h in range(N_HOSTS)
+    ]
+    return spark.createDataFrame(rows, "host string, xml string")
+
+
+def sitemap_sql_bodies() -> str:
+    """DuckDB CTE chain rebuilding :func:`sitemap_xml_of_host` byte-for-
+    byte → relation ``smbodies(h, xml)``. Inline after a WITH."""
+    return f"""
+smhosts AS (SELECT unnest(range({N_HOSTS}))::BIGINT AS h),
+smparts AS (
+  SELECT h, u.j,
+         '<url><loc> https://host' || h || '.example.org/page/' ||
+         ((7 * h + 11 * u.j) % 50) || '.html </loc><lastmod>2026-0' ||
+         (1 + (h + u.j) % 9) || '-01</lastmod></url>' AS e
+  FROM smhosts, LATERAL (SELECT unnest(range(2 + h % 3)) AS j) u),
+smbodies AS (
+  SELECT p.h,
+         CASE WHEN p.h % 4 = 2 THEN
+           '<?xml version="1.0"?><sitemapindex>' ||
+           '<sitemap><loc>https://host' || p.h ||
+           '.example.org/sitemap_a.xml</loc></sitemap>' ||
+           '<sitemap><loc> https://host' || p.h ||
+           '.example.org/sitemap_b.xml </loc></sitemap>' ||
+           '</sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset>' ||
+           string_agg(p.e, '' ORDER BY p.j) || '</urlset>'
+         END AS xml
+  FROM smparts p GROUP BY p.h)
+""".strip()
+
+
 def robots_sql_body(h_expr: str = "h") -> str:
     """DuckDB expression rebuilding :func:`robots_txt_of_host` byte-for-
     byte from a host index column (concat_ws skips the NULL branches of

@@ -592,6 +592,21 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (r4, sources/sitemap.py): native regexp ``<loc>``
+    extraction over the per-host sitemap cache (urlset AND sitemapindex
+    documents, whitespace-padded locs), exploded to (host, pos, url) in
+    document order — value-checked against a DuckDB regexp re-parse of
+    byte-identical bodies. The crawl-ready seed flow (first-wins dedup +
+    two-pass global seq) is pinned end-to-end in tests/test_sitemap.py."""
+    from .sources.sitemap import sitemap_locs_expr
+
+    return corpus.sitemap_docs_df(spark).select(
+        "host",
+        F.posexplode(sitemap_locs_expr(F.col("xml"))).alias("pos", "url"),
+    )
+
+
 _ROBOTS_RULES = [
     ("host0.example.org", ["/data/", "/page/2"]),
     ("host3.example.org", ["/page/"]),
@@ -1909,6 +1924,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4: the robots.txt PARSER oracle-checked — production Arrow
     # mapInPandas parse vs a window-SQL re-parse of byte-identical bodies
     "robots_parse": q_robots_parse,
+    # r4: sitemap ingestion — native regexp loc extraction vs a DuckDB
+    # regexp re-parse of byte-identical urlset/sitemapindex bodies
+    "sitemap_seeds": q_sitemap_seeds,
     # directional Broder containment (asymmetric near-dup) over df-capped
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
@@ -3205,6 +3223,23 @@ SELECT 'host' || h || '.example.org' AS host,
        (row_number() OVER (PARTITION BY h ORDER BY ord) - 1)::INT AS pos,
        value AS prefix
 FROM hits
+"""
+
+
+# sitemap_seeds: DuckDB regexp re-parse of the byte-identical sitemap
+# bodies (corpus.sitemap_sql_bodies == corpus.sitemap_xml_of_host, parity
+# pinned in tests/test_sitemap.py): every <loc> value in document order,
+# trimmed — the same regexp + trim the Spark expr applies.
+ORACLES["sitemap_seeds"] = f"""
+WITH {corpus.sitemap_sql_bodies()},
+locs AS (
+  SELECT h, regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS ls
+  FROM smbodies),
+flat AS (
+  SELECT h, u.i - 1 AS pos, trim(ls[u.i]) AS url
+  FROM locs, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u)
+SELECT 'host' || h || '.example.org' AS host, pos::INT AS pos, url
+FROM flat
 """
 
 
