@@ -89,7 +89,13 @@ _SQL_PRIO = (
 )
 
 
-def _trace_oracle_sql(n: int, budget: int, max_depth: int = 4) -> str:
+def _trace_oracle_sql(
+    n: int,
+    budget: int,
+    max_depth: int = 4,
+    extra_prelude: str = "",
+    seeds_rel: str = "seeds",
+) -> str:
     """Exact (seq,url,depth,parent_url,round) trace of the budgeted
     round-synchronous BFS as one DuckDB query: because every seed enters at
     depth 0, round == depth, and max_depth bounds the crawl to ``max_depth``
@@ -99,14 +105,20 @@ def _trace_oracle_sql(n: int, budget: int, max_depth: int = 4) -> str:
     fetchable pages, = the engine's S1/F5/F7 fetch branch), within-round
     first-wins on (parent_seq, pos), anti-join vs all prior recorded, seq =
     running offset + rank, and the budget keeps seq <= budget (the
-    reference's B+1 quirk, crawler.go:33,52)."""
+    reference's B+1 quirk, crawler.go:33,52).
+
+    ``extra_prelude``/``seeds_rel`` swap the depth-0 entry relation: the
+    sitemap-seeded trace appends the sitemap-parse CTEs and points rec0 at
+    their (seed_order, url) output instead of the corpus seeds."""
     parts = [f"WITH {corpus.sql_prelude(n)},"]
+    if extra_prelude:
+        parts.append("\n" + extra_prelude + ",")
     parts.append(
         f"""
 rec0 AS (
   SELECT seed_order::BIGINT AS seq, url,
          0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
-  FROM seeds WHERE seed_order <= {budget})"""
+  FROM {seeds_rel} WHERE seed_order <= {budget})"""
     )
     for r in range(1, max_depth):
         seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
@@ -605,6 +617,45 @@ def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.posexplode(sitemap_locs_expr(F.col("xml"))).alias("pos", "url"),
     )
+
+
+def q_crawl_sitemap_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-seeded crawl end-to-end (r4): seeds come from the sitemap
+    cache (regexp loc extraction → first-wins dedup → (host, pos) global
+    order) and drive the budgeted FIFO engine; the exact
+    (seq,url,depth,parent_url,round) trace — including sitemap URLs that
+    miss the corpus (recorded as fetch-miss leaves, e.g. the index hosts'
+    child-sitemap .xml URLs) — is value-checked by the unrolled-round
+    oracle whose rec0 is the SQL sitemap parse."""
+    from .sources.sitemap import sitemap_seeds
+
+    eng = CrawlEngine(
+        spark, corpus.corpus_df(spark, N), max_crawl=400, lineage_detail=False
+    )
+    run = eng.run(sitemap_seeds(corpus.sitemap_docs_df(spark)))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def _sitemap_seeds_prelude() -> str:
+    """CTE fragment → ``smseeds(seed_order, url)``: the SQL twin of
+    ``sources.sitemap.sitemap_seeds`` over the two-form bodies — locs
+    extracted + trimmed in document order, first-wins per url on
+    (host, pos), global order by (host, pos)."""
+    return f"""
+{corpus.sitemap_sql_bodies()},
+smlocs AS (
+  SELECT h, regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS ls
+  FROM smbodies),
+smflat AS (
+  SELECT h, u.i - 1 AS pos, trim(ls[u.i]) AS url
+  FROM smlocs, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+smfirst AS (
+  SELECT url, h, pos FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY url ORDER BY h, pos) AS rn
+    FROM smflat f WHERE url <> '') WHERE rn = 1),
+smseeds AS (
+  SELECT row_number() OVER (ORDER BY h, pos) - 1 AS seed_order, url
+  FROM smfirst)""".strip()
 
 
 _ROBOTS_RULES = [
@@ -1925,8 +1976,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mapInPandas parse vs a window-SQL re-parse of byte-identical bodies
     "robots_parse": q_robots_parse,
     # r4: sitemap ingestion — native regexp loc extraction vs a DuckDB
-    # regexp re-parse of byte-identical urlset/sitemapindex bodies
+    # regexp re-parse of byte-identical urlset/sitemapindex bodies, plus
+    # the sitemap-seeded crawl's full trace vs the unrolled-round oracle
+    # whose rec0 is the SQL sitemap parse
     "sitemap_seeds": q_sitemap_seeds,
+    "crawl_sitemap_trace": q_crawl_sitemap_trace,
     # directional Broder containment (asymmetric near-dup) over df-capped
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
@@ -2000,6 +2054,9 @@ SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
 """,
     "crawl_trace_budget": _trace_oracle_sql(N, 400),
     "crawl_trace_budget_cut": _trace_oracle_sql(N, 50),
+    "crawl_sitemap_trace": _trace_oracle_sql(
+        N, 400, extra_prelude=_sitemap_seeds_prelude(), seeds_rel="smseeds"
+    ),
     "crawl_priority_trace": _priority_trace_oracle_sql(N, 120),
     "crawl_robots_trace": _priority_trace_oracle_sql(N, 120, robots=_ROBOTS_RULES),
     "crawl_deferral_trace": _deferral_trace_oracle_sql(N, 120, 2, rounds=9),
