@@ -658,6 +658,25 @@ smseeds AS (
   FROM smfirst)""".strip()
 
 
+def q_url_template_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap template profile (r4, operators/traps.py): distinct-URL
+    counts per (host, path template) over the corpus's full URL universe —
+    page URLs plus geo-download leaves — with digit runs collapsed to N
+    and long hex runs to H (Java∩RE2 portable regexes, identical in the
+    DuckDB mirror). The trap-denylist gate this report feeds
+    (PolitenessScheduler(trap_templates=...)) is pinned in
+    tests/test_traps.py with a synthetic calendar trap."""
+    from .operators.traps import trap_report
+
+    pages = corpus.corpus_df(spark, N).select("url")
+    geo = (
+        corpus.edges_df(spark, N)
+        .where(F.col("is_geo"))
+        .select(F.col("dst_url").alias("url"))
+    )
+    return trap_report(pages.unionByName(geo))
+
+
 _ROBOTS_RULES = [
     ("host0.example.org", ["/data/", "/page/2"]),
     ("host3.example.org", ["/page/"]),
@@ -1981,6 +2000,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # whose rec0 is the SQL sitemap parse
     "sitemap_seeds": q_sitemap_seeds,
     "crawl_sitemap_trace": q_crawl_sitemap_trace,
+    # r4: crawl-trap template profile (digit/hex-run collapse + distinct
+    # count per host/template) — feeds the scheduler's trap denylist gate
+    "url_template_report": q_url_template_report,
     # directional Broder containment (asymmetric near-dup) over df-capped
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
@@ -3298,6 +3320,28 @@ flat AS (
 SELECT 'host' || h || '.example.org' AS host, pos::INT AS pos, url
 FROM flat
 """
+
+
+# url_template_report: the trap-profile mirror. Same two regexp passes
+# (hex runs >=8 first, then digit runs) over the same URL universe; note
+# DuckDB's regexp_replace needs the 'g' flag to match Spark's replace-all.
+ORACLES["url_template_report"] = (
+    "WITH "
+    + PRE
+    + """,
+allu AS (SELECT url FROM pgu UNION ALL SELECT dst AS url FROM geo_edges),
+tpl AS (
+  SELECT split_part(url, '/', 3) AS host,
+         regexp_replace(regexp_replace("""
+    + _SQL_PATH
+    + """,
+           '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS template,
+         url
+  FROM allu)
+SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls
+FROM tpl GROUP BY 1, 2
+"""
+)
 
 
 # lm_perplexity: the bigram-LM gate. Per-bigram log-probs are rounded to

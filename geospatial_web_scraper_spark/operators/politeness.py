@@ -70,6 +70,7 @@ class PolitenessScheduler:
         defer_overflow: bool = True,
         tiebreak: str = "url_hash",  # "url_hash" (uniform) or "url" (SQL-mirrorable)
         rank_table: DataFrame | None = None,  # (url, rank_fp) PageRank signal
+        trap_templates: DataFrame | None = None,  # (host, template) denylist
     ):
         """``default_tokens_per_round=None`` (with no ``host_budget``)
         means UNCAPPED: priority ORDER still applies, but no per-host
@@ -90,6 +91,7 @@ class PolitenessScheduler:
                 "combine with a host_budget table"
             )
         self.rank_table = rank_table
+        self.trap_templates = trap_templates
         self.deferred: DataFrame | None = None
         self._ranked: DataFrame | None = None
 
@@ -115,6 +117,26 @@ class PolitenessScheduler:
                 )
                 .drop("host", "disallow_prefixes")
             )
+
+        # crawl-trap denylist (operators/traps.py): candidates whose
+        # (host, path template) is flagged are DROPPED before ranking —
+        # never recorded, never deferred (deferring a trap keeps it in
+        # the frontier forever). Broadcast anti-join, the robots shape.
+        if self.trap_templates is not None:
+            from .traps import url_template_expr
+
+            d = d.withColumn("_tpl", url_template_expr(F.col("url")))
+            d = d.join(
+                F.broadcast(
+                    self.trap_templates.select(
+                        F.col("host").alias("_thost"),
+                        F.col("template").alias("_ttpl"),
+                    )
+                ),
+                (d["_host"] == F.col("_thost"))
+                & (d["_tpl"] == F.col("_ttpl")),
+                "left_anti",
+            ).drop("_tpl")
 
         is_geo = F.col("is_geo") if "is_geo" in df.columns else F.lit(False)
         d = d.withColumn(
