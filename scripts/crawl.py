@@ -58,6 +58,10 @@ def main() -> None:
                     "recrawl signal added to the priority (scheduler=priority "
                     "only); produce it with graph.pagerank_fixed_point over a "
                     "previous crawl's extracted edges")
+    ap.add_argument("--trap-templates", help="parquet (host, template) crawl-"
+                    "trap denylist (scheduler=priority only); produce it with "
+                    "traps.trap_report over a previous crawl's trace and "
+                    "review the flagged templates")
     ap.add_argument("--bloom-shards", type=int, default=0,
                     help=">0 enables the sharded bloom seen prefilter")
     args = ap.parse_args()
@@ -107,6 +111,13 @@ def main() -> None:
             rank_table=(
                 spark.read.parquet(args.rank_table).select("url", "rank_fp")
                 if args.rank_table
+                else None
+            ),
+            trap_templates=(
+                spark.read.parquet(args.trap_templates).select(
+                    "host", "template"
+                )
+                if args.trap_templates
                 else None
             ),
         )
