@@ -1839,6 +1839,48 @@ def q_a4_batch_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (operators/delta.py): diff two crawl snapshots into
+    added / removed / changed / unchanged per URL. Yesterday's snapshot is
+    the documents table minus the doc_id%11==3 slice; today's drops the
+    doc_id%7==2 slice and rewrites the text of doc_id%5==0 — so all four
+    statuses occur and every (status, old_hash, new_hash) row is
+    value-checked. The text column is hashed under the scan projection and
+    never crosses the full-outer join's shuffle (the 100 TB shape: two
+    narrow scans + one (url, 32-hex) exchange)."""
+    from .operators.delta import snapshot_delta
+
+    mod = F.col("doc_id")
+    base = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://host"),
+            (mod % 10).cast("string"),
+            F.lit(".example.org/doc/"),
+            mod.cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        "text",
+        "doc_id",
+    )
+    old = base.where(mod % 11 != 3).select("url", "text")
+    new = base.where(mod % 7 != 2).select(
+        "url",
+        F.when(
+            mod % 5 == 0, F.concat(F.col("text"), F.lit(" [updated]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # absent-side hashes are NULL in the operator contract; the driver
+    # comparator sorts raw values, so the catalog row blanks them instead
+    return snapshot_delta(old, new).select(
+        "url",
+        "status",
+        F.coalesce("old_hash", F.lit("")).alias("old_hash"),
+        F.coalesce("new_hash", F.lit("")).alias("new_hash"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2007,6 +2049,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # winnowing fingerprints — appended past position 50 like the other
     # beyond-the-reference rows; oracle-checked by the pytest mirror
     "dedup_containment": q_dedup_containment,
+    # r4: incremental-crawl snapshot delta (added/removed/changed/unchanged
+    # per URL — the change-detection stage between recrawls); the text
+    # column is hashed before the full-outer join so it never shuffles
+    "crawl_delta": q_crawl_delta,
 }
 
 
@@ -3563,4 +3609,31 @@ c AS (SELECT src_id, dst_id,
         round(shared::DOUBLE / n_fp::DOUBLE, 6) AS containment
       FROM shared JOIN sizes ON sizes.doc_id = shared.src_id)
 SELECT src_id, dst_id, containment FROM c WHERE containment >= 0.5
+"""
+
+# incremental-crawl snapshot delta (operators/delta.py) — the old/new
+# snapshot derivations mirror q_crawl_delta's moduli exactly; md5 hex is
+# lowercase in both engines, and the status vocabulary is delta.STATUSES
+ORACLES["crawl_delta"] = """
+WITH base AS (
+  SELECT 'https://host' || CAST(doc_id % 10 AS VARCHAR)
+           || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '.html'
+           AS url,
+         text, doc_id
+  FROM documents),
+old AS (
+  SELECT url, md5(text) AS old_hash FROM base WHERE doc_id % 11 <> 3),
+new AS (
+  SELECT url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                  ELSE text END) AS new_hash
+  FROM base WHERE doc_id % 7 <> 2)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(o.old_hash, '') AS old_hash,
+       COALESCE(n.new_hash, '') AS new_hash
+FROM old o FULL OUTER JOIN new n ON o.url = n.url
 """

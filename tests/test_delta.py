@@ -1,0 +1,96 @@
+"""Snapshot-delta operator (operators/delta.py): status classification on
+a toy two-snapshot corpus, the audit report, the precomputed-hash path,
+and the scale-shape pin (content hashing happens under the scan
+projection, below the full-outer join's exchange — text never shuffles).
+"""
+
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark.operators.delta import (
+    STATUSES,
+    delta_report,
+    snapshot_delta,
+)
+
+
+def _toy(spark):
+    old = spark.createDataFrame(
+        [
+            ("u/keep", "same text"),
+            ("u/edit", "old text"),
+            ("u/gone", "bye"),
+        ],
+        ["url", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("u/keep", "same text"),
+            ("u/edit", "new text"),
+            ("u/born", "hi"),
+        ],
+        ["url", "text"],
+    )
+    return old, new
+
+
+def test_statuses(spark):
+    old, new = _toy(spark)
+    got = {
+        r["url"]: r["status"]
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {
+        "u/keep": "unchanged",
+        "u/edit": "changed",
+        "u/gone": "removed",
+        "u/born": "added",
+    }
+    assert set(got.values()) == set(STATUSES)
+
+
+def test_hashes_and_report(spark):
+    old, new = _toy(spark)
+    d = snapshot_delta(old, new)
+    rows = {r["url"]: r for r in d.collect()}
+    assert rows["u/born"]["old_hash"] is None
+    assert rows["u/gone"]["new_hash"] is None
+    assert rows["u/keep"]["old_hash"] == rows["u/keep"]["new_hash"]
+    assert rows["u/edit"]["old_hash"] != rows["u/edit"]["new_hash"]
+    rep = {r["status"]: r["n"] for r in delta_report(d).collect()}
+    assert rep == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_precomputed_hash_column(spark):
+    """hash_col reuses a persisted content hash — same verdicts as
+    hashing the text, without reading it (the snapshot-store path)."""
+    old, new = _toy(spark)
+    oh = old.select("url", F.md5("text").alias("h"))
+    nh = new.select("url", F.md5("text").alias("h"))
+    via_hash = {
+        r["url"]: r["status"]
+        for r in snapshot_delta(oh, nh, hash_col="h").collect()
+    }
+    via_text = {
+        r["url"]: r["status"]
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert via_hash == via_text
+
+
+def test_text_hashed_below_exchange(spark):
+    """Scale pin: md5 of the text column is evaluated in the scan-side
+    stage, BELOW the join's hash-partitioning exchange — only (url, hash)
+    pairs shuffle. In the executed-plan printout parents precede
+    children, so the first Exchange must appear before the first md5."""
+    old, new = _toy(spark)
+    plan = (
+        snapshot_delta(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" in plan, plan
+    assert "md5" in plan, plan
+    assert plan.index("Exchange hashpartitioning") < plan.index("md5"), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
