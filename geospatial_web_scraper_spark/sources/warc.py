@@ -264,3 +264,102 @@ def warc_bytes(records: Iterable[tuple[str, str, int, str, bytes]],
         )
         out.append(_gzip.compress(rec) if gzip_members else rec)
     return b"".join(out)
+
+
+WARC_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+    version: str = "1.0",
+) -> DataFrame:
+    """Distributed WARC writer sink — the K-series twin of
+    :func:`pages_from_warc`: each partition of ``(url, warc_ts, status,
+    content_type, html)`` rows streams into ONE ``part-{pid:05d}.warc[.gz]``
+    file under ``out_dir`` (gzip member per record, the Common Crawl
+    convention, so the file is member-splittable on re-read), and the
+    returned manifest DataFrame carries (path, n_records, n_bytes) per
+    file. Lazy like any Spark plan: an action on the manifest materializes
+    the files; re-execution is idempotent (write to ``.inprogress``, then
+    atomic rename). Memory is O(one record) — records are serialized and
+    flushed as the Arrow batches stream through, never accumulated.
+
+    ``out_dir`` must be a filesystem every executor can reach (local dir in
+    local mode; NFS/fuse mount on a cluster — object stores need the
+    mounted form since this writes through ``open()``). NULL status maps
+    to 0 and NULL content_type omits the header (read back as None), the
+    same lossy edge the HTTP payload format itself has.
+    """
+    import gzip as _gzip
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    cols = ["url", "warc_ts", "status", "content_type", "html"]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = final + ".inprogress"
+        fh = None
+        n_records = 0
+        try:
+            for pdf in batches:
+                if fh is None:
+                    fh = open(tmp, "wb")
+                for url, ts, status, ctype, html in zip(
+                    *(pdf[c] for c in cols)
+                ):
+                    ct_header = (
+                        f"Content-Type: {ctype}\r\n"
+                        if ctype is not None and not pd.isna(ctype)
+                        else ""
+                    )
+                    st = 0 if status is None or pd.isna(status) else int(status)
+                    body = bytes(html) if html is not None else b""
+                    http = (
+                        f"HTTP/1.1 {st} X\r\n{ct_header}\r\n".encode() + body
+                    )
+                    iso = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    rec = (
+                        f"WARC/{version}\r\n".encode()
+                        + f"WARC-Type: response\r\n"
+                          f"WARC-Target-URI: {url}\r\n"
+                          f"WARC-Date: {iso}\r\n"
+                          f"Content-Length: {len(http)}\r\n\r\n".encode()
+                        + http
+                        + b"\r\n\r\n"
+                    )
+                    fh.write(_gzip.compress(rec) if gzip_members else rec)
+                    n_records += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n_records == 0:
+            # empty partition: no file, no manifest row
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            return
+        os.replace(tmp, final)
+        yield pd.DataFrame(
+            [
+                {
+                    "path": final,
+                    "n_records": n_records,
+                    "n_bytes": os.path.getsize(final),
+                }
+            ]
+        )
+
+    return df.select(*cols).mapInPandas(gen, WARC_MANIFEST_SCHEMA)

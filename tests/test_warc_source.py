@@ -182,3 +182,60 @@ def test_warc_roundtrip_property():
             assert g["html"] == body
 
     check()
+
+
+def _page_multiset(df):
+    return sorted(
+        (
+            r["url"],
+            r["warc_ts"],
+            bytes(r["html"]),
+            r["status"],
+            r["content_type"],
+        )
+        for r in df.select(
+            "url", "warc_ts", "html", "status", "content_type"
+        ).collect()
+    )
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Distributed writer sink → reader round-trip: N pages across 3
+    partitions become 3 gzip-member archives; pages_from_warc reads back
+    the identical (url, ts, html, status, content_type) multiset and the
+    manifest accounts for every record."""
+    from geospatial_web_scraper_spark.sources.warc import write_warc
+
+    pages = corpus.corpus_df(spark, N).repartition(3)
+    out = str(tmp_path / "warcs")
+    manifest = write_warc(pages, out).collect()
+    assert sum(m["n_records"] for m in manifest) == N
+    assert all(m["path"].endswith(".warc.gz") for m in manifest)
+    assert all(m["n_bytes"] > 0 for m in manifest)
+    back = pages_from_warc(spark, out)
+    assert _page_multiset(back) == _page_multiset(corpus.corpus_df(spark, N))
+
+
+def test_write_warc_plain_and_null_content_type(spark, tmp_path):
+    """Uncompressed variant + NULL content_type omits the header and reads
+    back as None (the format's own lossy edge, documented)."""
+    from geospatial_web_scraper_spark.sources.warc import write_warc
+
+    pages = (
+        corpus.corpus_df(spark, 10)
+        .withColumn(
+            "content_type",
+            F.when(F.col("status") == 200, F.col("content_type")),
+        )
+        .coalesce(1)
+    )
+    out = str(tmp_path / "plain")
+    manifest = write_warc(pages, out, gzip_members=False).collect()
+    assert len(manifest) == 1 and manifest[0]["path"].endswith(".warc")
+    back = pages_from_warc(spark, out)
+    want = {
+        (r["url"], r["content_type"] if r["status"] == 200 else None)
+        for r in corpus.corpus_df(spark, 10).collect()
+    }
+    got = {(r["url"], r["content_type"]) for r in back.collect()}
+    assert got == want
