@@ -1881,6 +1881,48 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-DIRECTIVE discovery (sources/sitemap.py): extract every
+    ``Sitemap:`` URL a robots.txt body advertises — the edge that connects
+    the robots cache to the sitemap cache in the robots → sitemap → seeds
+    pipeline. The synthetic per-host robots bodies carry no directives
+    (they are frozen against the robots_parse oracle), so the query
+    appends deterministic ones — a canonical line for h%3≠1 hosts, plus a
+    mixed-case whitespace-padded commented line for h%4==2 hosts, none
+    for the rest — the same augment-both-sides pattern as pii_scrub. The
+    extraction regex is the identical Java∩RE2 literal on both engines."""
+    from .sources.sitemap import robots_sitemap_urls_expr
+
+    docs = corpus.robots_docs_df(spark)
+    h = F.regexp_extract("host", r"host(\d+)", 1).cast("int")
+    hs = h.cast("string")
+    aug = F.concat(
+        F.col("robots_txt"),
+        F.when(
+            h % 3 != 1,
+            F.concat(
+                F.lit("\nSitemap: https://host"),
+                hs,
+                F.lit(".example.org/sitemap.xml"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            h % 4 == 2,
+            F.concat(
+                F.lit("\n  sitemap: https://host"),
+                hs,
+                F.lit(".example.org/sitemap_index.xml  # index"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "host",
+        F.posexplode(robots_sitemap_urls_expr(aug)).alias(
+            "pos", "sitemap_url"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2053,6 +2095,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per URL — the change-detection stage between recrawls); the text
     # column is hashed before the full-outer join so it never shuffles
     "crawl_delta": q_crawl_delta,
+    # r4: Sitemap: directive discovery from robots.txt bodies (the robots
+    # cache → sitemap cache edge; same regexp literal on both engines)
+    "robots_sitemaps": q_robots_sitemaps,
 }
 
 
@@ -3636,4 +3681,32 @@ SELECT COALESCE(o.url, n.url) AS url,
        COALESCE(o.old_hash, '') AS old_hash,
        COALESCE(n.new_hash, '') AS new_hash
 FROM old o FULL OUTER JOIN new n ON o.url = n.url
+"""
+
+# Sitemap: directive discovery — bodies are robots_sql_body(h) plus the
+# SAME deterministic augment lines as q_robots_sitemaps; the extraction
+# pattern is ROBOTS_SITEMAP_RE verbatim (one source of truth for both
+# engines — SQL string-escapes nothing, RE2 reads the \t/\s literals).
+from .sources.sitemap import ROBOTS_SITEMAP_RE as _SM_RE  # noqa: E402
+
+ORACLES["robots_sitemaps"] = f"""
+WITH hosts AS (SELECT h::INT AS h FROM range({corpus.N_HOSTS}) t(h)),
+bodies AS (
+  SELECT h,
+    {corpus.robots_sql_body('h')}
+    || CASE WHEN h % 3 <> 1
+            THEN chr(10) || 'Sitemap: https://host' || h
+                 || '.example.org/sitemap.xml'
+            ELSE '' END
+    || CASE WHEN h % 4 = 2
+            THEN chr(10) || '  sitemap: https://host' || h
+                 || '.example.org/sitemap_index.xml  # index'
+            ELSE '' END AS body
+  FROM hosts),
+urls AS (
+  SELECT h, regexp_extract_all(body, '{_SM_RE}', 1) AS us FROM bodies)
+SELECT 'host' || h || '.example.org' AS host,
+       (u.i - 1)::INT AS pos,
+       us[u.i] AS sitemap_url
+FROM urls, LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) u
 """

@@ -61,3 +61,24 @@ def sitemap_seeds(
     )
     seeded, _ = with_global_seq(first, ["_h", "_pos"], seq_col="seed_order")
     return seeded.select(F.col("seed_order").cast("int").alias("seed_order"), "url")
+
+
+#: Sitemap: directive inside robots.txt — per sitemaps.org the field is
+#: file-global (never group-scoped), case-insensitive, and the value runs
+#: to the first whitespace; a same-line comment starts at '#'. Inline
+#: (?im) flags + the negated class are in the Java∩RE2 portable subset,
+#: so the DuckDB oracle applies the IDENTICAL pattern (the robots_sitemaps
+#: catalog query value-checks it).
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+
+
+def robots_sitemap_urls_expr(robots_txt: Column) -> Column:
+    """→ array<string>: every ``Sitemap:`` directive value in a robots.txt
+    body, in document order. Pure whole-stage codegen — this is the
+    discovery edge of the robots → sitemap → seeds pipeline: run it over
+    the per-host robots cache, fetch the advertised documents into the
+    ``(host, xml)`` sitemap cache, and :func:`sitemap_seeds` turns that
+    into the crawl's depth-0 frontier."""
+    return F.regexp_extract_all(
+        robots_txt, F.lit(ROBOTS_SITEMAP_RE), F.lit(1)
+    )

@@ -88,3 +88,43 @@ def test_sitemap_seed_flow_end_to_end(spark):
     a = [tuple(r) for r in run_a.trace.orderBy("seq").collect()]
     b = [tuple(r) for r in run_b.trace.orderBy("seq").collect()]
     assert a == b and len(a) > 0
+
+
+def test_robots_sitemap_directive_extraction(spark):
+    """Sitemap: directives in robots.txt: file-global, case-insensitive,
+    whitespace-padded, comment-terminated; field-name near-misses and
+    commented-out lines never match; \r\n bodies work (\r is \\s, so it
+    terminates the value, never joins it)."""
+    from geospatial_web_scraper_spark.sources.sitemap import (
+        robots_sitemap_urls_expr,
+    )
+
+    bodies = [
+        (
+            "a",
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.example.org/s.xml\n"
+            "  sitemap: https://a.example.org/i.xml  # index\n"
+            "SITEMAP:https://a.example.org/u.xml\n"
+            "sitemapX: https://a.example.org/no.xml\n"
+            "#Sitemap: https://a.example.org/commented.xml\n"
+            "x Sitemap: https://a.example.org/midline.xml",
+        ),
+        ("b", "User-agent: *\r\nSitemap: https://b.example.org/s.xml\r\n"),
+        ("c", "User-agent: *\nDisallow: /"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {
+        r["host"]: r["urls"]
+        for r in df.select(
+            "host",
+            robots_sitemap_urls_expr(F.col("robots_txt")).alias("urls"),
+        ).collect()
+    }
+    assert got["a"] == [
+        "https://a.example.org/s.xml",
+        "https://a.example.org/i.xml",
+        "https://a.example.org/u.xml",
+    ]
+    assert got["b"] == ["https://b.example.org/s.xml"]
+    assert got["c"] == []
