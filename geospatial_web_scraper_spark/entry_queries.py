@@ -1881,6 +1881,44 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change-rate estimation (operators/delta.py change_rates —
+    the Cho–Garcia-Molina Poisson estimator) over a deterministic 4-run
+    delta history: run r marks doc d 'changed' when (7d+3r)%4==0, 'added'
+    (non-evidence) when ==3, else 'unchanged', and the (d+2r)%5==4 rows
+    are absent from that run's diff entirely — so n_obs varies 1..4,
+    including the all-changed (x==n) and never-changed (interval parked
+    at max) branches. ln() agrees between engines far below the 6-decimal
+    rounding on both sides."""
+    from .operators.delta import change_rates
+
+    did = F.col("doc_id")
+    hist = (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (did % 10).cast("string"),
+                F.lit(".example.org/doc/"),
+                did.cast("string"),
+                F.lit(".html"),
+            ).alias("url"),
+            did.alias("_d"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"),
+        )
+        .where((F.col("_d") + 2 * F.col("r")) % 5 != 4)
+    )
+    m = (F.col("_d") * 7 + F.col("r") * 3) % 4
+    hist = hist.select(
+        "url",
+        F.when(m == 0, "changed")
+        .when(m == 3, "added")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return change_rates(hist)
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-DIRECTIVE discovery (sources/sitemap.py): extract every
     ``Sitemap:`` URL a robots.txt body advertises — the edge that connects
@@ -2098,6 +2136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4: Sitemap: directive discovery from robots.txt bodies (the robots
     # cache → sitemap cache edge; same regexp literal on both engines)
     "robots_sitemaps": q_robots_sitemaps,
+    # r4: Cho–Garcia-Molina change-rate estimation over delta history —
+    # the freshness feedback loop (snapshot deltas → recrawl cadence)
+    "crawl_change_rates": q_crawl_change_rates,
 }
 
 
@@ -3709,4 +3750,37 @@ SELECT 'host' || h || '.example.org' AS host,
        (u.i - 1)::INT AS pos,
        us[u.i] AS sitemap_url
 FROM urls, LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) u
+"""
+
+# change-rate estimation — history synthesis mirrors q_crawl_change_rates'
+# moduli; the estimator formula (CHO_GM_OFFSET = 0.5 bias terms, interval
+# clamp to [1, 64], rate-0 parked at 64) mirrors delta.change_rates.
+ORACLES["crawl_change_rates"] = """
+WITH runs AS (SELECT r::INT AS r FROM range(4) t(r)),
+hist AS (
+  SELECT 'https://host' || CAST(doc_id % 10 AS VARCHAR)
+           || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '.html'
+           AS url,
+         CASE ((doc_id * 7 + r * 3) % 4)
+           WHEN 0 THEN 'changed'
+           WHEN 3 THEN 'added'
+           ELSE 'unchanged' END AS status
+  FROM documents, runs
+  WHERE (doc_id + 2 * r) % 5 <> 4),
+ev AS (
+  SELECT url, (status = 'changed')::INT AS c
+  FROM hist WHERE status IN ('changed', 'unchanged')),
+agg AS (
+  SELECT url, count(*) AS n_obs, sum(c)::BIGINT AS n_changed
+  FROM ev GROUP BY url),
+calc AS (
+  SELECT url, n_obs, n_changed,
+         -ln((n_obs - n_changed + 0.5) / (n_obs + 0.5)) AS rate
+  FROM agg)
+SELECT url, n_obs, n_changed,
+       round(rate, 6) AS change_rate,
+       (CASE WHEN n_changed = 0 THEN 64
+             ELSE LEAST(64, GREATEST(1, round(1.0 / rate, 0)::INT))
+        END)::INT AS next_interval
+FROM calc
 """

@@ -82,3 +82,70 @@ def delta_report(delta: DataFrame) -> DataFrame:
     audit row every incremental crawl logs (and the alert when
     ``changed + added`` spikes past the recrawl budget)."""
     return delta.groupBy("status").agg(F.count("*").alias("n"))
+
+
+#: Cho & Garcia-Molina (TOIT 2003) bias-reduced Poisson change-rate
+#: estimator: with a URL observed over n recrawl intervals and seen
+#: changed in x of them, lambda_hat = -ln((n - x + 0.5) / (n + 0.5))
+#: changes per interval. The +0.5 terms keep the estimate finite when
+#: x == n (changed every time) and positive-biased-corrected when x == 0.
+CHO_GM_OFFSET = 0.5
+
+
+def change_rates(
+    history: DataFrame,
+    key_col: str = "url",
+    status_col: str = "status",
+    max_interval: int = 64,
+) -> DataFrame:
+    """Per-URL change-rate estimation over a history of snapshot deltas —
+    the feedback loop that turns :func:`snapshot_delta` outputs into a
+    recrawl SCHEDULE: crawl fast-changing URLs often, park static ones.
+
+    ``history`` is the union of delta outputs across runs (any extra
+    columns like run_id are ignored); only rows observed on both sides of
+    a diff (``changed`` / ``unchanged``) are evidence — added/removed rows
+    say nothing about the page's change process. Output per URL:
+
+    * ``n_obs`` / ``n_changed`` — observation intervals and changes seen;
+    * ``change_rate`` — the Cho–Garcia-Molina estimator above, rounded to
+      6 decimals (changes per recrawl interval);
+    * ``next_interval`` — recrawl cadence in intervals:
+      ``clamp(round(1/rate), 1, max_interval)``, with the rate-0 (never
+      seen changed) case parked at ``max_interval``. Feed it into the
+      scheduler the same way as the PageRank rank table (higher
+      1/interval = recrawl sooner), or gate ``run_with_seen`` seed
+      batches on ``round % next_interval == 0``.
+
+    Scale shape: ONE map-side-combining groupBy on the key (counts only —
+    the hash columns are dropped before the shuffle); the estimator is
+    pure codegen arithmetic on the aggregated counts. No window, no UDF.
+    """
+    obs = history.where(
+        F.col(status_col).isin("changed", "unchanged")
+    ).select(
+        F.col(key_col),
+        (F.col(status_col) == "changed").cast("int").alias("_c"),
+    )
+    agg = obs.groupBy(key_col).agg(
+        F.count("*").alias("n_obs"), F.sum("_c").alias("n_changed")
+    )
+    rate = -F.log(
+        (F.col("n_obs") - F.col("n_changed") + F.lit(CHO_GM_OFFSET))
+        / (F.col("n_obs") + F.lit(CHO_GM_OFFSET))
+    )
+    interval = F.when(
+        F.col("n_changed") == 0, F.lit(max_interval)
+    ).otherwise(
+        F.least(
+            F.lit(max_interval),
+            F.greatest(F.lit(1), F.round(F.lit(1.0) / rate, 0).cast("int")),
+        )
+    )
+    return agg.select(
+        key_col,
+        "n_obs",
+        "n_changed",
+        F.round(rate, 6).alias("change_rate"),
+        interval.cast("int").alias("next_interval"),
+    )

@@ -331,7 +331,13 @@ def write_warc(
                     http = (
                         f"HTTP/1.1 {st} X\r\n{ct_header}\r\n".encode() + body
                     )
-                    iso = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    # WARC-Date is mandatory (ISO 28500 §5.4): NULL
+                    # timestamps serialize as the epoch rather than crash
+                    iso = (
+                        "1970-01-01T00:00:00Z"
+                        if ts is None or pd.isna(ts)
+                        else pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    )
                     rec = (
                         f"WARC/{version}\r\n".encode()
                         + f"WARC-Type: response\r\n"

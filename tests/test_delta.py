@@ -139,3 +139,37 @@ def test_delta_feeds_recrawl(spark):
     assert changed <= refetched
     kept = {r["url"] for r in keep_seen.collect()}
     assert refetched.isdisjoint(kept)
+
+
+def test_change_rates_goldens(spark):
+    """Cho–Garcia-Molina estimator branches: never-changed parks at
+    max_interval; always-changed stays finite (the +0.5 bias terms);
+    added/removed rows are not evidence; mixed history clamps sanely."""
+    import math
+
+    from geospatial_web_scraper_spark.operators.delta import change_rates
+
+    hist = spark.createDataFrame(
+        # static: 4 unchanged; hot: 2 changed (all obs changed);
+        # mixed: 1 changed + 3 unchanged; noise: added/removed ignored
+        [("static", "unchanged")] * 4
+        + [("hot", "changed")] * 2
+        + [("mixed", "changed")]
+        + [("mixed", "unchanged")] * 3
+        + [("mixed", "added"), ("mixed", "removed"), ("ghost", "added")],
+        ["url", "status"],
+    )
+    rows = {r["url"]: r for r in change_rates(hist, max_interval=8).collect()}
+    assert "ghost" not in rows  # no both-sides evidence
+    s = rows["static"]
+    assert (s["n_obs"], s["n_changed"], s["change_rate"]) == (4, 0, 0.0)
+    assert s["next_interval"] == 8  # parked at max
+    h = rows["hot"]
+    assert (h["n_obs"], h["n_changed"]) == (2, 2)
+    assert h["change_rate"] == round(-math.log(0.5 / 2.5), 6)
+    assert h["next_interval"] == 1
+    m = rows["mixed"]
+    assert (m["n_obs"], m["n_changed"]) == (4, 1)
+    assert m["change_rate"] == round(-math.log(3.5 / 4.5), 6)
+    # 1/0.251314 = 3.979 -> 4
+    assert m["next_interval"] == 4

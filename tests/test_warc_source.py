@@ -239,3 +239,21 @@ def test_write_warc_plain_and_null_content_type(spark, tmp_path):
     }
     got = {(r["url"], r["content_type"]) for r in back.collect()}
     assert got == want
+
+
+def test_write_warc_null_timestamp(spark, tmp_path):
+    """WARC-Date is mandatory: NULL warc_ts serializes as the epoch
+    instead of crashing the partition writer."""
+    from geospatial_web_scraper_spark.sources.warc import write_warc
+
+    pages = (
+        corpus.corpus_df(spark, 5)
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .coalesce(1)
+    )
+    out = str(tmp_path / "nullts")
+    assert write_warc(pages, out).collect()[0]["n_records"] == 5
+    back = pages_from_warc(spark, out).collect()
+    assert all(
+        r["warc_ts"].strftime("%Y-%m-%d") == "1970-01-01" for r in back
+    )
