@@ -151,12 +151,20 @@ rec{r} AS (
 _SQL_HOST_ODD = r"regexp_extract(url, 'host(\d+)', 1)::INT % 2 = 1"
 
 
-def _recrawl_trace_oracle_sql(n: int, max_depth: int = 4) -> str:
+def _recrawl_trace_oracle_sql(
+    n: int,
+    max_depth: int = 4,
+    expire_sql: str | None = None,
+    extra_ctes: str = "",
+) -> str:
     """Two-phase TTL-recrawl trace as one DuckDB query, mirroring
     ``CrawlEngine.run`` + ``run_with_seen`` stage-for-stage. Phase A
-    (``arec*`` chain) is the unbudgeted BFS — crawl 1. Expiry: every
-    recorded URL on an ODD host goes stale (``exp``), ordered by its
-    crawl-1 seq; the even-host survivors stay seen (``keep``). Phase B
+    (``arec*`` chain) is the unbudgeted BFS — crawl 1. Expiry
+    (``expire_sql`` predicate over ``allrec`` rows, default: every
+    recorded URL on an ODD host goes stale; ``extra_ctes`` lets a caller
+    define the CTEs the predicate references, e.g. the adaptive change-
+    rate ``due`` set) selects the stale slice (``exp``), ordered by its
+    crawl-1 seq; the non-expired survivors stay seen (``keep``). Phase B
     (``rec*`` chain) recrawls the expired slice: rec0 = the expired URLs
     as fresh depth-0 seeds, later rounds expand their links with seen =
     keep ∪ all prior phase-B recs — still-fresh URLs are never re-fetched,
@@ -190,13 +198,14 @@ arec{r} AS MATERIALIZED (
     allrec = " UNION ALL ".join(
         f"SELECT seq, url FROM arec{j}" for j in range(max_depth)
     )
+    expire = expire_sql if expire_sql is not None else _SQL_HOST_ODD
     parts.append(
         f""",
-allrec AS MATERIALIZED ({allrec}),
+allrec AS MATERIALIZED ({allrec}),{extra_ctes}
 exp AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY seq) - 1 AS seed_order, url
-  FROM allrec WHERE {_SQL_HOST_ODD}),
-keep AS MATERIALIZED (SELECT url FROM allrec WHERE NOT ({_SQL_HOST_ODD})),
+  FROM allrec WHERE {expire}),
+keep AS MATERIALIZED (SELECT url FROM allrec WHERE NOT ({expire})),
 rec0 AS MATERIALIZED (
   SELECT seed_order::BIGINT AS seq, url,
          0 AS depth, NULL::VARCHAR AS parent_url, 0 AS round
@@ -1919,6 +1928,54 @@ def q_crawl_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_rates(hist)
 
 
+def q_crawl_adaptive_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl end-to-end — the full freshness loop: crawl 1 runs
+    the unbudgeted BFS; a deterministic 4-run delta history over the
+    recorded pages (same moduli as `crawl_change_rates`, keyed by page
+    index) feeds the Cho–Garcia-Molina estimator; `delta.due_for_recrawl`
+    picks the URLs whose cadence divides tick 2 (next_interval 1 or 2 —
+    frequently-changing pages); crawl 2 (`run_with_seen`) re-fetches
+    exactly that due slice while slow-changing and evidence-free pages
+    (geo leaves have no content history) stay seen. The phase-B trace is
+    value-checked by the two-phase unrolled oracle whose expiry predicate
+    recomputes the estimator in SQL."""
+    from .operators.delta import change_rates, due_for_recrawl
+
+    pages = corpus.corpus_df(spark, N)
+    first = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run(corpus.seeds_df(spark, N))
+    trace1 = first.trace.select("seq", "url").localCheckpoint()
+    hist = (
+        trace1.join(pages.select(F.col("page_id").alias("_i"), "url"), "url")
+        .select(
+            "url",
+            "_i",
+            F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("_r"),
+        )
+        .where((F.col("_i") + 2 * F.col("_r")) % 5 != 4)
+    )
+    m = (F.col("_i") * 7 + F.col("_r") * 3) % 4
+    hist = hist.select(
+        "url",
+        F.when(m == 0, "changed")
+        .when(m == 3, "added")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    due = due_for_recrawl(change_rates(hist), tick=2).select("url")
+    expired, _ = with_global_seq(
+        trace1.join(due, "url", "left_semi"), ["seq"], seq_col="seed_order"
+    )
+    second = CrawlEngine(
+        spark, pages, max_crawl=None, lineage_detail=False
+    ).run_with_seen(
+        expired.select("seed_order", "url"),
+        trace1.join(due, "url", "left_anti").select("url"),
+    )
+    return second.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-DIRECTIVE discovery (sources/sitemap.py): extract every
     ``Sitemap:`` URL a robots.txt body advertises — the edge that connects
@@ -2139,6 +2196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4: Cho–Garcia-Molina change-rate estimation over delta history —
     # the freshness feedback loop (snapshot deltas → recrawl cadence)
     "crawl_change_rates": q_crawl_change_rates,
+    "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
 }
 
 
@@ -3784,3 +3842,36 @@ SELECT url, n_obs, n_changed,
         END)::INT AS next_interval
 FROM calc
 """
+
+# adaptive recrawl — the recrawl-trace oracle with the expiry predicate
+# swapped from host-parity to the change-rate due set: the history/
+# estimator CTEs mirror crawl_change_rates' formulas (0.5 bias offset,
+# [1, 64] clamp) keyed by page index via pgu, and `due` is the tick-2
+# slice (next_interval 1 or 2). Pages without evidence rows (geo leaves,
+# never-observed URLs) are absent from obs and therefore keep-side.
+_ADAPTIVE_DUE_CTES = """
+chist AS MATERIALIZED (
+  SELECT a.url, p.i, r.r
+  FROM allrec a JOIN pgu p ON p.url = a.url
+  CROSS JOIN (SELECT unnest(range(4)) AS r) r
+  WHERE (p.i + 2 * r.r) % 5 <> 4 AND (p.i * 7 + r.r * 3) % 4 <> 3),
+cobs AS MATERIALIZED (
+  SELECT url, count(*) AS n_obs,
+         count(*) FILTER (WHERE (i * 7 + r * 3) % 4 = 0) AS n_changed
+  FROM chist GROUP BY url),
+due AS MATERIALIZED (
+  SELECT url FROM (
+    SELECT url,
+           CASE WHEN n_changed = 0 THEN 64
+                ELSE LEAST(64, GREATEST(1, round(
+                  1.0 / (-ln((n_obs - n_changed + 0.5) / (n_obs + 0.5))),
+                  0)::INT))
+           END AS next_interval
+    FROM cobs)
+  WHERE 2 % next_interval = 0),"""
+
+ORACLES["crawl_adaptive_recrawl"] = _recrawl_trace_oracle_sql(
+    N,
+    expire_sql="url IN (SELECT url FROM due)",
+    extra_ctes=_ADAPTIVE_DUE_CTES,
+)

@@ -149,3 +149,29 @@ def change_rates(
         F.round(rate, 6).alias("change_rate"),
         interval.cast("int").alias("next_interval"),
     )
+
+
+def due_for_recrawl(
+    rates: DataFrame,
+    tick: int,
+    key_col: str = "url",
+    interval_col: str = "next_interval",
+) -> DataFrame:
+    """The scheduler tick: from a :func:`change_rates` table, the URLs due
+    for recrawl at interval-counter ``tick`` — everything whose cadence
+    divides the tick (``tick % next_interval == 0``). Feed the result to
+    ``CrawlEngine.run_with_seen`` as the expired slice (seeds = due ∩
+    previous trace, seen = previous trace ∖ due): fast-changing pages
+    re-fetch every tick, parked pages only at ``max_interval`` multiples.
+    URLs with no change evidence never appear in ``rates`` and therefore
+    never expire here — schedule their first revisit by TTL instead.
+
+    Pure codegen filter over the (already tiny, counts-only) rates table;
+    at 10^10 URLs the due slice is the recrawl economics — each tick's
+    fetch volume is proportional to the corpus' real churn, not its size.
+    """
+    if tick <= 0:
+        raise ValueError(f"tick must be >= 1, got {tick}")
+    return rates.where(F.lit(tick) % F.col(interval_col) == 0).select(
+        key_col, interval_col
+    )
