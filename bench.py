@@ -357,7 +357,12 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             cent = emb.filter(F.col("vec_id") < 8).select(
                 F.col("vec_id").alias("cid"), "embedding"
             )
-            similarity.semdedup(emb, cent, threshold=0.4).count()
+            # max_cell=None: only 8 cells, so a big SF WILL exceed the
+            # library's oversized-cell guard — here the quadratic cell
+            # cost is exactly the thing being timed, not an accident
+            similarity.semdedup(
+                emb, cent, threshold=0.4, max_cell=None
+            ).count()
 
         timed("semdedup", _semdedup)
 

@@ -578,8 +578,12 @@ def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_pagerank's."""
     from .operators.politeness import PolitenessScheduler
 
+    # uncapped fast path (None, not a huge finite budget): everything is
+    # admitted either way, but None skips the two full-frontier window
+    # exchanges + the persist cycle per round; order is pinned identical
+    # by test_uncapped_scheduler_skips_windows_and_matches_capped_order.
     sched = PolitenessScheduler(
-        default_tokens_per_round=1_000_000_000,
+        default_tokens_per_round=None,
         defer_overflow=False,
         tiebreak="url",
         rank_table=_corpus_rank_table(spark),
@@ -649,30 +653,38 @@ def _sitemap_seeds_prelude() -> str:
     """CTE fragment → ``smseeds(seed_order, url)``: the SQL twin of
     ``sources.sitemap.sitemap_seeds`` over the two-form bodies — locs
     extracted + trimmed in document order, first-wins per url on
-    (host, pos), global order by (host, pos)."""
+    (host, pos), global order by (host, pos). Ordering uses the host
+    STRING (as the Spark operator does — its host column is opaque text),
+    not the numeric h: the two only coincide while N_HOSTS <= 10
+    ('host10…' sorts before 'host2…'), so the string form keeps the
+    oracle valid at any host count. The operator's md5 doc-key tiebreak
+    needs no mirror here — the synthetic cache has one document per
+    host."""
     return f"""
 {corpus.sitemap_sql_bodies()},
 smlocs AS (
-  SELECT h, regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS ls
+  SELECT 'host' || h || '.example.org' AS hs,
+         regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS ls
   FROM smbodies),
 smflat AS (
-  SELECT h, u.i - 1 AS pos, trim(ls[u.i]) AS url
+  SELECT hs, u.i - 1 AS pos, trim(ls[u.i]) AS url
   FROM smlocs, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
 smfirst AS (
-  SELECT url, h, pos FROM (
-    SELECT f.*, row_number() OVER (PARTITION BY url ORDER BY h, pos) AS rn
+  SELECT url, hs, pos FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY url ORDER BY hs, pos) AS rn
     FROM smflat f WHERE url <> '') WHERE rn = 1),
 smseeds AS (
-  SELECT row_number() OVER (ORDER BY h, pos) - 1 AS seed_order, url
+  SELECT row_number() OVER (ORDER BY hs, pos) - 1 AS seed_order, url
   FROM smfirst)""".strip()
 
 
 def q_url_template_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap template profile (r4, operators/traps.py): distinct-URL
     counts per (host, path template) over the corpus's full URL universe —
-    page URLs plus geo-download leaves — with digit runs collapsed to N
-    and long hex runs to H (Java∩RE2 portable regexes, identical in the
-    DuckDB mirror). The trap-denylist gate this report feeds
+    page URLs plus geo-download leaves — with digit runs and long hex
+    runs both collapsed to N (Java∩RE2 portable regexes, identical in
+    the DuckDB mirror; a pure-digit run of >=8 chars IS a hex run, so a
+    second placeholder would split one template on the length boundary). The trap-denylist gate this report feeds
     (PolitenessScheduler(trap_templates=...)) is pinned in
     tests/test_traps.py with a synthetic calendar trap."""
     from .operators.traps import trap_report
@@ -3525,7 +3537,7 @@ tpl AS (
          regexp_replace(regexp_replace("""
     + _SQL_PATH
     + """,
-           '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS template,
+           '[0-9a-f]{8,}', 'N', 'g'), '[0-9]+', 'N', 'g') AS template,
          url
   FROM allu)
 SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls

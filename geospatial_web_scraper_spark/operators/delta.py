@@ -60,13 +60,29 @@ def snapshot_delta(
         if hash_col is not None
         else F.md5(F.col(text_col))
     )
-    o = old.select(F.col(key_col).alias("_k"), h.alias("old_hash"))
-    n = new.select(F.col(key_col).alias("_k"), h.alias("new_hash"))
+    # side-presence is keyed on the KEY, not on hash nullness: a row whose
+    # text (or persisted hash) is NULL is still PRESENT in its snapshot —
+    # status must read changed/unchanged, never added/removed (a live page
+    # must never be tombstoned because its hash was null). NULL-safe
+    # equality treats two null hashes as unchanged.
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        h.alias("old_hash"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        h.alias("new_hash"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, "_k", "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("unchanged"),
+        )
         .otherwise(F.lit("changed"))
     )
     return joined.select(

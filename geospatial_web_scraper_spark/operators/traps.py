@@ -35,18 +35,26 @@ from pyspark.sql import functions as F
 from ..functions.urls import url_host, url_path
 
 #: long-hex first (a hex session id contains digit runs; collapsing
-#: digits first would shred it into mixed H/N fragments), then digit runs
+#: digits first would shred it into fragments), then digit runs. BOTH
+#: collapse to the SAME placeholder: a pure-digit run of >=8 chars is a
+#: valid hex run, so distinct placeholders would split one logical
+#: template across two variants on the run-length boundary (/id/1234567
+#: -> N but /id/12345678 -> hex) and let a trap stay under min_urls in
+#: each half (r4 review finding). RE2 — the oracle's engine — has no
+#: lookahead, so "hex run containing a letter" is not portably
+#: expressible; one placeholder only ever MERGES templates, which for
+#: trap detection is strictly safer than splitting them.
 _HEX_RUN = "[0-9a-f]{8,}"
 _DIGIT_RUN = "[0-9]+"
 
 
 def url_template_expr(url: Column) -> Column:
     """Path template of a URL: the path component with long lowercase-hex
-    runs (≥8 chars — session ids, content hashes) collapsed to ``H`` and
-    digit runs collapsed to ``N``. Pure whole-stage codegen."""
+    runs (≥8 chars — session ids, content hashes) and digit runs both
+    collapsed to ``N``. Pure whole-stage codegen."""
     path = url_path(url)
     return F.regexp_replace(
-        F.regexp_replace(path, _HEX_RUN, "H"), _DIGIT_RUN, "N"
+        F.regexp_replace(path, _HEX_RUN, "N"), _DIGIT_RUN, "N"
     )
 
 

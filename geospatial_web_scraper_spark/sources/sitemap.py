@@ -46,20 +46,37 @@ def sitemap_seeds(
     xml_col: str = "xml",
 ) -> DataFrame:
     """(seed_order, url): the crawl-ready seed list from a sitemap cache
-    table — locs exploded in document order, first-wins dedup across
-    hosts (min (host, pos) claims a URL listed twice), globally sequenced
-    by (host, pos) via the two-pass distributed rank (never a
-    single-reducer window). Feed straight into ``CrawlEngine.run``."""
+    table — locs exploded in document order, first-wins dedup (min
+    (host, doc, pos) claims a URL listed twice), globally sequenced by
+    (host, doc, pos) via the two-pass distributed rank (never a
+    single-reducer window). ``doc`` is the document's content md5: a host
+    contributing SEVERAL sitemap documents (the sitemapindex expansion
+    routes children back into the cache) would otherwise tie on
+    (host, pos) across documents and leave the seed order to physical row
+    order — the md5 key makes the order a pure function of the cache's
+    contents. Feed straight into ``CrawlEngine.run``."""
     flat = sitemaps.select(
         F.col(host_col).alias("_h"),
+        F.md5(F.col(xml_col)).alias("_doc"),
         F.posexplode(sitemap_locs_expr(F.col(xml_col))).alias("_pos", "url"),
     ).where(F.col("url") != "")
     first = (
         flat.groupBy("url")
-        .agg(F.min(F.struct(F.col("_h"), F.col("_pos"))).alias("_w"))
-        .select("url", F.col("_w._h").alias("_h"), F.col("_w._pos").alias("_pos"))
+        .agg(
+            F.min(
+                F.struct(F.col("_h"), F.col("_doc"), F.col("_pos"))
+            ).alias("_w")
+        )
+        .select(
+            "url",
+            F.col("_w._h").alias("_h"),
+            F.col("_w._doc").alias("_doc"),
+            F.col("_w._pos").alias("_pos"),
+        )
     )
-    seeded, _ = with_global_seq(first, ["_h", "_pos"], seq_col="seed_order")
+    seeded, _ = with_global_seq(
+        first, ["_h", "_doc", "_pos"], seq_col="seed_order"
+    )
     return seeded.select(F.col("seed_order").cast("int").alias("seed_order"), "url")
 
 

@@ -299,6 +299,7 @@ def write_warc(
     same lossy edge the HTTP payload format itself has.
     """
     import gzip as _gzip
+    import hashlib as _hashlib
     import os
 
     from pyspark import TaskContext
@@ -309,9 +310,18 @@ def write_warc(
     cols = ["url", "warc_ts", "status", "content_type", "html"]
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        tmp = final + ".inprogress"
+        # attempt-unique AND dot-prefixed: two attempts of the same
+        # partition (speculative execution, a zombie original racing its
+        # retry) must never share a temp file, and a leaked temp must be
+        # invisible to the binaryFile glob pages_from_warc re-reads with
+        # (Spark readers skip dot/underscore-prefixed files).
+        tmp = os.path.join(
+            out_dir,
+            f".part-{pid:05d}{ext}.inprogress-{ctx.taskAttemptId()}",
+        )
         fh = None
         n_records = 0
         try:
@@ -338,9 +348,19 @@ def write_warc(
                         if ts is None or pd.isna(ts)
                         else pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
                     )
+                    # WARC-Record-ID is mandatory too (ISO 28500 §5.2);
+                    # a deterministic urn:uuid (md5 of URI+date, cast to
+                    # UUID shape) keeps re-execution byte-identical —
+                    # random uuids would break idempotent task retries.
+                    rid = _hashlib.md5(f"{url}|{iso}".encode()).hexdigest()
+                    rid = (
+                        f"{rid[:8]}-{rid[8:12]}-{rid[12:16]}-"
+                        f"{rid[16:20]}-{rid[20:]}"
+                    )
                     rec = (
                         f"WARC/{version}\r\n".encode()
                         + f"WARC-Type: response\r\n"
+                          f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
                           f"WARC-Target-URI: {url}\r\n"
                           f"WARC-Date: {iso}\r\n"
                           f"Content-Length: {len(http)}\r\n\r\n".encode()

@@ -48,6 +48,25 @@ def test_statuses(spark):
     assert set(got.values()) == set(STATUSES)
 
 
+def test_null_text_is_presence_not_absence(spark):
+    # a row whose text is NULL is still PRESENT in its snapshot: status
+    # must come from key presence (changed/unchanged), never added/removed
+    # — a live page must not be tombstoned because its hash was null (r4
+    # review finding).
+    old = spark.createDataFrame(
+        [("u/nulled", None), ("u/both-null", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u/nulled", "now has text"), ("u/both-null", None)],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: r["status"] for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {"u/nulled": "changed", "u/both-null": "unchanged"}
+
+
 def test_hashes_and_report(spark):
     old, new = _toy(spark)
     d = snapshot_delta(old, new)

@@ -90,6 +90,34 @@ def test_sitemap_seed_flow_end_to_end(spark):
     assert a == b and len(a) > 0
 
 
+def test_multi_doc_host_seed_order_deterministic(spark):
+    # a host contributing TWO sitemap documents (the sitemapindex child
+    # expansion) must yield a seed order that is a pure function of the
+    # cache contents — the md5 doc key breaks the (host, pos) tie that
+    # would otherwise fall to physical row order (r4 review finding).
+    import hashlib
+
+    doc_a = "<urlset><url><loc>https://h1/x</loc></url></urlset>"
+    doc_b = "<urlset><url><loc>https://h1/y</loc></url></urlset>"
+    expect_first = (
+        "https://h1/x"
+        if hashlib.md5(doc_a.encode()).hexdigest()
+        < hashlib.md5(doc_b.encode()).hexdigest()
+        else "https://h1/y"
+    )
+    for rows in ([("host1", doc_a), ("host1", doc_b)],
+                 [("host1", doc_b), ("host1", doc_a)]):
+        got = [
+            r["url"]
+            for r in sitemap_seeds(
+                spark.createDataFrame(rows, "host string, xml string")
+                .repartition(2)
+            ).orderBy("seed_order").collect()
+        ]
+        assert got[0] == expect_first
+        assert set(got) == {"https://h1/x", "https://h1/y"}
+
+
 def test_robots_sitemap_directive_extraction(spark):
     """Sitemap: directives in robots.txt: file-global, case-insensitive,
     whitespace-padded, comment-terminated; field-name near-misses and

@@ -17,10 +17,14 @@ def test_url_template_golden(spark):
     df = spark.createDataFrame(
         [
             (0, "https://h.org/cal/2026/08/18/index.html"),
-            (1, "https://h.org/s/deadbeef01234567/page.html"),  # hex run -> H
+            (1, "https://h.org/s/deadbeef01234567/page.html"),  # hex run -> N
             (2, "https://h.org/page/7.html?sid=99"),            # query stripped
             (3, "https://h.org/plain/path"),
-            (4, "https://h.org/mix/abc123def/x"),  # 9-char mixed hex run -> H
+            (4, "https://h.org/mix/abc123def/x"),  # 9-char mixed hex run -> N
+            # one logical numeric-id template must NOT split on the 8-char
+            # hex-run length boundary (r4 review finding)
+            (5, "https://h.org/id/1234567"),
+            (6, "https://h.org/id/12345678"),
         ],
         "i long, url string",
     )
@@ -31,10 +35,11 @@ def test_url_template_golden(spark):
         ).collect()
     }
     assert got[0] == "/cal/N/N/N/index.html"
-    assert got[1] == "/s/H/page.html"
+    assert got[1] == "/s/N/page.html"
     assert got[2] == "/page/N.html"
     assert got[3] == "/plain/path"
-    assert got[4] == "/mix/H/x"
+    assert got[4] == "/mix/N/x"
+    assert got[5] == got[6] == "/id/N"
 
 
 def test_trap_report_flags_calendar_trap(spark):
