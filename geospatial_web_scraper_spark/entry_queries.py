@@ -1348,6 +1348,22 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-n-gram linear quality classifier (operators/classifier.py —
+    the fastText-shaped model-based filter stage of CCNet/GPT-3 corpus
+    builds): lower-cased tokens + word bigrams hashed md5-60bit into 64
+    buckets, synthetic formula weights (w[b] = ((b*37+11)%21-10)/10 —
+    arithmetically rebuilt by the oracle), integer micro-unit scoring and
+    an integer-exact keep gate at threshold 0. Whole-stage codegen at
+    this bucket count; the >256-bucket Arrow path is parity-pinned in
+    tests/test_classifier.py."""
+    from .operators.classifier import quality_classifier, synthetic_weights
+
+    return quality_classifier(
+        _docs(spark, sf_dir), synthetic_weights(64), threshold=0.0
+    )
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document span dedup (operators/dedup.py span_dedup):
     global first-occurrence-wins over 12-token window spans, documents
@@ -2209,6 +2225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the freshness feedback loop (snapshot deltas → recrawl cadence)
     "crawl_change_rates": q_crawl_change_rates,
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
+    "quality_classifier": q_quality_classifier,
 }
 
 
@@ -3887,3 +3904,32 @@ ORACLES["crawl_adaptive_recrawl"] = _recrawl_trace_oracle_sql(
     expire_sql="url IN (SELECT url FROM due)",
     extra_ctes=_ADAPTIVE_DUE_CTES,
 )
+
+# quality_classifier — the hashed-linear model rebuilt arithmetically:
+# bucket = md5-60bit % 64, micro weight = ((b*37+11)%21-10)*100000 (the
+# deci formula of classifier.synthetic_weights scaled to MICRO units);
+# integer sums are order-independent, kept is the integer compare at
+# threshold 0; zero-feature docs score NULL / kept FALSE.
+ORACLES["quality_classifier"] = f"""
+WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+toks AS (SELECT doc_id, {_sql_toks('lt')} AS a FROM d),
+feats AS (
+  SELECT doc_id,
+         a || (CASE WHEN len(a) >= 2
+               THEN list_transform(range(1, len(a)),
+                                   i -> a[i] || ' ' || a[i + 1])
+               ELSE []::VARCHAR[] END) AS f
+  FROM toks),
+fx AS (SELECT doc_id, unnest(f) AS t FROM feats),
+sums AS (
+  SELECT doc_id, count(*) AS n,
+         sum((((('0x' || substr(md5(t), 1, 15))::BIGINT % 64) * 37 + 11)
+              % 21 - 10) * 100000)::BIGINT AS s
+  FROM fx GROUP BY doc_id)
+SELECT f.doc_id,
+       coalesce(s.n, 0)::INT AS n_features,
+       CASE WHEN s.n > 0
+            THEN round(s.s / s.n::DOUBLE / 1000000.0, 6) END AS score,
+       coalesce(s.s >= 0, FALSE) AS kept
+FROM feats f LEFT JOIN sums s USING (doc_id)
+"""

@@ -1,0 +1,76 @@
+"""Hash-n-gram linear classifier (operators/classifier.py): Python-mirror
+goldens for the native codegen path, native↔Arrow dispatch parity, and
+the zero-feature NULL contract."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (parity with suite style)
+
+from geospatial_web_scraper_spark.operators import classifier
+from geospatial_web_scraper_spark.operators.classifier import (
+    MICRO,
+    quality_classifier,
+    synthetic_weights,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "spark spark spark quality filter"),
+    (2, ""),
+    (3, "single"),
+    (4, "Mixed CASE Tokens lower the same way"),
+]
+
+
+def _mirror(text, weights, threshold=0.0):
+    toks = text.lower().split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return (0, None, False)
+    k = len(weights)
+    wm = [int(round(w * MICRO)) for w in weights]
+    s = sum(
+        wm[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % k]
+        for t in feats
+    )
+    score = round(s / len(feats) / MICRO, 6)
+    return (len(feats), score, s >= int(round(threshold * MICRO)) * len(feats))
+
+
+def _run(spark, weights, threshold=0.0):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_features"], r["score"], r["kept"])
+        for r in quality_classifier(df, weights, threshold=threshold).collect()
+    }
+
+
+def test_native_path_matches_python_mirror(spark):
+    w = synthetic_weights(64)
+    got = _run(spark, w, threshold=0.0)
+    for i, text in DOCS:
+        n, score, kept = _mirror(text, w)
+        assert got[i][0] == n, (i, got[i])
+        if n == 0:
+            assert got[i][1] is None and got[i][2] is False
+        else:
+            assert got[i][1] == pytest.approx(score, abs=1e-9)
+            assert got[i][2] == kept
+
+
+def test_arrow_path_matches_native(spark, monkeypatch):
+    # same 300-bucket model through both code paths: dispatch is on the
+    # NATIVE_BUCKET_BUDGET global, integer sums make outputs identical
+    w = synthetic_weights(300)
+    arrow = _run(spark, w)  # 300 > 256 -> Arrow kernel
+    monkeypatch.setattr(classifier, "NATIVE_BUCKET_BUDGET", 512)
+    native = _run(spark, w)  # now the codegen fold
+    assert arrow == native
+
+
+def test_threshold_gate_is_integer_exact(spark):
+    # threshold above every mean weight -> nothing kept except NULL-safe
+    w = synthetic_weights(64)
+    got = _run(spark, w, threshold=1.5)
+    assert not any(kept for (_, _, kept) in got.values())
