@@ -1559,6 +1559,37 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(nodes, e)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level authority: WEIGHTED fixed-point PageRank over the
+    HOST graph — nodes are hosts, edges are cross-host pairs weighted by
+    their page-level link count (self-loops dropped; geo leaves are
+    downloads, not pages). The host collapse is what a 10^10-URL frontier
+    actually ranks seeds and politeness budgets by first (10^7 hosts vs
+    10^10 URLs — the rank table becomes broadcastable); host ids come
+    straight out of the URL string, so the collapse is a pure projection
+    feeding one count groupBy — no join against a page table. Weights
+    matter here: the unweighted host graph at this corpus is complete
+    (every host links to every other → uniform ranks), while link-count
+    weights split authority by real in-link mass (host0 holds 30% of
+    pages and draws ~30% of links)."""
+    hx = lambda c: F.regexp_extract(c, r"host(\d+)", 1).cast("long")  # noqa: E731
+    nodes = (
+        corpus.corpus_df(spark, N)
+        .select(hx(F.col("url")).alias("node_id"))
+        .distinct()
+    )
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .select(
+            hx(F.col("src_url")).alias("src"), hx(F.col("dst_url")).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(1).alias("w"))
+    )
+    return pagerank_fixed_point(nodes, e, weight_col="w")
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality gate (operators/lm.py): add-one bigram LM
     trained on the documents table itself, per-doc cross-entropy in
@@ -2226,6 +2257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_change_rates": q_crawl_change_rates,
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     "quality_classifier": q_quality_classifier,
+    "host_pagerank": q_host_pagerank,
 }
 
 
@@ -3360,7 +3392,14 @@ FROM per GROUP BY source
 """
 
 
-def _pagerank_ctes(n: int, iters: int = 5) -> str:
+def _pagerank_ctes(
+    n: int,
+    iters: int = 5,
+    edges_sql: str | None = None,
+    nodes_rel: str = "pgu",
+    node_col: str = "i",
+    weighted: bool = False,
+) -> str:
     """The fixed-point PageRank iteration as a reusable CTE fragment
     (assumes the corpus prelude is already in scope; yields ``r{iters}``
     with (v, r)). Integer arithmetic only, so every CTE is digit-exact
@@ -3369,14 +3408,28 @@ def _pagerank_ctes(n: int, iters: int = 5) -> str:
     is referenced twice by the next (contrib AND dangling mass) — AS
     MATERIALIZED, or DuckDB's default CTE inlining goes exponential in
     iters (same gotcha as the deferral chains). Shared by the standalone
-    ``link_pagerank`` oracle and the ``crawl_pagerank_priority`` trace."""
+    ``link_pagerank`` oracle, the ``crawl_pagerank_priority`` trace, and
+    (with ``edges_sql``/``nodes_rel`` overridden) the host-graph
+    ``host_pagerank`` oracle; the defaults produce byte-identical SQL to
+    the pre-parameterized form."""
     s = 10**12
     base = (15 * s // 100) // n
+    e_sql = (
+        edges_sql
+        if edges_sql is not None
+        else "SELECT DISTINCT pe.src AS src, d.i AS dst"
+        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst"
+    )
+    deg_sql = (
+        "SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1"
+        if weighted
+        else "SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1"
+    )
+    share = "r.r * e.w // deg.od" if weighted else "r.r // deg.od"
     parts = [
-        "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
-        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
-        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),",
-        f"r0 AS MATERIALIZED (SELECT i AS v, {s // n}::BIGINT AS r FROM pgu),",
+        f"e AS MATERIALIZED ({e_sql}),",
+        f"deg AS MATERIALIZED ({deg_sql}),",
+        f"r0 AS MATERIALIZED (SELECT {node_col} AS v, {s // n}::BIGINT AS r FROM {nodes_rel}),",
     ]
     for t in range(iters):
         parts.append(
@@ -3384,13 +3437,13 @@ def _pagerank_ctes(n: int, iters: int = 5) -> str:
             f" FROM r{t} r LEFT JOIN deg ON deg.src = r.v WHERE deg.src IS NULL),"
         )
         parts.append(
-            f"c{t} AS MATERIALIZED (SELECT e.dst AS v, sum(r.r // deg.od)::BIGINT AS c"
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS v, sum({share})::BIGINT AS c"
             f" FROM e JOIN r{t} r ON r.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),"
         )
         parts.append(
-            f"r{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
+            f"r{t + 1} AS MATERIALIZED (SELECT p.{node_col} AS v,"
             f" ({base} + (85 * (coalesce(c.c, 0) + (SELECT dm FROM d{t}) // {n})) // 100)::BIGINT AS r"
-            f" FROM pgu p LEFT JOIN c{t} c ON c.v = p.i),"
+            f" FROM {nodes_rel} p LEFT JOIN c{t} c ON c.v = p.{node_col}),"
         )
     return "\n".join(parts)
 
@@ -3412,6 +3465,38 @@ def _pagerank_oracle_sql(n: int, iters: int = 5) -> str:
 
 
 ORACLES["link_pagerank"] = _pagerank_oracle_sql(N)
+
+# host_pagerank: the identical integer iteration over the WEIGHTED host
+# graph — nodes are the distinct pgu hosts, edges the cross-host pairs
+# of plain (non-geo) links weighted by link count, host ids
+# regexp-extracted from the URL exactly as the Spark projection does.
+# n = N_HOSTS drives the teleport base, so the fragment's constants
+# differ from link_pagerank's.
+_HOST_PR_EDGES = (
+    r"SELECT s.h AS src,"
+    r" regexp_extract(pe.dst, 'host(\d+)', 1)::BIGINT AS dst,"
+    r" count(*)::BIGINT AS w"
+    r" FROM plain_edges pe JOIN pgu s ON s.i = pe.src"
+    r" WHERE s.h <> regexp_extract(pe.dst, 'host(\d+)', 1)::BIGINT"
+    r" GROUP BY 1, 2"
+)
+ORACLES["host_pagerank"] = "\n".join(
+    [
+        f"WITH {PRE},",
+        "hosts AS MATERIALIZED (SELECT DISTINCT h AS hv FROM pgu),",
+        _pagerank_ctes(
+            corpus.N_HOSTS,
+            edges_sql=_HOST_PR_EDGES,
+            nodes_rel="hosts",
+            node_col="hv",
+            weighted=True,
+        ),
+        "ind AS (SELECT dst, sum(w)::BIGINT AS ind FROM e GROUP BY 1)\n"
+        "SELECT r.v AS node_id, coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
+        "  coalesce(ind.ind, 0)::BIGINT AS in_deg, r.r AS rank_fp\n"
+        "FROM r5 r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v",
+    ]
+)
 
 
 def _pagerank_priority_trace_sql(

@@ -56,6 +56,7 @@ def pagerank_fixed_point(
     node_col: str = "node_id",
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over ``edges`` (BIGINT endpoints, deduplicated here) for the
     node set ``nodes`` (one row per ``node_col``; nodes absent from the edge
@@ -66,6 +67,15 @@ def pagerank_fixed_point(
     Damping is fixed at 0.85 / 5 iterations by default — the conventional
     web-graph setting (Page et al. 1999); both constants are exact in the
     integer iteration above.
+
+    ``weight_col`` switches to WEIGHTED PageRank (positive BIGINT edge
+    weights; duplicate (src, dst) rows are weight-summed rather than
+    deduplicated): share(u→v) = r(u)·w(u,v) div Σw(u,·), the natural form
+    for collapsed graphs — a host graph weighs each host pair by its
+    page-level link count. ``out_deg``/``in_deg`` then report weight sums.
+    Unweighted is exactly the w≡1 case (identical values). Weights must
+    keep ``max_w · 1e12 < 2^63`` (w < ~9.2e6) — pre-bucket (e.g. log-cap)
+    heavier multiplicities before calling.
     """
     spark = nodes.sparkSession
     n_nodes = nodes.count()
@@ -77,15 +87,28 @@ def pagerank_fixed_point(
             F.lit(0).cast("long").alias("rank_fp"),
         )
 
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+            )
+            .distinct()
+            .select("src", "dst", F.lit(1).cast("long").alias("w"))
+            .localCheckpoint()
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = e.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint()
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+    deg = e.groupBy("src").agg(F.sum("w").alias("od")).localCheckpoint()
 
     base = (15 * SCALE // 100) // n_nodes  # teleport term, exact
     node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
@@ -107,7 +130,7 @@ def pagerank_fixed_point(
         )[0]["s"] or 0
         contrib = (
             e.join(ranks.filter(F.col("od") > 0), e["src"] == ranks["v"])
-            .select("dst", F.expr("r div od").alias("share"))
+            .select("dst", F.expr("r * w div od").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("c"))
         )
@@ -128,7 +151,7 @@ def pagerank_fixed_point(
             .localCheckpoint()
         )
 
-    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    indeg = e.groupBy("dst").agg(F.sum("w").alias("ind"))
     return (
         ranks.join(indeg, ranks["v"] == indeg["dst"], "left")
         .select(

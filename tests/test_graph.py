@@ -81,3 +81,51 @@ def test_empty_graph(spark):
     # no edges: every node is dangling; ranks stay equal and positive
     vals = {r["rank_fp"] for r in got.values()}
     assert len(vals) == 1 and vals.pop() > 0
+
+
+def _py_weighted(n_nodes, wedges, iters=5):
+    od = {}
+    for s, _, w in wedges:
+        od[s] = od.get(s, 0) + w
+    r = {v: SCALE // n_nodes for v in range(n_nodes)}
+    base = (15 * SCALE // 100) // n_nodes
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n_nodes) if od.get(v, 0) == 0)
+        contrib = {}
+        for s, d, w in wedges:
+            contrib[d] = contrib.get(d, 0) + r[s] * w // od[s]
+        r = {
+            v: base + (85 * (contrib.get(v, 0) + dang // n_nodes)) // 100
+            for v in range(n_nodes)
+        }
+    return r
+
+
+def test_weighted_matches_python_reference(spark):
+    # 0 splits 3:1 between 1 and 2; 3 feeds 0; duplicate (0,1) rows must
+    # weight-SUM (2+1 = 3), not dedup
+    wedges = [(0, 1, 2), (0, 1, 1), (0, 2, 1), (1, 0, 5), (3, 0, 2)]
+    nodes = spark.range(4).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r["node_id"]: r
+        for r in pagerank_fixed_point(nodes, e, weight_col="w").collect()
+    }
+    exp = _py_weighted(4, [(0, 1, 3), (0, 2, 1), (1, 0, 5), (3, 0, 2)])
+    for v in range(4):
+        assert got[v]["rank_fp"] == exp[v], v
+    assert got[0]["out_deg"] == 4 and got[0]["in_deg"] == 7
+    # the 3:1 split must rank node 1 above node 2
+    assert got[1]["rank_fp"] > got[2]["rank_fp"]
+
+
+def test_weight_one_equals_unweighted(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    nodes = spark.range(3).select(F.col("id").alias("node_id"))
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    ew = e1.select("src", "dst", F.lit(1).alias("w"))
+    un = {r["node_id"]: r["rank_fp"]
+          for r in pagerank_fixed_point(nodes, e1).collect()}
+    we = {r["node_id"]: r["rank_fp"]
+          for r in pagerank_fixed_point(nodes, ew, weight_col="w").collect()}
+    assert un == we
