@@ -333,7 +333,7 @@ rec{r} AS (
 def _deferral_trace_oracle_sql(
     n: int,
     budget: int,
-    tokens: int,
+    tokens: int | str,
     max_depth: int = 4,
     rounds: int = 10,
 ) -> str:
@@ -349,7 +349,8 @@ def _deferral_trace_oracle_sql(
     (phase A never evicts a true top-B row), which is what makes the
     deferral path SQL-mirrorable at all. ``rounds`` must cover the engine's
     actual round count (later CTEs are empty; a shortfall shows up as a
-    row-count mismatch)."""
+    row-count mismatch). ``tokens`` may be an SQL expression over ``host``
+    (PER-HOST budgets — the Crawl-delay flow) instead of an int."""
     parts = [f"WITH {corpus.sql_prelude(n)},"]
     parts.append(
         f"""
@@ -535,6 +536,37 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_tokens_per_round=2,
         defer_overflow=True,
         tiebreak="url",
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_crawl_crawldelay_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay honored end-to-end (r4): the per-host robots cache is
+    parsed for agent gwssbot, each host's ``Crawl-delay`` becomes its
+    token budget via ``budgets_from_delays(round_seconds=8, cap 6)`` —
+    clamp(floor(8/delay), 1, 6); delay-less, zero-delay and exact-group
+    hosts fall to the cap — and the deferral scheduler admits per-host
+    top-budget every round (host6 drains at 1 URL/round). The full trace
+    is value-checked by the deferral oracle with the budget swapped for a
+    per-host CASE derived from the same frozen robots bodies."""
+    from .operators.politeness import PolitenessScheduler
+    from .operators.robots import budgets_from_delays, robots_rules_df
+
+    rules = robots_rules_df(corpus.robots_docs_df(spark), agent="gwssbot")
+    budgets = budgets_from_delays(rules, round_seconds=8.0, default_tokens=6)
+    sched = PolitenessScheduler(
+        default_tokens_per_round=2,
+        defer_overflow=True,
+        tiebreak="url",
+        host_budget=budgets,
     )
     eng = CrawlEngine(
         spark,
@@ -2258,6 +2290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     "quality_classifier": q_quality_classifier,
     "host_pagerank": q_host_pagerank,
+    "crawl_crawldelay_trace": q_crawl_crawldelay_trace,
 }
 
 
@@ -3496,6 +3529,21 @@ ORACLES["host_pagerank"] = "\n".join(
         "  coalesce(ind.ind, 0)::BIGINT AS in_deg, r.r AS rank_fp\n"
         "FROM r5 r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v",
     ]
+)
+
+# crawl_crawldelay_trace: the deferral oracle with the per-host budget
+# CASE derived from the frozen robots bodies (corpus.robots_txt_of_host)
+# for agent gwssbot at round_seconds=8, cap 6: group precedence gives
+# h%3==0 hosts the joint */gwssbot group (delay h%7 when h even: h0→0
+# invalid→6, h6→6s→1 token), h%4==1 hosts the delay-less /private exact
+# group (→6), the rest the * group (delay h%7 when even: h2→2s→4,
+# h4→4s→2, h8→1s→8 capped 6; odd→none→6).
+_CRAWLDELAY_TOKENS = (
+    r"(CASE regexp_extract(host, 'host(\d+)', 1)::INT"
+    r" WHEN 2 THEN 4 WHEN 4 THEN 2 WHEN 6 THEN 1 ELSE 6 END)"
+)
+ORACLES["crawl_crawldelay_trace"] = _deferral_trace_oracle_sql(
+    N, 120, _CRAWLDELAY_TOKENS, rounds=7
 )
 
 

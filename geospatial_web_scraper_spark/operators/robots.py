@@ -111,18 +111,24 @@ def robots_rules_df(
 def budgets_from_delays(
     rules: DataFrame, round_seconds: float = 60.0, default_tokens: int = 40
 ) -> DataFrame:
-    """Crawl-delay → tokens_per_round for the scheduler's budget table."""
+    """Crawl-delay → tokens_per_round for the scheduler's budget table:
+    ``clamp(floor(round_seconds / delay), 1, default_tokens)``; hosts with
+    no delay — or a zero/negative one (a 0 delay would float-divide to
+    +Inf) — get ``default_tokens``. The floor is clamped to ≥1 because a
+    zero budget under ``defer_overflow`` starves that host FOREVER (its
+    candidates re-defer every round); one-per-round is the slowest honest
+    cadence. Feed straight into ``PolitenessScheduler(host_budget=…)`` —
+    the end-to-end flow is the ``crawl_crawldelay_trace`` catalog query."""
     from pyspark.sql import functions as F
 
-    return rules.select(
-        "host",
-        F.coalesce(
+    t = F.when(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+        F.greatest(
+            F.lit(1),
             F.least(
-                F.floor(F.lit(round_seconds) / F.col("crawl_delay")),
+                F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
                 F.lit(default_tokens),
             ),
-            F.lit(default_tokens),
-        )
-        .cast("int")
-        .alias("tokens_per_round"),
-    )
+        ),
+    ).otherwise(F.lit(default_tokens))
+    return rules.select("host", t.cast("int").alias("tokens_per_round"))
