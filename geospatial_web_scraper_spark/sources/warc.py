@@ -274,12 +274,24 @@ WARC_MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+#: CDX-style per-record archive index — the random-access companion every
+#: Common Crawl-shaped archive ships (url → file, byte offset, length)
+WARC_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
 
 def write_warc(
     df: DataFrame,
     out_dir: str,
     gzip_members: bool = True,
     version: str = "1.0",
+    index: bool = False,
 ) -> DataFrame:
     """Distributed WARC writer sink — the K-series twin of
     :func:`pages_from_warc`: each partition of ``(url, warc_ts, status,
@@ -297,6 +309,16 @@ def write_warc(
     mounted form since this writes through ``open()``). NULL status maps
     to 0 and NULL content_type omits the header (read back as None), the
     same lossy edge the HTTP payload format itself has.
+
+    ``index=True`` returns the CDX-style per-RECORD index instead
+    (:data:`WARC_INDEX_SCHEMA`: url, path, offset, n_bytes — with gzip
+    members each slice is a self-contained member, so a record is
+    servable by one ranged read + gunzip, no scan). Recover the manifest
+    with ``idx.groupBy("path").agg(count, sum(n_bytes))``; serve records
+    with :func:`read_warc_record` (driver) or :func:`pages_from_index`
+    (distributed). At 100 TB the index IS the serving path — write it
+    once at archive time instead of re-scanning petabytes to find one
+    page.
     """
     import gzip as _gzip
     import hashlib as _hashlib
@@ -324,6 +346,8 @@ def write_warc(
         )
         fh = None
         n_records = 0
+        pos = 0
+        idx_rows: list[dict] = []
         try:
             for pdf in batches:
                 if fh is None:
@@ -367,8 +391,24 @@ def write_warc(
                         + http
                         + b"\r\n\r\n"
                     )
-                    fh.write(_gzip.compress(rec) if gzip_members else rec)
+                    data = _gzip.compress(rec) if gzip_members else rec
+                    fh.write(data)
+                    if index:
+                        idx_rows.append(
+                            {
+                                "url": url,
+                                "path": final,
+                                "offset": pos,
+                                "n_bytes": len(data),
+                            }
+                        )
+                    pos += len(data)
                     n_records += 1
+                if index and idx_rows:
+                    # flush per input batch — the index stays O(batch),
+                    # never O(archive)
+                    yield pd.DataFrame(idx_rows)
+                    idx_rows = []
         finally:
             if fh is not None:
                 fh.close()
@@ -378,14 +418,70 @@ def write_warc(
                 os.remove(tmp)
             return
         os.replace(tmp, final)
-        yield pd.DataFrame(
-            [
-                {
-                    "path": final,
-                    "n_records": n_records,
-                    "n_bytes": os.path.getsize(final),
-                }
-            ]
-        )
+        if not index:
+            yield pd.DataFrame(
+                [
+                    {
+                        "path": final,
+                        "n_records": n_records,
+                        "n_bytes": os.path.getsize(final),
+                    }
+                ]
+            )
 
-    return df.select(*cols).mapInPandas(gen, WARC_MANIFEST_SCHEMA)
+    schema = WARC_INDEX_SCHEMA if index else WARC_MANIFEST_SCHEMA
+    return df.select(*cols).mapInPandas(gen, schema)
+
+
+def read_warc_record(path: str, offset: int, n_bytes: int) -> dict:
+    """Serve ONE record by index row — a single ranged read (seek +
+    ``n_bytes``), gunzip if the archive is gzip-membered (each record is
+    its own member, so the slice is self-contained), one record parse.
+    Driver-side utility; the distributed form is :func:`pages_from_index`.
+    """
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        data = fh.read(n_bytes)
+    if path.endswith(".gz"):
+        data = _gunzip_members(data)
+    recs = list(parse_warc_records(data))
+    if len(recs) != 1:
+        raise ValueError(
+            f"index slice at {path}:{offset}+{n_bytes} parsed to "
+            f"{len(recs)} records (corrupt index or archive)"
+        )
+    return recs[0]
+
+
+def pages_from_index(spark: SparkSession, index_df: DataFrame) -> DataFrame:
+    """Random-access page serving: resolve an index slice (any subset of a
+    :func:`write_warc(index=True)` table — typically the output of an
+    equi-join on url) to full page rows WITHOUT scanning the archives.
+    Rows are grouped per path inside each Arrow batch so a task opens
+    each file once and seeks record-to-record; cost is O(|requested|)
+    ranged reads, independent of archive size — the 100 TB lookup path.
+    Repartition the index by ``path`` first when requests cluster into
+    few files and tasks should co-locate their opens."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, grp in pdf.groupby("path", sort=True):
+                grp = grp.sort_values("offset")  # forward-only seeks
+                with open(path, "rb") as fh:
+                    for off, nb in zip(grp["offset"], grp["n_bytes"]):
+                        fh.seek(int(off))
+                        data = fh.read(int(nb))
+                        if str(path).endswith(".gz"):
+                            data = _gunzip_members(data)
+                        rows.extend(parse_warc_records(data))
+                        if len(rows) >= _FLUSH_ROWS:
+                            yield pd.DataFrame(rows)
+                            rows = []
+            if rows:
+                yield pd.DataFrame(rows)
+
+    pages = index_df.select("path", "offset", "n_bytes").mapInPandas(
+        gen, PAGES_SCHEMA
+    )
+    return pages.withColumn("host", url_host(F.col("url")))

@@ -257,3 +257,54 @@ def test_write_warc_null_timestamp(spark, tmp_path):
     assert all(
         r["warc_ts"].strftime("%Y-%m-%d") == "1970-01-01" for r in back
     )
+
+
+def test_write_warc_index_and_random_access(spark, tmp_path):
+    """CDX-style index (write_warc(index=True)): offsets/lengths must
+    slice every record servably — read_warc_record round-trips single
+    records by ranged read, pages_from_index serves an arbitrary url
+    subset without scanning, and the index aggregates back to the
+    manifest's per-file totals."""
+    import os
+
+    from geospatial_web_scraper_spark.sources.warc import (
+        pages_from_index,
+        read_warc_record,
+        write_warc,
+    )
+
+    pages = corpus.corpus_df(spark, N).repartition(3)
+    out = str(tmp_path / "warcs_idx")
+    idx = write_warc(pages, out, index=True).localCheckpoint()
+    rows = idx.collect()
+    assert len(rows) == N
+    # per-file totals reconcile with the bytes on disk (gzip members tile
+    # the file exactly: offsets are contiguous and sum to the file size)
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+    for path, rs in by_path.items():
+        rs = sorted(rs, key=lambda r: r["offset"])
+        assert rs[0]["offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["offset"] + a["n_bytes"] == b["offset"]
+        assert rs[-1]["offset"] + rs[-1]["n_bytes"] == os.path.getsize(path)
+    # driver-side ranged read of a few records
+    want = corpus.corpus_df(spark, N).where("page_id % 37 = 1").collect()
+    by_url = {r["url"]: r for r in rows}
+    for p in want:
+        rec = read_warc_record(
+            by_url[p["url"]]["path"],
+            by_url[p["url"]]["offset"],
+            by_url[p["url"]]["n_bytes"],
+        )
+        assert rec["url"] == p["url"]
+        assert bytes(rec["html"]) == bytes(p["html"])
+        assert rec["status"] == p["status"]
+    # distributed random access over a url-subset join of the index
+    subset = idx.where(F.col("url").rlike(r"/page/1?7\.html$"))
+    served = pages_from_index(spark, subset)
+    exp = corpus.corpus_df(spark, N).where(
+        F.col("url").rlike(r"/page/1?7\.html$")
+    )
+    assert _page_multiset(served) == _page_multiset(exp)
