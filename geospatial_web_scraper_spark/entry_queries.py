@@ -548,6 +548,19 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/anchors.py): one codegen regexp
+    pass over the stored page bytes → aligned (href, text) arrays →
+    scheme-aware resolution (absolute + root-relative; mailto/tel
+    dropped) → ONE (target, text) count groupBy. The oracle rebuilds
+    every anchor arithmetically from the corpus formulas: decoys, plain
+    'link j' edges, the i%13 dup, the i%11 bad-scheme href (kept — it
+    starts with http), and the geo 'download' leaves."""
+    from .operators.anchors import anchor_pairs, anchor_text_index
+
+    return anchor_text_index(anchor_pairs(_fetchable_pages(spark)))
+
+
 def q_crawl_crawldelay_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay honored end-to-end (r4): the per-host robots cache is
     parsed for agent gwssbot, each host's ``Crawl-delay`` becomes its
@@ -2291,6 +2304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "host_pagerank": q_host_pagerank,
     "crawl_crawldelay_trace": q_crawl_crawldelay_trace,
+    "anchor_text_index": q_anchor_text_index,
 }
 
 
@@ -3545,6 +3559,40 @@ _CRAWLDELAY_TOKENS = (
 ORACLES["crawl_crawldelay_trace"] = _deferral_trace_oracle_sql(
     N, 120, _CRAWLDELAY_TOKENS, rounds=7
 )
+
+# anchor_text_index — every anchor rebuilt arithmetically from the html
+# formulas (corpus.html_of): the nav decoy resolves against the SOURCE
+# host (its target may not be a real page URL — it's an index over link
+# strings), plain links are the edges formula with text 'link j', the
+# i%13 dup repeats the j=0 target, the i%11 'http://[' href is KEPT (it
+# starts with http), mailto/tel are dropped by the resolution contract,
+# geo leaves read 'download'. Only fetchable pages contribute (the
+# catalog query scans _fetchable_pages, matching plain/geo_edges' gate).
+ORACLES["anchor_text_index"] = f"""
+WITH {PRE},
+f AS (SELECT i, h, url FROM pgu
+      WHERE status = 200 AND content_type = 'text/html'),
+anch AS (
+  SELECT 'https://host' || h || '.example.org/page/' || ((i + 1) % {N})
+           || '.html' AS t,
+         'decoy' AS a
+  FROM f
+  UNION ALL
+  SELECT dst AS t, 'link ' || pos AS a FROM plain_edges
+  UNION ALL
+  SELECT 'https://host'
+           || (CASE WHEN ((7 * i + 1) % {N}) % 10 < 3 THEN 0
+                    ELSE 1 + (((7 * i + 1) % {N}) % 9) END)
+           || '.example.org/page/' || ((7 * i + 1) % {N}) || '.html' AS t,
+         'dup' AS a
+  FROM f WHERE i % 13 = 0
+  UNION ALL
+  SELECT 'http://[' AS t, 'bad' AS a FROM f WHERE i % 11 = 0
+  UNION ALL
+  SELECT dst AS t, 'download' AS a FROM geo_edges)
+SELECT t AS url, a AS anchor_text, count(*)::BIGINT AS n_refs
+FROM anch GROUP BY 1, 2
+"""
 
 
 def _pagerank_priority_trace_sql(
