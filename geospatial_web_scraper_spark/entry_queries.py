@@ -548,6 +548,18 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunking (operators/chunking.py): 32-token
+    windows with 8-token overlap, (doc_id, chunk_idx) ids and tok_start
+    span lineage. Pure codegen over the row (token array bound once via
+    the transform-wrap), zero shuffle; both engines compute the window
+    count as ceil(max(0, n-32)/24) + 1 so the short-tail rule is
+    value-checked alongside the window text itself."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, overlap=8)
+
+
 def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (operators/anchors.py): one codegen regexp
     pass over the stored page bytes → aligned (href, text) arrays →
@@ -2305,6 +2317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "crawl_crawldelay_trace": q_crawl_crawldelay_trace,
     "anchor_text_index": q_anchor_text_index,
+    "chunk_documents": q_chunk_documents,
 }
 
 
@@ -3592,6 +3605,24 @@ anch AS (
   SELECT dst AS t, 'download' AS a FROM geo_edges)
 SELECT t AS url, a AS anchor_text, count(*)::BIGINT AS n_refs
 FROM anch GROUP BY 1, 2
+"""
+
+# chunk_documents — window math shared verbatim: last window start is
+# ceil(max(0, n - 32) / 24.0) (double div then ceil on both engines);
+# DuckDB list slices are inclusive 1-based (a[s : s+31] == Spark
+# slice(a, s, 32)); empty docs emit nothing.
+ORACLES["chunk_documents"] = f"""
+WITH d AS (SELECT doc_id, {_sql_toks('lower(text)')} AS a FROM documents),
+w AS (SELECT doc_id, a,
+             ceil(greatest(0, len(a) - 32) / 24.0)::INT AS last
+      FROM d WHERE len(a) > 0),
+k AS (SELECT doc_id, a, unnest(range(0, last + 1))::INT AS kk FROM w)
+SELECT doc_id,
+       kk AS chunk_idx,
+       kk * 24 AS tok_start,
+       least(32, len(a)::INT - kk * 24) AS n_tokens,
+       array_to_string(a[kk * 24 + 1 : kk * 24 + 32], ' ') AS chunk_text
+FROM k
 """
 
 
