@@ -381,6 +381,28 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             lambda: sessionize(ev, gap_minutes=30).count(),
         )
 
+        # --- r4 session 2: model-based quality filter + retrieval chunking
+        from geospatial_web_scraper_spark.operators.chunking import (
+            chunk_documents,
+        )
+        from geospatial_web_scraper_spark.operators.classifier import (
+            quality_classifier,
+            synthetic_weights,
+        )
+
+        timed(
+            "quality_classifier",
+            lambda: quality_classifier(docs, synthetic_weights(64))
+            .where("kept")
+            .count(),
+        )
+        timed(
+            "chunk_documents",
+            lambda: chunk_documents(docs, size=128, overlap=16)
+            .where("n_tokens > 0")
+            .count(),
+        )
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 
