@@ -548,6 +548,17 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/keywords.py): top-5 terms per
+    document under the smoothed sklearn idf, integer micro-unit scores
+    (tf · idf_micro — ulp-proof ranking), salted two-phase per-doc top-k
+    (never a bare window over the term table). The oracle recomputes the
+    identical integer scores and ranks with (sm DESC, term ASC)."""
+    from .operators.keywords import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping retrieval chunking (operators/chunking.py): 32-token
     windows with 8-token overlap, (doc_id, chunk_idx) ids and tok_start
@@ -2318,6 +2329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_crawldelay_trace": q_crawl_crawldelay_trace,
     "anchor_text_index": q_anchor_text_index,
     "chunk_documents": q_chunk_documents,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 
@@ -3623,6 +3635,31 @@ SELECT doc_id,
        least(32, len(a)::INT - kk * 24) AS n_tokens,
        array_to_string(a[kk * 24 + 1 : kk * 24 + 32], ' ') AS chunk_text
 FROM k
+"""
+
+# tfidf_keywords — the smoothed idf factor is micro-scaled and rounded
+# to an INTEGER once per term (round((ln+1)*1e6, 0), matching Spark's
+# F.round(…, 0).cast(long) — never a truncating cast of a 6-decimal
+# double), so every (doc, term) score is the exact integer tf·idf_micro
+# and the (score DESC, term ASC) rank can't flip on a ulp.
+ORACLES["tfidf_keywords"] = f"""
+WITH d AS (SELECT doc_id, {_sql_toks('lower(text)')} AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * round((ln(((SELECT n FROM nd) + 1.0) / (df + 1)) + 1)
+                      * 1000000, 0)::BIGINT AS sm
+  FROM tf t JOIN dfr USING (term)),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY sm DESC, term ASC) AS rank
+  FROM sc)
+SELECT doc_id, rank::INT AS rank, term, tf,
+       round(sm / 1000000.0, 6) AS score
+FROM rk WHERE rank <= 5
 """
 
 
