@@ -400,3 +400,46 @@ def test_curate_v2_fanout_reads_materialized_survivors(spark):
     # the fan-out sits on the checkpoint: the executed plan scans an
     # existing RDD instead of re-running the curation chain
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_tfidf_topk_is_salted(spark):
+    """Per-doc keyword top-k: the only windows allowed are the salted
+    pre-cut (grouped_topk) — never a bare per-doc window over the full
+    (doc, term) table."""
+    df = entry_mod.queries()["tfidf_keywords"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_salt" in line, line
+
+
+def test_quality_classifier_has_no_exchange(spark):
+    """The hashed-linear scorer is a pure per-row pass: no shuffle, no
+    window, no join anywhere in the plan."""
+    df = entry_mod.queries()["quality_classifier"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_chunking_has_no_exchange(spark):
+    """Chunking rides the scan: posexplode over per-row window structs,
+    zero shuffle."""
+    df = entry_mod.queries()["chunk_documents"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_anchor_index_is_one_aggregate_no_html_shuffle(spark):
+    """Anchor-text index: exactly one exchange (the (target, text) count
+    groupBy); the html byte column must never appear above it."""
+    df = entry_mod.queries()["anchor_text_index"](spark, SF)
+    plan = _plan(df)
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line
