@@ -4,10 +4,12 @@ Generalizes the reference's two 40-slot semaphores (``crawler.go:16-17`` —
 global concurrency caps with no per-host fairness) into data-driven,
 deterministic per-round scheduling:
 
-* **robots rules** — ``robots(host, disallow_prefixes array<string>)``:
-  candidates whose URL path starts with a disallowed prefix are dropped
-  before recording (broadcast join on host + native ``F.exists`` prefix
-  test; no UDF).
+* **robots rules** — ``robots(host, disallow_prefixes array<string>[,
+  allow_prefixes array<string>])``: candidates are gated by RFC 9309
+  §2.2.2 longest-match precedence — the most specific matching prefix
+  (allow or disallow) wins, Allow winning exact-length ties; without an
+  allow column this is the plain disallowed-prefix drop. Broadcast join
+  on host + native higher-order prefix exprs; no UDF.
 * **token budgets** — ``host_budget(host, tokens_per_round int)`` with a
   default for unlisted hosts: at most that many URLs of a host are admitted
   per round; the overflow is **deferred** to the next round (politeness
@@ -100,22 +102,39 @@ class PolitenessScheduler:
             "_uh", url_hash(F.col("url"))
         )
 
-        # robots prefix filter — tiny table, broadcast join, native exists()
+        # robots prefix filter — tiny table, broadcast join, native
+        # higher-order exprs. RFC 9309 §2.2.2 longest-match precedence:
+        # the most specific matching rule wins, and on an exact length
+        # tie Allow wins. With no allow_prefixes column (or all-empty
+        # lists) this reduces exactly to the old disallow-only gate.
         if self.robots is not None:
+            has_allow = "allow_prefixes" in self.robots.columns
+            rules_cols = ["host", "disallow_prefixes"] + (
+                ["allow_prefixes"] if has_allow else []
+            )
+            path = url_path(F.col("url"))
+
+            def _longest(col: str):
+                return F.array_max(
+                    F.transform(
+                        F.filter(col, lambda p: F.startswith(path, p)),
+                        lambda p: F.length(p),
+                    )
+                )
+
+            dmax = _longest("disallow_prefixes")
+            keep = dmax.isNull()
+            if has_allow:
+                amax = _longest("allow_prefixes")
+                keep = keep | (amax.isNotNull() & (amax >= dmax))
             d = (
                 d.join(
-                    F.broadcast(self.robots.select("host", "disallow_prefixes")),
+                    F.broadcast(self.robots.select(*rules_cols)),
                     d["_host"] == F.col("host"),
                     "left",
                 )
-                .filter(
-                    F.col("disallow_prefixes").isNull()
-                    | ~F.exists(
-                        "disallow_prefixes",
-                        lambda p: F.startswith(url_path(F.col("url")), p),
-                    )
-                )
-                .drop("host", "disallow_prefixes")
+                .filter(F.col("disallow_prefixes").isNull() | keep)
+                .drop(*rules_cols)
             )
 
         # crawl-trap denylist (operators/traps.py): candidates whose

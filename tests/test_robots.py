@@ -117,3 +117,41 @@ def test_robots_bodies_two_form_parity_and_parse_golden():
     assert parse_robots_txt(corpus.robots_txt_of_host(2), "otherbot")[
         "disallow"
     ] == ["/other/2"]
+
+
+def test_allow_overrides_disallow_longest_match(spark):
+    """RFC 9309 §2.2.2: the most specific matching rule wins; Allow wins
+    exact-length ties. /data/public/ survives a /data/ disallow; plain
+    /data/x stays dropped; hosts without rules are untouched."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "host0.example.org",
+                "User-agent: *\nDisallow: /data/\nAllow: /data/public/",
+            ),
+            ("host1.example.org", "User-agent: *\nDisallow: /p\nAllow: /p"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_df(docs)
+    frontier = spark.createDataFrame(
+        [
+            ("https://host0.example.org/data/secret.csv", 0, None, -1, 0, False),
+            ("https://host0.example.org/data/public/a.csv", 0, None, -1, 1, False),
+            ("https://host0.example.org/other.html", 0, None, -1, 2, False),
+            ("https://host1.example.org/page.html", 0, None, -1, 3, False),
+            ("https://host2.example.org/data/x.html", 0, None, -1, 4, False),
+        ],
+        "url string, depth int, parent_url string, parent_seq long,"
+        " pos int, is_geo boolean",
+    )
+    sched = PolitenessScheduler(robots=rules, default_tokens_per_round=40)
+    got = {r["url"] for r in sched.apply(frontier, 0).collect()}
+    assert got == {
+        "https://host0.example.org/data/public/a.csv",
+        "https://host0.example.org/other.html",
+        # tie: Allow /p == Disallow /p -> allowed
+        "https://host1.example.org/page.html",
+        # no rules for host2 -> untouched
+        "https://host2.example.org/data/x.html",
+    }
