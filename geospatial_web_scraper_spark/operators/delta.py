@@ -146,6 +146,19 @@ def change_rates(
     agg = obs.groupBy(key_col).agg(
         F.count("*").alias("n_obs"), F.sum("_c").alias("n_changed")
     )
+    return change_rates_from_counts(agg, key_col=key_col, max_interval=max_interval)
+
+
+def change_rates_from_counts(
+    counts: DataFrame,
+    key_col: str = "url",
+    max_interval: int = 64,
+) -> DataFrame:
+    """The estimator half of :func:`change_rates`, over pre-aggregated
+    evidence counts ``(key, n_obs, n_changed)`` — the form a STREAMING
+    accumulator keeps (streaming/delta_stream.py folds per-batch counts;
+    counts are associative, so stream state == batch history exactly).
+    Same output columns and arithmetic as :func:`change_rates`."""
     rate = -F.log(
         (F.col("n_obs") - F.col("n_changed") + F.lit(CHO_GM_OFFSET))
         / (F.col("n_obs") + F.lit(CHO_GM_OFFSET))
@@ -158,7 +171,7 @@ def change_rates(
             F.greatest(F.lit(1), F.round(F.lit(1.0) / rate, 0).cast("int")),
         )
     )
-    return agg.select(
+    return counts.select(
         key_col,
         "n_obs",
         "n_changed",
