@@ -548,6 +548,32 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketch.py cms_counts/cms_estimate):
+    4×512 counters over the document token stream, point-queried for the
+    distinct tokens of doc_id<20 and value-checked against the exact
+    counts (est ≥ exact, one-sided) — counters and estimates are
+    bit-identical across engines via the md5-60bit bucket hash."""
+    from .operators.sketch import cms_counts, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(textstats.tokens_expr(F.lower(F.col("text")))).alias(
+            "term"
+        ),
+    )
+    cms = cms_counts(toks, "term", width=512, depth=4)
+    qterms = toks.where("doc_id < 20").select("term").distinct()
+    est = cms_estimate(cms, qterms, "term", width=512, depth=4)
+    exact = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, "term")
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (operators/keywords.py): top-5 terms per
     document under the smoothed sklearn idf, integer micro-unit scores
@@ -2330,6 +2356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_index": q_anchor_text_index,
     "chunk_documents": q_chunk_documents,
     "tfidf_keywords": q_tfidf_keywords,
+    "cms_token_counts": q_cms_token_counts,
 }
 
 
@@ -3660,6 +3687,35 @@ rk AS (
 SELECT doc_id, rank::INT AS rank, term, tf,
        round(sm / 1000000.0, 6) AS score
 FROM rk WHERE rank <= 5
+"""
+
+# cms_token_counts — the Count-Min counters rebuilt exactly: bucket =
+# md5-60bit(row ':' term) % 512 over 4 rows (int || varchar concat casts
+# identically on both engines), estimate = min of the 4 counters; the
+# exact count rides along so the one-sided error is value-checked too.
+ORACLES["cms_token_counts"] = f"""
+WITH d AS (SELECT doc_id, {_sql_toks('lower(text)')} AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term FROM d),
+rws AS (SELECT unnest(range(4))::INT AS rw),
+cms AS (
+  SELECT rw,
+         ('0x' || substr(md5(rw || ':' || term), 1, 15))::BIGINT % 512
+           AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM tok CROSS JOIN rws GROUP BY 1, 2),
+q AS (SELECT DISTINCT term FROM tok WHERE doc_id < 20),
+qe AS (
+  SELECT term, rw,
+         ('0x' || substr(md5(rw || ':' || term), 1, 15))::BIGINT % 512
+           AS bucket
+  FROM q CROSS JOIN rws),
+est AS (
+  SELECT qe.term, min(coalesce(cms.cnt, 0))::BIGINT AS est
+  FROM qe LEFT JOIN cms USING (rw, bucket) GROUP BY 1),
+ex AS (
+  SELECT term, count(*)::BIGINT AS exact
+  FROM tok JOIN q USING (term) GROUP BY 1)
+SELECT term, est, exact FROM est JOIN ex USING (term)
 """
 
 

@@ -237,3 +237,89 @@ def kmv_merge(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
         "sketch",
         est,
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — bounded-memory frequency estimation
+# --------------------------------------------------------------------------
+
+#: default Count-Min shape: depth rows of width counters
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value stream →
+    the counter table ``(row, bucket, cnt)`` — at most ``depth · width``
+    rows REGARDLESS of input size, the bounded-memory answer to "how
+    often does each token appear?" when the exact (value, count) table
+    (operators/profile.py heavy_hitters) is itself too wide to keep.
+
+    Each value increments one counter per row: ``bucket = md5-60bit(
+    row ':' value) % width`` — the repo's engine-portable hash family, so
+    the sketch contents are bit-identical in any SQL engine and the
+    ``cms_token_counts`` catalog query value-checks counters AND
+    estimates. The table form is MERGEABLE by construction: per-shard
+    sketches union + re-sum (:func:`cms_merge`), the same roll-up shape
+    as the KMV sketches above.
+
+    Scale: one narrow ``(int, int)`` shuffle with map-side combine; the
+    depth-way explode multiplies rows BEFORE the combine, never after.
+    """
+    rows = df.select(
+        F.col(value_col).alias("_v"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    )
+    bucket = (
+        _md5_hash64_expr(
+            F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_v"))
+        )
+        % width
+    )
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Union of per-shard counter tables → one sketch (counter-wise sum;
+    merge-then-estimate equals estimate-over-the-whole, pinned)."""
+    return sketches.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-query the sketch → ``(value_col, est)`` per distinct queried
+    value: the MINIMUM of its ``depth`` counters — always ≥ the true
+    count (one-sided error; overestimation ≤ collisions' mass). The query
+    side is tiny (it broadcasts into the sketch join); ``width``/``depth``
+    must match the build."""
+    q = queries.select(F.col(value_col).alias("_v")).distinct()
+    bucket = (
+        _md5_hash64_expr(
+            F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_v"))
+        )
+        % width
+    )
+    qe = q.select(
+        "_v",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).select("_v", "row", bucket.alias("bucket"))
+    return (
+        qe.join(cms, ["row", "bucket"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("_v").alias(value_col), "est")
+    )

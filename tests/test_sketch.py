@@ -88,3 +88,56 @@ def test_group_isolation(spark):
         set(r["sketch"]) for r in sorted(out.collect(), key=lambda r: r["g"])
     ]
     assert not (a & b)
+
+
+def test_cms_estimate_one_sided_and_exact_at_width(spark):
+    from geospatial_web_scraper_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    rows = [(f"t{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, "term string")
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    # tiny sketch: estimates are one-sided overestimates
+    cms = cms_counts(df, "term", width=4, depth=2)
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(cms, df, "term", width=4, depth=2).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # wide sketch: no collisions -> exact
+    cms2 = cms_counts(df, "term", width=4096, depth=4)
+    est2 = {
+        r["term"]: r["est"]
+        for r in cms_estimate(cms2, df, "term", width=4096, depth=4).collect()
+    }
+    assert est2 == exact
+
+
+def test_cms_merge_equals_whole(spark):
+    from geospatial_web_scraper_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(f"w{i % 11}",) for i in range(99)]
+    df = spark.createDataFrame(rows, "term string").withColumn(
+        "half", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    whole = cms_counts(df, "term", width=64, depth=3)
+    merged = cms_merge(
+        cms_counts(df.where("half = 0"), "term", width=64, depth=3).unionByName(
+            cms_counts(df.where("half = 1"), "term", width=64, depth=3)
+        )
+    )
+    q = df.select("term").distinct()
+    a = {r["term"]: r["est"]
+         for r in cms_estimate(whole, q, "term", width=64, depth=3).collect()}
+    b = {r["term"]: r["est"]
+         for r in cms_estimate(merged, q, "term", width=64, depth=3).collect()}
+    assert a == b
