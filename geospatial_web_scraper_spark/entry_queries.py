@@ -2116,7 +2116,14 @@ def q_crawl_adaptive_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
-    due = due_for_recrawl(change_rates(hist), tick=2).select("url")
+    # due is tiny (counts-only) but feeds TWO consumers (the semi- and
+    # anti-join) — materialize it or the explode+aggregate+estimator
+    # chain re-executes per consumer (the projection-collapse gotcha)
+    due = (
+        due_for_recrawl(change_rates(hist), tick=2)
+        .select("url")
+        .localCheckpoint()
+    )
     expired, _ = with_global_seq(
         trace1.join(due, "url", "left_semi"), ["seq"], seq_col="seed_order"
     )

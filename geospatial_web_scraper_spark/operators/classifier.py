@@ -154,8 +154,14 @@ def quality_classifier(
 
         @F.pandas_udf(T.LongType())
         def _score(feat_lists: pd.Series) -> pd.Series:
-            out = np.empty(len(feat_lists), dtype=np.int64)
-            for i, feats_row in enumerate(feat_lists):
+            out: list[int | None] = []
+            for feats_row in feat_lists:
+                if feats_row is None:
+                    # NULL text -> NULL feature array: mirror the native
+                    # fold (aggregate over NULL is NULL), keeping the two
+                    # dispatch paths value-identical (r4 review finding)
+                    out.append(None)
+                    continue
                 s = 0
                 for t in feats_row:
                     b = (
@@ -163,8 +169,8 @@ def quality_classifier(
                         % n_buckets
                     )
                     s += int(wvec[b])
-                out[i] = s
-            return pd.Series(out)
+                out.append(s)
+            return pd.Series(out, dtype="Int64")
 
         d = d.select(
             id_col, F.col("_n").alias("n_features"), _score("_f").alias("_sum")

@@ -14,9 +14,9 @@ Parsing follows the de-facto REP subset (RFC 9309 §2 group semantics):
 * the group for the most specific matching agent token wins (exact
   product-token match, else the ``*`` group);
 * ``Disallow:`` with an empty value means allow-all (ignored);
-* ``Allow:`` lines are collected but the scheduler currently enforces only
-  disallow prefixes (documented limitation — allow-precedence needs
-  longest-match evaluation per URL);
+* ``Allow:`` lines are enforced by the scheduler with RFC 9309 §2.2.2
+  longest-match precedence (the most specific matching prefix wins,
+  Allow winning exact-length ties — operators/politeness.py);
 * ``Crawl-delay:`` seconds (non-standard but ubiquitous) feeds the token
   budget: ``tokens_per_round ≈ round_seconds / crawl_delay``.
 

@@ -43,7 +43,10 @@ from ..functions.urls import url_host, url_path
 #: each half (r4 review finding). RE2 — the oracle's engine — has no
 #: lookahead, so "hex run containing a letter" is not portably
 #: expressible; one placeholder only ever MERGES templates, which for
-#: trap detection is strictly safer than splitting them.
+#: trap detection is strictly safer than splitting them. COMPAT: denylist
+#: tables persisted by pre-r4 builds carry 'H' placeholders that no
+#: longer match anything — re-mine them with trap_report (flagged in the
+#: crawl CLI's --trap-templates help).
 _HEX_RUN = "[0-9a-f]{8,}"
 _DIGIT_RUN = "[0-9]+"
 

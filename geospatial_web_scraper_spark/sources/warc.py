@@ -318,7 +318,10 @@ def write_warc(
     with :func:`read_warc_record` (driver) or :func:`pages_from_index`
     (distributed). At 100 TB the index IS the serving path — write it
     once at archive time instead of re-scanning petabytes to find one
-    page.
+    page. Index mode buffers the (url, offset, length) tuples until the
+    archive's atomic rename and only then emits them (rows must never
+    reference a path that could fail to appear), so its memory is
+    O(records-per-partition × ~100 bytes) — shard partitions accordingly.
     """
     import gzip as _gzip
     import hashlib as _hashlib
@@ -404,11 +407,6 @@ def write_warc(
                         )
                     pos += len(data)
                     n_records += 1
-                if index and idx_rows:
-                    # flush per input batch — the index stays O(batch),
-                    # never O(archive)
-                    yield pd.DataFrame(idx_rows)
-                    idx_rows = []
         finally:
             if fh is not None:
                 fh.close()
@@ -418,7 +416,17 @@ def write_warc(
                 os.remove(tmp)
             return
         os.replace(tmp, final)
-        if not index:
+        if index:
+            # index rows are yielded ONLY AFTER the rename: a yield
+            # inside the write loop would let an early-stopping consumer
+            # (limit/first) close the generator before the epilogue runs,
+            # stranding the archive as a hidden temp while the already-
+            # emitted rows point at a path that never appears (r4 review
+            # finding). Buffering costs ~4 small fields per record —
+            # shard partitions if a single archive holds 10^7+ records.
+            for i in range(0, len(idx_rows), _FLUSH_ROWS):
+                yield pd.DataFrame(idx_rows[i : i + _FLUSH_ROWS])
+        else:
             yield pd.DataFrame(
                 [
                     {

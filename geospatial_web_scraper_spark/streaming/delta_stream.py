@@ -76,10 +76,24 @@ class ChangeRateState:
         )
 
     def counts(self) -> DataFrame:
-        """Folded evidence counts across all committed epochs."""
+        """Folded evidence counts across all committed epochs. Before any
+        evidence exists — no sink yet, or every batch so far was
+        added/removed-only (a fresh crawl's first delta is all 'added') —
+        this is the EMPTY counts relation, not an error: rates() must be
+        queryable at any time."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            state = self.spark.read.parquet(self.state_dir)
+        except AnalysisException:
+            # missing dir, or a dir holding only _SUCCESS markers (an
+            # all-filtered first batch) — schema inference has nothing
+            return self.spark.createDataFrame(
+                [],
+                f"{self.key_col} string, n_obs bigint, n_changed bigint",
+            )
         return (
-            self.spark.read.parquet(self.state_dir)
-            .groupBy(self.key_col)
+            state.groupBy(self.key_col)
             .agg(
                 F.sum("n_obs").alias("n_obs"),
                 F.sum("n_changed").alias("n_changed"),

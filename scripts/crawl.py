@@ -61,7 +61,11 @@ def main() -> None:
     ap.add_argument("--trap-templates", help="parquet (host, template) crawl-"
                     "trap denylist (scheduler=priority only); produce it with "
                     "traps.trap_report over a previous crawl's trace and "
-                    "review the flagged templates")
+                    "review the flagged templates. NOTE: templates use the "
+                    "current placeholder alphabet (digit AND long-hex runs "
+                    "both collapse to N since r4) — re-mine denylists "
+                    "produced by older builds, their H placeholders no "
+                    "longer match anything")
     ap.add_argument("--bloom-shards", type=int, default=0,
                     help=">0 enables the sharded bloom seen prefilter")
     args = ap.parse_args()

@@ -74,3 +74,23 @@ def test_threshold_gate_is_integer_exact(spark):
     w = synthetic_weights(64)
     got = _run(spark, w, threshold=1.5)
     assert not any(kept for (_, _, kept) in got.values())
+
+
+def test_null_text_parity_between_paths(spark, monkeypatch):
+    # NULL text -> (NULL n_features, NULL score, kept False) on BOTH
+    # dispatch paths (r4 review finding: the Arrow kernel crashed on None)
+    df = spark.createDataFrame(
+        [(0, None), (1, "some text here")], "doc_id long, text string"
+    )
+    w = synthetic_weights(300)
+    arrow = {
+        r["doc_id"]: (r["n_features"], r["score"], r["kept"])
+        for r in quality_classifier(df, w).collect()
+    }
+    monkeypatch.setattr(classifier, "NATIVE_BUCKET_BUDGET", 512)
+    native = {
+        r["doc_id"]: (r["n_features"], r["score"], r["kept"])
+        for r in quality_classifier(df, w).collect()
+    }
+    assert arrow == native
+    assert arrow[0][1] is None and arrow[0][2] is False

@@ -61,3 +61,17 @@ def test_stream_rates_equal_batch(spark, tmp_path):
     state2.sink(hist.where(F.col("run") == 2), 2)
     after = {r["url"]: tuple(r) for r in state2.rates().collect()}
     assert after == before
+
+
+def test_rates_queryable_before_any_evidence(spark, tmp_path):
+    # fresh state dir missing entirely -> empty rates, not an exception
+    state = ChangeRateState(spark, str(tmp_path / "nostate"))
+    assert state.rates().count() == 0
+    # first batch all 'added' (a fresh crawl's first delta): evidence
+    # filter leaves nothing; rates stays queryable and empty
+    batch = spark.createDataFrame(
+        [("u1", "added"), ("u2", "added")], "url string, status string"
+    )
+    state2 = ChangeRateState(spark, str(tmp_path / "emptystate"))
+    state2.sink(batch, 0)
+    assert state2.rates().count() == 0

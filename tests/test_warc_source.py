@@ -308,3 +308,26 @@ def test_write_warc_index_and_random_access(spark, tmp_path):
         F.col("url").rlike(r"/page/1?7\.html$")
     )
     assert _page_multiset(served) == _page_multiset(exp)
+
+
+def test_write_warc_index_survives_early_stop(spark, tmp_path):
+    """A partially-consuming action (limit) must never leave archives
+    stranded as temps while emitted index rows point nowhere: rows are
+    emitted only after the atomic rename (r4 review finding)."""
+    import os
+
+    from geospatial_web_scraper_spark.sources.warc import (
+        read_warc_record,
+        write_warc,
+    )
+
+    pages = corpus.corpus_df(spark, 60).coalesce(1)
+    out = str(tmp_path / "earlystop")
+    some = write_warc(pages, out, index=True).limit(3).collect()
+    assert len(some) == 3
+    assert not [p for p in os.listdir(out) if "inprogress" in p]
+    for r in some:
+        assert os.path.exists(r["path"])
+        assert read_warc_record(r["path"], r["offset"], r["n_bytes"])[
+            "url"
+        ] == r["url"]
