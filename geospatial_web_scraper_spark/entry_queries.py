@@ -548,6 +548,38 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (operators/sq.py): per-vector symmetric
+    int8 codes + scale. Elements are cast to double BEFORE the division
+    on both engines (Spark promotes float division to double, DuckDB
+    doesn't — casting first makes the ops identical), so every code and
+    scale value-checks. Codes render as a csv string for the hash."""
+    from .operators.sq import sq8_encode
+
+    enc = sq8_encode(_emb(spark, sf_dir))
+    return enc.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    split_corpus): 80/10/10 by the salt-keyed unit hash — a pure function
+    of doc_id, so re-runs/resumes/corpus growth never move a document
+    across splits. The oracle embeds the CUMULATIVE thresholds via repr
+    (0.8 + 0.1 is 0.9000000000000001 in IEEE — a hand-written 0.9 would
+    misassign boundary hashes)."""
+    from .operators.sampling import split_corpus
+
+    return split_corpus(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (operators/sketch.py cms_counts/cms_estimate):
     4×512 counters over the document token stream, point-queried for the
@@ -2364,6 +2396,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "tfidf_keywords": q_tfidf_keywords,
     "cms_token_counts": q_cms_token_counts,
+    "split_corpus": q_split_corpus,
+    "sq8_encode": q_sq8_encode,
 }
 
 
@@ -3723,6 +3757,48 @@ ex AS (
   SELECT term, count(*)::BIGINT AS exact
   FROM tok JOIN q USING (term) GROUP BY 1)
 SELECT term, est, exact FROM est JOIN ex USING (term)
+"""
+
+# split_corpus — thresholds are the Python-accumulated doubles repr-
+# embedded (0.8 + 0.1 == 0.9000000000000001 in IEEE; a hand-written 0.9
+# would flip boundary hashes), same unit-hash formula as the sampler.
+_SPLIT_CUM1 = 0.8
+_SPLIT_CUM2 = 0.8 + 0.1
+ORACLES["split_corpus"] = f"""
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents)
+SELECT doc_id, round(u, 6) AS u,
+  CASE WHEN u < {_SPLIT_CUM1!r} THEN 'train'
+       WHEN u < {_SPLIT_CUM2!r} THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+# sq8_encode — elements cast to DOUBLE before any arithmetic (DuckDB's
+# float/float division stays float32; Spark's promotes — the cast-first
+# rule makes both engines run identical double ops); round-half-away
+# agrees between engines on code rounding.
+ORACLES["sq8_encode"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS sc
+  FROM e)
+SELECT vec_id,
+  round(sc, 6) AS scale,
+  array_to_string(
+    list_transform(
+      v,
+      x -> (CASE WHEN sc > 0
+                 THEN round(x / sc * 127, 0)::INT
+                 ELSE 0 END)::VARCHAR),
+    ',') AS codes_csv
+FROM s
 """
 
 

@@ -84,3 +84,47 @@ def sample_token_budget(
             (F.col("_u") < rate).alias("kept"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split → ``(id_col, u, split)``: label
+    each row by which cumulative-fraction band its unit hash falls in
+    (``u`` keyed by ``salt:id`` — change ``salt`` to draw an independent
+    split without touching the sampling keys). The assignment is a pure
+    function of the id: re-runs, resumes, late-arriving shards and other
+    engines all agree, and — the property rand(seed) cannot give you —
+    a document KEEPS its split when the corpus around it grows, so eval
+    sets never silently absorb training documents across corpus versions.
+
+    ``fractions`` maps label → fraction in iteration order; they must sum
+    to 1 (±1e-9). The last band absorbs the boundary (u < cum for every
+    earlier band, else last), so coverage is total by construction. Pure
+    codegen map-side expression — zero shuffle at any corpus size.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least two split labels")
+    u = uniform_unit_hash_expr(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col))
+    )
+    labels = list(fractions)
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    bands = []
+    for lab in labels[:-1]:
+        cum += fractions[lab]
+        bands.append((lab, cum))
+    for lab, c in reversed(bands):
+        expr = F.when(u < F.lit(c), F.lit(lab)).otherwise(expr)
+    return df.select(
+        F.col(id_col),
+        F.round(u, 6).alias("u"),
+        expr.alias("split"),
+    )
