@@ -1,65 +1,119 @@
 #!/usr/bin/env python
-"""Corpus curation CLI — the composed training-data pipeline over a
-documents table:
+"""Cluster entry point — run the corpus-curation pipeline via spark-submit.
 
+The LLM-data twin of scripts/crawl.py: point it at a documents table
+(what the crawl's text sink or a WARC ingest produced), run the composed
+curation pipeline (language → quality → repetition gate → optional
+eval-set decontamination → exact dedup → near-dup canonical keep), and
+optionally sample the survivors to a token budget and split them into
+train/val/test. Outputs under --output: curated/ (surviving documents,
+original columns + split when requested), report/ (per-source audit of
+the survivors), and stages/ (per-stage yield counts).
+
+    python scripts/package.py                      # → dist/gwss.zip
     spark-submit --py-files dist/gwss.zip scripts/curate.py \
-        --docs  s3://bucket/documents_parquet \
-        --output s3://bucket/curated \
-        [--languages en,de] [--min-quality 0.3] [--neardup-threshold 0.5] \
-        [--report out/report.json]
+        --input  s3://bucket/documents.parquet \
+        --output s3://bucket/curated_out \
+        [--languages en] [--min-quality 0.3] [--neardup-threshold 0.5] \
+        [--max-top2gram-frac 0.2] \
+        [--eval-set s3://bucket/eval.parquet --max-contam-frac 0.0] \
+        [--budget-tokens N] [--split 0.8,0.1,0.1]
 
-Stages: language gate → quality gate → exact dedup (keep min id) →
-MinHash near-dup → connected components → keep canonical. See
-geospatial_web_scraper_spark/operators/curate.py for the plan shape.
+On a cluster the SparkSession comes from spark-submit's conf; locally
+this falls back to local[*]. Every stage is the library operator the
+catalog queries value-check — the CLI only wires them together.
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="curate a documents table")
-    ap.add_argument("--docs", required=True, help="documents parquet "
-                    "(doc_id, text, ...)")
+    ap.add_argument("--input", required=True, help="documents parquet "
+                    "(doc_id, text, source, …)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--languages", default="en",
-                    help="comma-separated language codes to keep")
+                    help="comma-separated lang-id allow-list")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--neardup-threshold", type=float, default=0.5)
-    ap.add_argument("--report", help="also write per-stage yield counts "
-                    "(runs the pipeline stages eagerly)")
+    ap.add_argument("--max-top2gram-frac", type=float, default=None,
+                    help="Gopher repetition gate (off when omitted)")
+    ap.add_argument("--eval-set", help="eval documents parquet for n-gram "
+                    "decontamination (doc_id, text)")
+    ap.add_argument("--max-contam-frac", type=float, default=0.0)
+    ap.add_argument("--budget-tokens", type=int, default=0,
+                    help=">0 samples each source down to ~N whitespace "
+                    "tokens (deterministic unit-hash sampling)")
+    ap.add_argument("--split", default="",
+                    help="train,val,test fractions (e.g. 0.8,0.1,0.1) — "
+                    "adds a growth-stable split column")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("gwss-curate").getOrCreate()
 
-    from geospatial_web_scraper_spark.operators import curate
+    from geospatial_web_scraper_spark.operators import textstats
+    from geospatial_web_scraper_spark.operators.curate import curate_corpus
+    from geospatial_web_scraper_spark.operators.sampling import (
+        sample_token_budget,
+        split_corpus,
+    )
 
-    docs = spark.read.parquet(args.docs)
-    langs = tuple(s.strip() for s in args.languages.split(",") if s.strip())
-    kept = curate.curate_corpus(
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    eval_docs = spark.read.parquet(args.eval_set) if args.eval_set else None
+
+    curated = curate_corpus(
         docs,
-        languages=langs,
+        languages=tuple(args.languages.split(",")),
         min_quality=args.min_quality,
         neardup_threshold=args.neardup_threshold,
-    )
-    kept.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
-    print(f"curated corpus written: {n} docs -> {args.output}")
+        max_top2gram_frac=args.max_top2gram_frac,
+        eval_docs=eval_docs,
+        max_contam_frac=args.max_contam_frac,
+    ).localCheckpoint()  # fans out to sampling/split/report below
+    n_curated = curated.count()
 
-    if args.report:
-        rep = curate.curation_report(
-            docs,
-            languages=langs,
-            min_quality=args.min_quality,
-            neardup_threshold=args.neardup_threshold,
+    stages = [("input", n_in), ("curated", n_curated)]
+    if args.budget_tokens > 0:
+        flags = sample_token_budget(curated, args.budget_tokens)
+        curated = curated.join(
+            flags.where("kept").select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
+        stages.append(("sampled", curated.count()))
+
+    if args.split:
+        fr = [float(x) for x in args.split.split(",")]
+        labels = ["train", "val", "test"][: len(fr)]
+        sp = split_corpus(curated, dict(zip(labels, fr)))
+        curated = curated.join(sp.select("doc_id", "split"), "doc_id")
+
+    curated.write.mode("overwrite").parquet(f"{args.output}/curated")
+
+    report = (
+        curated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                textstats.token_count_expr(F.col("text"))
+            ).alias("n_tokens"),
         )
-        with open(args.report, "w") as f:
-            json.dump(rep, f)
-        print(f"yield report: {rep}")
+        if "source" in curated.columns
+        else curated.agg(F.count("*").alias("n_docs"))
+    )
+    report.write.mode("overwrite").parquet(f"{args.output}/report")
+    spark.createDataFrame(stages, "stage string, n long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{args.output}/stages")
+    print(
+        "curate done: "
+        + " -> ".join(f"{s}={n}" for s, n in stages)
+        + f" output={args.output}"
+    )
 
 
 if __name__ == "__main__":
