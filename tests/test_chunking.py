@@ -55,3 +55,43 @@ def test_bad_params(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, size=8, overlap=8)
+
+
+def test_chunking_coverage_property(spark):
+    # hypothesis-style sweep: for every (n, size, overlap) shape, windows
+    # tile the token range — full coverage, correct starts, tail rule
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=60),
+        size=st.integers(min_value=2, max_value=16),
+        overlap=st.integers(min_value=0, max_value=8),
+    )
+    def prop(n, size, overlap):
+        if not overlap < size:
+            return
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, size=size, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        if n == 0:
+            assert rows == []
+            return
+        step = size - overlap
+        import math
+
+        assert len(rows) == 1 + math.ceil(max(0, n - size) / step)
+        covered = set()
+        for r in rows:
+            assert r["tok_start"] == r["chunk_idx"] * step
+            assert r["n_tokens"] == min(size, n - r["tok_start"])
+            covered.update(
+                range(r["tok_start"], r["tok_start"] + r["n_tokens"])
+            )
+        assert covered == set(range(n))
+
+    prop()

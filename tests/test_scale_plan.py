@@ -443,3 +443,24 @@ def test_anchor_index_is_one_aggregate_no_html_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "html" not in line, line
+
+
+def test_split_corpus_has_no_exchange(spark):
+    """Split labels are a pure map-side function of the id: no shuffle."""
+    df = entry_mod.queries()["split_corpus"](spark, SF)
+    assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_sq8_encode_has_no_exchange(spark):
+    """Per-vector quantization rides the scan: no shuffle, no window."""
+    plan = _plan(entry_mod.queries()["sq8_encode"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_cms_is_bounded_aggregates_no_window(spark):
+    """The sketch is hash aggregates over (row, bucket) int pairs plus the
+    broadcast-friendly probe join — never a window, never a cartesian."""
+    plan = _plan(entry_mod.queries()["cms_token_counts"](spark, SF))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
