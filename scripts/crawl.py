@@ -16,7 +16,8 @@ Package the engine and submit::
 
 On a cluster the SparkSession comes from spark-submit's conf (master,
 executors, memory); locally this falls back to local[*]. Outputs: trace/,
-downloads/, lineage/ (+ texts/ with --collect-text) under --output.
+downloads/, lineage/ (+ texts/ with --collect-text; + warc/ and
+warc_index/ with --export-warc) under --output.
 """
 
 from __future__ import annotations
@@ -43,6 +44,10 @@ def main() -> None:
                     help="after the crawl, fold per-round snapshots into "
                          "one base (O(1) restart cost on long crawls)")
     ap.add_argument("--collect-text", action="store_true")
+    ap.add_argument("--export-warc", action="store_true",
+                    help="archive the fetched pages as gzip-member WARCs "
+                    "under <output>/warc plus the (url, path, offset, "
+                    "n_bytes) CDX index under <output>/warc_index")
     ap.add_argument("--download-bytes", action="store_true",
                     help="materialize fetched bodies for geo-MIME downloads "
                          "(K1 file sink): downloads/ gets (url, filename, "
@@ -164,6 +169,17 @@ def main() -> None:
     run.lineage.write.mode("overwrite").parquet(f"{args.output}/lineage")
     if run.texts is not None:
         run.texts.write.mode("overwrite").parquet(f"{args.output}/texts")
+    if args.export_warc:
+        # archive the fetched pages (trace ∩ pages) as Common-Crawl-style
+        # gzip-member WARCs + the CDX-style per-record index — the crawl →
+        # archive → ranged-serving pipeline in one submit
+        from geospatial_web_scraper_spark.sources.warc import write_warc
+
+        fetched = pages.join(
+            run.trace.select("url"), "url", "left_semi"
+        )
+        idx = write_warc(fetched, f"{args.output}/warc", index=True)
+        idx.write.mode("overwrite").parquet(f"{args.output}/warc_index")
     # compact AFTER the output writes: a resumed run's DataFrames read the
     # store's per-round dirs lazily, which compaction deletes
     if args.compact and store is not None:
