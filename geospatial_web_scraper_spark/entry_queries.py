@@ -548,6 +548,23 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling (operators/sampling.py
+    weighted_sample — Efraimidis–Spirakis keys over the deterministic
+    unit hash): top-3 documents per source, weighted by token count so
+    every token has equal mixture probability. Keys micro-rounded before
+    ranking (ulp-proof), top-k via the salted two-phase reduce; the
+    oracle recomputes key and rank with the identical arithmetic."""
+    from .operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        textstats.token_count_expr(F.col("text")).alias("n_tok"),
+    )
+    return weighted_sample(docs, k=3, weight_col="n_tok")
+
+
 def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization (operators/sq.py): per-vector symmetric
     int8 codes + scale. Elements are cast to double BEFORE the division
@@ -2398,6 +2415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_counts": q_cms_token_counts,
     "split_corpus": q_split_corpus,
     "sq8_encode": q_sq8_encode,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -3799,6 +3817,30 @@ SELECT vec_id,
                  ELSE 0 END)::VARCHAR),
     ',') AS codes_csv
 FROM s
+"""
+
+# weighted_sample — Efraimidis-Spirakis keys recomputed exactly: u is
+# the salt-keyed unit hash clamped at the grid resolution 2^-60, key =
+# round(ln(u)/w * 1e6) (integer), rank per source by (key DESC, doc_id
+# ASC), keep 3. 2^-60 = 8.673617379884035e-19 (repr-embedded).
+ORACLES["weighted_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len({_sql_toks('text')})::BIGINT AS w
+  FROM documents),
+keyed AS (
+  SELECT source, doc_id, w,
+         round(ln(greatest(
+             ('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT
+               / 1152921504606846976.0,
+             {2.0 ** -60!r})) / w * 1000000, 0)::BIGINT AS key
+  FROM d WHERE w > 0),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rank
+  FROM keyed)
+SELECT source, rank::INT AS rank, doc_id, w AS weight, key
+FROM rk WHERE rank <= 3
 """
 
 

@@ -128,3 +128,57 @@ def split_corpus(
         F.round(u, 6).alias("u"),
         expr.alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, k per group →
+    ``(group_col, rank, id_col, weight, key)``: the Efraimidis–Spirakis
+    (IPL 2006) reduction — give each row the key ``u^(1/w)`` (monotone
+    form used here: ``ln(u)/w``, same order) for its deterministic unit
+    hash ``u``; the k largest keys per group ARE a weight-proportional
+    without-replacement sample. One pass, mergeable (top-k of per-shard
+    top-ks), and — because u is the salt-keyed md5 hash, not rand() —
+    exactly reproducible across runs, resumes and engines.
+
+    The key is rounded to integer MICRO-units before ranking (ties break
+    toward the smaller id), so the selection can never flip on a float
+    ulp — and the per-group top-k is the salted two-phase
+    ``grouped_topk``, never a bare per-group window over the corpus.
+    Rows with non-positive weight never sample. The canonical corpus
+    use: ``weight_col`` = token count, giving every TOKEN equal
+    probability of entering the mixture regardless of how documents cut
+    the stream."""
+    from .similarity import grouped_topk
+
+    # clamp u away from 0 (a zero hash is a 2^-60 event but ln(0) = -inf,
+    # which integer-casts differently per engine); the clamp value is the
+    # hash grid's own resolution, so no achievable draw is disturbed
+    u = F.greatest(
+        uniform_unit_hash_expr(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col))
+        ),
+        F.lit(2.0 ** -60),
+    )
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * 1_000_000, 0
+    ).cast("long")
+    scored = df.where(F.col(weight_col) > 0).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        key.alias("_key"),
+    )
+    top = grouped_topk(
+        scored, group_col, id_col, "_key", k,
+        salt_col=id_col, carry_cols=("weight",),
+    )
+    return top.select(
+        group_col, "rank", id_col, "weight", F.col("_key").alias("key")
+    )

@@ -28,3 +28,45 @@ def test_split_corpus_deterministic_and_stable_under_growth(spark):
     assert s_alt != s_small
     with pytest.raises(ValueError):
         split_corpus(small, {"train": 0.5, "val": 0.2})
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from geospatial_web_scraper_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, "g" + str(i % 3), (i % 7) + (0 if i != 11 else -8))
+            for i in range(40)]  # doc 11 gets weight -4: excluded
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {}
+    for r in weighted_sample(df, k=2, weight_col="w").collect():
+        got.setdefault(r["source"], []).append(
+            (r["rank"], r["doc_id"], r["weight"], r["key"])
+        )
+    for v in got.values():
+        v.sort()
+
+    def key(i, w):
+        u = max(
+            int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:15], 16)
+            / float(1 << 60),
+            2.0 ** -60,
+        )
+        return int(round(math.log(u) / w * 1_000_000))
+
+    exp = {}
+    for i, g, w in rows:
+        if w <= 0:
+            continue
+        exp.setdefault(g, []).append((key(i, w), -i))
+    wl = {i: w for i, _, w in rows}
+    for g, ks in exp.items():
+        ks.sort(reverse=True)
+        want = [(r + 1, -ni, wl[-ni], kk) for r, (kk, ni) in enumerate(ks[:2])]
+        assert got[g] == sorted(want), (g, got[g], want)
+    assert all(11 not in [d for _, d, _, _ in v] for v in got.values())
