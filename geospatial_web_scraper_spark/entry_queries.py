@@ -2227,6 +2227,75 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature domain mixture weights (operators/sampling.py
+    mixture_weights, the LLaMA/multilingual-LM n^α recipe, α=0.5, 1M-token
+    budget): per-source n^α is micro-rounded to BIGINT before the
+    normalization so the denominator is an exact integer sum and every
+    weight/epoch digit reproduces in any engine."""
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), alpha=0.5, budget_tokens=1_000_000
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/dsir.py, Xie et al. 2023):
+    top-25 documents by hashed-bigram log-likelihood ratio against the
+    lang='en' target subcorpus. Per-occurrence log-ratios are micro-nat
+    integers before the per-doc sum (order-independent), the model is two
+    broadcast ≤512-row count tables, and the final cut is the salted
+    two-phase grouped_topk — the oracle recomputes the identical
+    arithmetic over the same md5 feature buckets."""
+    from .operators.dsir import dsir_topk
+
+    return dsir_topk(_docs(spark, sf_dir), F.col("lang") == "en", k=25)
+
+
+def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell spatial self-join (operators/geo.py): all point pairs
+    within 20,000 micro-degrees on the synthetic deterministic planar
+    corpus (md5-hashed coordinates of each doc_id). The engine plan is
+    the 3×3-neighborhood EQUI-join — never a theta/cartesian join — and
+    the distance test is exact 64-bit integer arithmetic, so the DuckDB
+    brute-force O(n²) oracle agrees bit-for-bit pair-for-pair."""
+    from .operators.geo import radius_pairs, synth_points
+
+    pts = synth_points(_docs(spark, sf_dir).select("doc_id"))
+    return radius_pairs(pts, radius=20_000)
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every click event gets the
+    user's most recent purchase value at or before its timestamp
+    (inclusive; NULL when none precedes). The engine is the union +
+    single-key-shuffle + running last(ignorenulls) reduction — ONE
+    Exchange, no range join — checked against DuckDB's native ASOF LEFT
+    JOIN. The purchase side is pre-aggregated max(value) per (user, ts)
+    to satisfy the uniqueness contract (the corpus has a real collision)."""
+    from .operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", "value", out_col="last_purchase"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("last_purchase", 2).alias("last_purchase"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2416,6 +2485,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_corpus": q_split_corpus,
     "sq8_encode": q_sq8_encode,
     "weighted_sample": q_weighted_sample,
+    # r4 (session 3): α-temperature mixture weights, DSIR importance
+    # selection, the grid-cell spatial self-join (the geospatial corpus
+    # workload the reference's harvest feeds), and the as-of temporal
+    # join — appended past position 50 like the other beyond-the-
+    # reference rows; each value-checked by the pytest mirror
+    "mixture_weights": q_mixture_weights,
+    "dsir_select": q_dsir_select,
+    "geo_radius_pairs": q_geo_radius_pairs,
+    "asof_join_events": q_asof_join_events,
 }
 
 
@@ -4362,4 +4440,96 @@ SELECT f.doc_id,
             THEN round(s.s / s.n::DOUBLE / 1000000.0, 6) END AS score,
        coalesce(s.s >= 0, FALSE) AS kept
 FROM feats f LEFT JOIN sums s USING (doc_id)
+"""
+
+# mixture_weights — n^α recomputed as round(exp(α·ln n)·1e6) BIGINT
+# micro-units (identical to the Spark expr), normalized by the exact
+# integer total; budget 1e6, α embedded as the same double literal.
+ORACLES["mixture_weights"] = f"""
+WITH d AS (
+  SELECT source, len({_sql_toks('text')})::BIGINT AS n FROM documents),
+per AS (
+  SELECT source, sum(n)::BIGINT AS n_tok FROM d
+  GROUP BY source HAVING sum(n) > 0),
+pw AS (
+  SELECT source, n_tok,
+         round(exp({0.5!r} * ln(n_tok::DOUBLE)) * 1000000, 0)::BIGINT AS w
+  FROM per),
+t AS (SELECT sum(w)::BIGINT AS tot FROM pw)
+SELECT source, n_tok,
+  round(w / tot::DOUBLE, 6) AS weight6,
+  round((w * 1000000) / tot::DOUBLE / n_tok::DOUBLE, 6) AS epochs6
+FROM pw, t
+"""
+
+# dsir_select — the DSIR estimator rebuilt arithmetically: lowercased
+# bigrams hashed into 512 md5 buckets, add-one-smoothed target/raw
+# bucket models, per-occurrence log-ratio rounded to integer micro-nats
+# BEFORE the per-doc sum (the lm_perplexity order-independence trick),
+# rank by (score DESC, doc_id ASC), keep 25. Bucket count 512 and the
+# 'dsir:' hash salt mirror operators/dsir.py.
+ORACLES["dsir_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform({_sql_toks('text')}, t -> lower(t)) AS a
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS g
+  FROM toks WHERE len(a) >= 2),
+feats AS (
+  SELECT doc_id, (lang = 'en') AS it,
+         ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % 512 AS b
+  FROM bg),
+rawc AS (SELECT b, count(*)::BIGINT AS cr FROM feats GROUP BY b),
+tgtc AS (SELECT b, count(*)::BIGINT AS ct FROM feats WHERE it GROUP BY b),
+model AS (
+  SELECT r.b, r.cr, coalesce(t.ct, 0)::BIGINT AS ct
+  FROM rawc r LEFT JOIN tgtc t USING (b)),
+tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM model),
+lr AS (
+  SELECT b, round((ln((ct + 1) / (tt + 512)::DOUBLE)
+                 - ln((cr + 1) / (tr + 512)::DOUBLE)) * 1000000, 0)::BIGINT
+              AS lr
+  FROM model, tot),
+scored AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(l.lr)::BIGINT AS s
+  FROM feats f JOIN lr l USING (b) GROUP BY f.doc_id),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT doc_id, n_feats, round(s / 1000000.0, 6) AS score6,
+       rank::BIGINT AS rank
+FROM rk WHERE rank <= 25
+"""
+
+# geo_radius_pairs — brute-force O(n²) verification of the grid-bucketed
+# engine plan: identical md5 micro-degree coordinates, exact BIGINT
+# distance arithmetic, a_id < b_id, radius 20000 (r² = 4e8).
+ORACLES["geo_radius_pairs"] = """
+WITH p AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('lat:' || doc_id), 1, 15))::BIGINT % 1000000 AS lat,
+    ('0x' || substr(md5('lon:' || doc_id), 1, 15))::BIGINT % 1000000 AS lon
+  FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  ((a.lat - b.lat) * (a.lat - b.lat)
+   + (a.lon - b.lon) * (a.lon - b.lon))::BIGINT AS dist2
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) <= 400000000
+"""
+
+# asof_join_events — DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
+# union + running-last engine reduction; the purchase side pre-aggregates
+# max(value) per (user, ts) on both engines (the uniqueness contract).
+ORACLES["asof_join_events"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, round(r.value, 2) AS last_purchase
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """

@@ -130,6 +130,66 @@ def split_corpus(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_tok_col: Column | None = None,
+) -> DataFrame:
+    """α-temperature domain mixture weights (the multilingual-LM /
+    LLaMA-style recipe: sample source s with probability ∝ n_s^α, α<1
+    up-weighting small sources) → one row per source:
+    ``(source_col, n_tok, weight6, epochs6)`` where ``weight6`` is the
+    normalized mixture weight and ``epochs6 = weight · budget / n_s`` is
+    how many passes over the source the ``budget_tokens`` mixture implies
+    (>1 means the recipe repeats the source — the audit signal for
+    up-sampling-induced duplication).
+
+    Determinism: n_s^α is computed as exp(α·ln n) and rounded to integer
+    MICRO-units before normalization, so the denominator is an exact
+    BIGINT sum (order-independent) and every output digit is engine-
+    reproducible. Scale shape: ONE map-side-combining groupBy on the
+    source key; the per-source table is tiny — everything after the agg
+    is arithmetic on a broadcast-sized frame."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n_tok = (
+        token_count_expr(F.col(text_col)) if n_tok_col is None else n_tok_col
+    )
+    per_src = (
+        df.select(F.col(source_col), n_tok.cast("long").alias("_n"))
+        .groupBy(source_col)
+        .agg(F.sum("_n").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    pw = (
+        F.round(
+            F.exp(F.lit(float(alpha)) * F.log(F.col("n_tok").cast("double")))
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("_pw")
+    )
+    scored = per_src.select(source_col, "n_tok", pw)
+    tot = scored.agg(F.sum("_pw").cast("long").alias("_tot"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_tok",
+        F.round(F.col("_pw") / F.col("_tot").cast("double"), 6).alias(
+            "weight6"
+        ),
+        F.round(
+            (F.col("_pw") * F.lit(int(budget_tokens)))
+            / F.col("_tot").cast("double")
+            / F.col("n_tok").cast("double"),
+            6,
+        ).alias("epochs6"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

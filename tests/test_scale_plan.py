@@ -464,3 +464,41 @@ def test_cms_is_bounded_aggregates_no_window(spark):
     plan = _plan(entry_mod.queries()["cms_token_counts"](spark, SF))
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_geo_radius_join_is_grid_equi(spark):
+    """The spatial self-join must execute as the 3×3-neighborhood cell
+    EQUI-join (balanced shuffle on the grid key) — never the naive
+    distance theta-join, which is a cartesian at 10^10 points."""
+    plan = _plan(entry_mod.queries()["geo_radius_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "_ncy" in plan and "_ncx" in plan, plan
+
+
+def test_asof_join_window_is_key_partitioned(spark):
+    """The as-of reduction's running-last window must partition by the
+    high-cardinality join KEY — a global (or low-cardinality) window
+    frame would funnel the full event stream through one reducer."""
+    plan = _plan(entry_mod.queries()["asof_join_events"](spark, SF))
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "_k" in line, line
+    assert saw_window, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_model_is_broadcast_and_topk_salted(spark):
+    """DSIR's two ≤512-row bucket models and the target-id set must ride
+    BROADCAST joins back into the token stream (document rows shuffle
+    only for the per-doc sum), and the selection must be the salted
+    two-phase grouped_topk — its single-constant group key means any
+    unsalted window would be a one-reducer sort of the whole corpus."""
+    plan = _plan(entry_mod.queries()["dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_salt" in line, line

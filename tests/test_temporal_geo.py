@@ -1,0 +1,154 @@
+"""Edge-case units for the r4 session-3 operators: as-of join contract
+corners (NULL-value carry, inclusive ties, no-predecessor), grid spatial
+join boundary/adjacency exactness, mixture-weight arithmetic, and DSIR
+target discrimination. The full-corpus value checks live in the oracle
+mirror (test_entry_contract); these pin the semantic corners a uniform
+corpus can't reach."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark.operators.geo import (
+    radius_pairs,
+    synth_points,
+)
+from geospatial_web_scraper_spark.operators.temporal import asof_join
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts bigint, tag string")
+
+
+def _right(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts bigint, v double")
+
+
+def test_asof_basic_and_no_predecessor(spark):
+    left = _left(spark, [(1, 5, "a"), (1, 0, "b"), (2, 7, "c")])
+    right = _right(spark, [(1, 2, 10.0), (1, 4, 20.0), (3, 1, 99.0)])
+    out = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(left, right, "k", "ts", "v").collect()
+    }
+    assert out[(1, 5)] == 20.0  # latest at-or-before
+    assert out[(1, 0)] is None  # no predecessor
+    assert out[(2, 7)] is None  # key absent on the right
+
+
+def test_asof_tie_is_inclusive(spark):
+    left = _left(spark, [(1, 4, "a")])
+    right = _right(spark, [(1, 4, 7.0), (1, 3, 5.0)])
+    [row] = asof_join(left, right, "k", "ts", "v").collect()
+    assert row.asof_value == 7.0
+
+
+def test_asof_null_value_row_is_present_not_skipped(spark):
+    """A right row whose VALUE is NULL still wins the as-of (presence is
+    the struct wrapper, not the value): the ts=3 NULL must mask the ts=1
+    10.0, not fall through to it."""
+    right = _right(spark, [(1, 1, 10.0), (1, 3, None)])
+    left = _left(spark, [(1, 5, "a")])
+    [row] = asof_join(left, right, "k", "ts", "v").collect()
+    assert row.asof_value is None
+
+
+def test_asof_keeps_all_left_columns(spark):
+    left = _left(spark, [(1, 5, "a")])
+    right = _right(spark, [(1, 2, 1.5)])
+    df = asof_join(left, right, "k", "ts", "v", out_col="last_v")
+    assert df.columns == ["k", "ts", "tag", "last_v"]
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lat long, lon long")
+
+
+def test_radius_pairs_boundary_exact(spark):
+    """dist == r is IN (<=), dist == r+1 is out — exact integers, and the
+    in-pair crosses a cell boundary (9 and 10 sit in different div-10
+    cells), exercising the neighborhood probe."""
+    pts = _pts(spark, [(1, 0, 9), (2, 0, 19), (3, 0, 30)])
+    got = {
+        (r.a_id, r.b_id): r.dist2
+        for r in radius_pairs(pts, radius=10).collect()
+    }
+    assert got == {(1, 2): 100}  # 19-9=10 → dist2=100=r²; 30-19=11 out
+
+
+def test_radius_pairs_emitted_once_and_ordered(spark):
+    """Same-cell AND adjacent-cell partners appear exactly once each,
+    always as a_id < b_id (the mirror-kill rule)."""
+    pts = _pts(spark, [(5, 100, 100), (6, 101, 101), (7, 109, 100)])
+    rows = radius_pairs(pts, radius=10).collect()
+    pairs = sorted((r.a_id, r.b_id) for r in rows)
+    assert pairs == [(5, 6), (5, 7), (6, 7)]
+    assert len(rows) == len(set(pairs))
+
+
+def test_radius_pairs_rejects_bad_radius(spark):
+    with pytest.raises(ValueError):
+        radius_pairs(_pts(spark, [(1, 0, 0)]), radius=0)
+
+
+def test_synth_points_deterministic_in_box(spark):
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.lat, r.lon) for r in synth_points(df).collect()}
+    b = {r.doc_id: (r.lat, r.lon) for r in synth_points(df).collect()}
+    assert a == b
+    assert all(0 <= v < 1_000_000 for xy in a.values() for v in xy)
+
+
+def test_mixture_weights_alpha1_is_proportional(spark):
+    from geospatial_web_scraper_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s2"), (3, "a b", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.source: (r.n_tok, r.weight6, r.epochs6)
+        for r in mixture_weights(
+            docs, alpha=1.0, budget_tokens=800
+        ).collect()
+    }
+    assert out["s1"][0] == 4 and out["s2"][0] == 4
+    assert out["s1"][1] == out["s2"][1] == 0.5
+    assert out["s1"][2] == 100.0  # 0.5 · 800 / 4 tokens = 100 epochs
+
+
+def test_mixture_weights_small_alpha_upweights_small_source(spark):
+    from geospatial_web_scraper_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "big"), (2, "w w", "small")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.source: r.weight6
+        for r in mixture_weights(docs, alpha=0.3, budget_tokens=10).collect()
+    }
+    # n^0.3: 100^0.3 ≈ 3.98 vs 2^0.3 ≈ 1.23 — far above the 2/100 raw ratio
+    assert out["small"] / out["big"] > 0.25
+    with pytest.raises(ValueError):
+        mixture_weights(docs, alpha=0.0, budget_tokens=10)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    from geospatial_web_scraper_spark.operators.dsir import dsir_topk
+
+    tgt = [(i, "alpha beta gamma delta", "t") for i in range(10)]
+    raw = [(100 + i, "zig zag zig zag", "r") for i in range(10)]
+    probe = [(500, "alpha beta gamma", "r"), (501, "zig zag zig", "r")]
+    docs = spark.createDataFrame(
+        tgt + raw + probe, "doc_id bigint, text string, kind string"
+    )
+    top = dsir_topk(docs, F.col("kind") == "t", k=30)
+    score = {r.doc_id: r.score6 for r in top.collect()}
+    # target-distinctive bigrams must outrank raw-only ones (absolute sign
+    # is smoothing-dominated at toy counts — only the ORDER is the estimator)
+    assert score[500] > score[501]
+    assert max(score[d] for d in range(10)) > score[501]
