@@ -403,6 +403,49 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             .count(),
         )
 
+        # --- r4 session 3: DSIR selection, grid spatial join, as-of join --
+        from geospatial_web_scraper_spark.operators.dsir import dsir_topk
+        from geospatial_web_scraper_spark.operators.geo import (
+            radius_pairs,
+            synth_points,
+        )
+        from geospatial_web_scraper_spark.operators.temporal import asof_join
+
+        timed(
+            "dsir_select",
+            lambda: dsir_topk(docs, F.col("lang") == "en", k=100).count(),
+        )
+
+        def _geo():
+            # synthetic planar point set well past the sf table size (the
+            # spatial join's cost is pair-candidate-driven, not row-driven);
+            # radius 2000 on the 1e6 box ≈ 2 points/cell at 500k points
+            n = int(os.environ.get("BENCH_GEO_POINTS", "500000"))
+            pts = synth_points(
+                spark.range(0, n, 1, cores * 2).select(
+                    F.col("id").alias("doc_id")
+                )
+            )
+            radius_pairs(pts, radius=2000).count()
+
+        timed("geo_radius_pairs", _geo)
+
+        def _asof():
+            left = ev.where("event_type = 'click'").select(
+                "event_id", "user_id", "ts"
+            )
+            right = (
+                ev.where("event_type = 'purchase'")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("value"))
+            )
+            # filter on the window output so count() can't prune the asof
+            asof_join(left, right, "user_id", "ts", "value").where(
+                "asof_value is not null"
+            ).count()
+
+        timed("asof_join_events", _asof)
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 

@@ -2266,6 +2266,19 @@ def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_pairs(pts, radius=20_000)
 
 
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point k-nearest-neighbors within a radius (operators/geo.py
+    knn_within): the same grid-probe equi-join as geo_radius_pairs kept
+    in both directions, reduced by the per-point hash-aggregate top-k —
+    k=3 at radius 60,000 micro-degrees (≈5-6 expected candidates per
+    point on the synthetic corpus). Exact integer distances; ties break
+    toward the smaller neighbor id on both engines."""
+    from .operators.geo import knn_within, synth_points
+
+    pts = synth_points(_docs(spark, sf_dir).select("doc_id"))
+    return knn_within(pts, k=3, radius=60_000)
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every click event gets the
     user's most recent purchase value at or before its timestamp
@@ -2493,6 +2506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "dsir_select": q_dsir_select,
     "geo_radius_pairs": q_geo_radius_pairs,
+    "geo_knn": q_geo_knn,
     "asof_join_events": q_asof_join_events,
 }
 
@@ -4519,6 +4533,28 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM p a JOIN p b ON a.doc_id < b.doc_id
 WHERE (a.lat - b.lat) * (a.lat - b.lat)
       + (a.lon - b.lon) * (a.lon - b.lon) <= 400000000
+"""
+
+# geo_knn — brute-force per-point kNN: both-direction candidates within
+# r=60000 (r² = 3.6e9, BIGINT), row_number per a_id by (dist2, b_id).
+ORACLES["geo_knn"] = """
+WITH p AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('lat:' || doc_id), 1, 15))::BIGINT % 1000000 AS lat,
+    ('0x' || substr(md5('lon:' || doc_id), 1, 15))::BIGINT % 1000000 AS lon
+  FROM documents),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    ((a.lat - b.lat) * (a.lat - b.lat)
+     + (a.lon - b.lon) * (a.lon - b.lon))::BIGINT AS dist2
+  FROM p a JOIN p b ON a.doc_id <> b.doc_id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= 3600000000),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY a_id ORDER BY dist2 ASC, b_id ASC) AS rank
+  FROM cand)
+SELECT a_id, b_id, dist2, rank::BIGINT AS rank FROM rk WHERE rank <= 3
 """
 
 # asof_join_events — DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the

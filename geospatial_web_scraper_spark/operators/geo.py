@@ -66,20 +66,24 @@ def synth_points(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def radius_pairs(
+def _in_radius_candidates(
     points: DataFrame,
     radius: int,
-    id_col: str = "doc_id",
-    lat_col: str = "lat",
-    lon_col: str = "lon",
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    mirror_cut: bool,
 ) -> DataFrame:
-    """All unordered point pairs within ``radius`` (planar, integer
-    micro-degrees) → ``(a_id, b_id, dist2)`` with ``a_id < b_id`` and
-    ``dist2 = dlat² + dlon²`` exact BIGINT. See module docstring for the
-    grid-bucket plan."""
+    """Shared grid-probe candidate generator → ``(a_id, b_id, dist2)``
+    rows with ``dist2 <= radius²`` exact BIGINT. ``mirror_cut=True``
+    emits each unordered pair once (``a_id < b_id``, the pair-join
+    form); ``False`` keeps both directions minus self (the per-point
+    neighbor-list form)."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
-    r = F.lit(int(radius))
+    # r² computed in PYTHON (exact int) — an int-literal r*r in the plan
+    # would wrap at radius > 46341
+    r2 = F.lit(int(radius) * int(radius)).cast("long")
     base = points.select(
         F.col(id_col).alias("_id"),
         F.col(lat_col).cast("long").alias("_lat"),
@@ -111,6 +115,11 @@ def radius_pairs(
         (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
         (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
     )
+    pair_gate = (
+        F.col("a_id") < F.col("b_id")
+        if mirror_cut
+        else F.col("a_id") != F.col("b_id")
+    )
     joined = probes.join(
         cells.select(
             F.col("_id").alias("b_id"),
@@ -120,11 +129,70 @@ def radius_pairs(
             F.col("_cx").alias("_ncx"),
         ),
         ["_ncy", "_ncx"],
-    ).where(F.col("a_id") < F.col("b_id"))
+    ).where(pair_gate)
     dlat = F.col("_alat") - F.col("_blat")
     dlon = F.col("_alon") - F.col("_blon")
     dist2 = (dlat * dlat + dlon * dlon).cast("long")
     return (
         joined.select("a_id", "b_id", dist2.alias("dist2"))
-        .where(F.col("dist2") <= r * r)
+        .where(F.col("dist2") <= r2)
+    )
+
+
+def radius_pairs(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All unordered point pairs within ``radius`` (planar, integer
+    micro-degrees) → ``(a_id, b_id, dist2)`` with ``a_id < b_id`` and
+    ``dist2 = dlat² + dlon²`` exact BIGINT. See module docstring for the
+    grid-bucket plan."""
+    return _in_radius_candidates(
+        points, radius, id_col, lat_col, lon_col, mirror_cut=True
+    )
+
+
+def knn_within(
+    points: DataFrame,
+    k: int,
+    radius: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-point k-nearest-neighbors within ``radius`` → ``(a_id, b_id,
+    dist2, rank)``, rank 1-based by (dist2 asc, b_id asc); points with no
+    neighbor in range emit no rows. ``radius`` bounds the candidate set
+    (the distributed-kNN contract: an unbounded global kNN degenerates to
+    all-pairs for isolated points — callers widen r and re-query the
+    still-unmatched residue, which stays a driver-side loop over a
+    shrinking set).
+
+    Scale shape: the same ×9 grid-probe equi-join as :func:`radius_pairs`
+    (both directions kept, self dropped), then a per-point hash-aggregate
+    top-k (``grouped_topk`` unsalted: the group key is the HIGH-cardinality
+    point id, so the shuffle is balanced by construction and the per-group
+    candidate set is density-bounded) — no window over anything global."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cand = _in_radius_candidates(
+        points, radius, id_col, lat_col, lon_col, mirror_cut=False
+    )
+    from .similarity import grouped_topk
+
+    top = grouped_topk(
+        cand.select("a_id", "b_id", (-F.col("dist2")).alias("_nd")),
+        "a_id",
+        "b_id",
+        "_nd",
+        k,
+    )
+    return top.select(
+        "a_id",
+        "b_id",
+        (-F.col("_nd")).alias("dist2"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -502,3 +502,14 @@ def test_dsir_model_is_broadcast_and_topk_salted(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_salt" in line, line
+
+
+def test_geo_knn_is_hash_agg_no_window_no_cartesian(spark):
+    """Per-point kNN must be the grid equi-join + a per-point HASH
+    AGGREGATE top-k: the group key (point id) is high-cardinality, so
+    the unsalted grouped_topk path applies and there must be NO window
+    operator anywhere — and certainly no distance theta-join."""
+    plan = _plan(entry_mod.queries()["geo_knn"](spark, SF))
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -152,3 +152,33 @@ def test_dsir_prefers_target_like_documents(spark):
     # is smoothing-dominated at toy counts — only the ORDER is the estimator)
     assert score[500] > score[501]
     assert max(score[d] for d in range(10)) > score[501]
+
+
+def test_knn_excludes_self_ties_and_radius(spark):
+    from geospatial_web_scraper_spark.operators.geo import knn_within
+
+    # 1 at origin; 2 and 3 equidistant (tie → smaller id first); 4 beyond r
+    pts = _pts(
+        spark, [(1, 0, 0), (2, 0, 5), (3, 5, 0), (4, 0, 50), (9, 0, 6)]
+    )
+    rows = sorted(
+        ((r.a_id, r.rank), (r.b_id, r.dist2))
+        for r in knn_within(pts, k=2, radius=10).collect()
+        if r.a_id == 1
+    )
+    assert rows == [((1, 1), (2, 25)), ((1, 2), (3, 25))]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        knn_within(pts, k=0, radius=10)
+
+
+def test_knn_large_radius_no_int_overflow(spark):
+    """radius > 46341 makes r² exceed int32 — the literal must be
+    computed in Python, not wrapped by int arithmetic in the plan."""
+    from geospatial_web_scraper_spark.operators.geo import radius_pairs
+
+    pts = _pts(spark, [(1, 0, 0), (2, 0, 60_000)])
+    [row] = radius_pairs(pts, radius=60_000).collect()
+    assert (row.a_id, row.b_id, row.dist2) == (1, 2, 3_600_000_000)
