@@ -446,6 +446,51 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("asof_join_events", _asof)
 
+        # --- r4 session 3b: band join, hypertable rollup, geo clusters --
+        from geospatial_web_scraper_spark.operators.geo import cluster_points
+        from geospatial_web_scraper_spark.operators.temporal import (
+            range_join,
+            rollup_time,
+        )
+
+        def _range():
+            left = ev.where("event_type = 'click'").select(
+                "event_id", "user_id", "ts"
+            )
+            right = ev.where("event_type = 'purchase'").select(
+                "user_id", "ts", "value"
+            )
+            range_join(
+                left, right, "user_id", "ts", lo_us=0, hi_us=3_600_000_000
+            ).count()
+
+        timed("range_join_events", _range)
+
+        timed(
+            "rollup_events",
+            lambda: rollup_time(
+                ev, "ts", ["event_type"], "value", [3600, 86400, 604800]
+            )
+            .where("sum_value_micro is not null")
+            .count(),
+        )
+
+        def _cluster():
+            # radius 1000 keeps mean degree ~1.6 at 500k points on the
+            # 1e6 box — below the ~4.5 continuum-percolation threshold,
+            # so components stay shallow and label propagation converges
+            # (radius 2000 → degree ~6.3 → a giant component whose
+            # diameter exceeds the 50-iteration fail-loud bound)
+            n = int(os.environ.get("BENCH_GEO_POINTS", "500000"))
+            pts = synth_points(
+                spark.range(0, n, 1, cores * 2).select(
+                    F.col("id").alias("doc_id")
+                )
+            )
+            cluster_points(pts, radius=1000).count()
+
+        timed("geo_cluster", _cluster)
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 

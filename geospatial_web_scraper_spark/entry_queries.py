@@ -2309,6 +2309,66 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/temporal.py range_join): every
+    (click, purchase) pair of the same user with the purchase inside the
+    hour after the click, inclusive ends. The engine plan is the time-grid
+    bucket EQUI-join (bucket width = band width, ≤2 probes per left row)
+    + exact microsecond verify — never a theta join; the oracle is the
+    plain SQL interval predicate."""
+    from .operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = range_join(
+        left, right, "user_id", "ts", lo_us=0, hi_us=3_600_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_r",
+        F.round("value", 2).alias("purchase_value"),
+    )
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (operators/temporal.py rollup_time): per-type
+    hour/day/week re-aggregatable stats, epoch-aligned buckets. Raw rows
+    shuffle exactly once (the hour level); day and week re-aggregate the
+    checkpointed hour output — the plan the test pins is 'no second raw
+    scan'. Sums are exact BIGINT micro-units (floor(v·1e6), IEEE-754
+    deterministic) so the hash is shuffle-order independent."""
+    from .operators.temporal import rollup_time
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_time(
+        ev,
+        "ts",
+        ["event_type"],
+        "value",
+        widths_s=[3600, 86400, 604800],
+    )
+
+
+def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-chain density clustering (operators/geo.py cluster_points):
+    the grid-bucket radius join feeds min-label connected components
+    (the dedup_groups engine); singleton points keep their own id.
+    r = 20,000 micro-degrees on the synthetic corpus — same pair set the
+    geo_radius_pairs row checks; the oracle closes it with a recursive
+    reachability CTE."""
+    from .operators.geo import cluster_points, synth_points
+
+    pts = synth_points(_docs(spark, sf_dir).select("doc_id"))
+    return cluster_points(pts, radius=20_000)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2507,7 +2567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "geo_radius_pairs": q_geo_radius_pairs,
     "geo_knn": q_geo_knn,
+    "geo_cluster": q_geo_cluster,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "rollup_events": q_rollup_events,
 }
 
 
@@ -4568,4 +4631,66 @@ r AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id, l.ts, round(r.value, 2) AS last_purchase
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+# range_join_events — the band is a plain interval theta predicate in
+# SQL; the engine's bucket decomposition must reproduce it exactly
+# (inclusive both ends, microsecond arithmetic).
+ORACLES["range_join_events"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts AS ts_r, value
+  FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.ts_r,
+       round(r.value, 2) AS purchase_value
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts_r >= l.ts
+             AND r.ts_r <= l.ts + INTERVAL 1 HOUR
+"""
+
+# rollup_events — direct per-granularity aggregation (the hierarchy must
+# equal it exactly: count/sum-micro/min/max are all re-aggregatable).
+# floor(value·1e6) is IEEE-754-deterministic, so the BIGINT micro sums
+# match Spark's bit-for-bit in any order.
+ORACLES["rollup_events"] = """
+WITH e AS (
+  SELECT epoch_us(ts) AS eu, event_type, value FROM events),
+b AS (
+  SELECT g.gran_s, eu - eu % (g.gran_s::BIGINT * 1000000) AS bk,
+         event_type, value
+  FROM e, (VALUES (3600), (86400), (604800)) g(gran_s))
+SELECT gran_s::BIGINT AS gran_s, make_timestamp(bk) AS bucket_start,
+       event_type, count(*) AS n,
+       sum(floor(value * 1000000)::BIGINT) AS sum_value_micro,
+       min(value) AS min_value, max(value) AS max_value
+FROM b GROUP BY 1, 2, 3
+"""
+
+# geo_cluster — recursive reachability closure over the SAME r=20000
+# pair set geo_radius_pairs checks (its oracle is nested verbatim),
+# min-member labels, singletons via the left join; cluster_size by
+# window count.
+ORACLES["geo_cluster"] = f"""
+WITH RECURSIVE
+p AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('lat:' || doc_id), 1, 15))::BIGINT % 1000000 AS lat,
+    ('0x' || substr(md5('lon:' || doc_id), 1, 15))::BIGINT % 1000000 AS lon
+  FROM documents),
+pairs AS (SELECT a_id, b_id FROM ({ORACLES["geo_radius_pairs"]})),
+e2 AS (SELECT a_id AS a, b_id AS b FROM pairs
+       UNION SELECT b_id AS a, a_id AS b FROM pairs),
+nodes AS (SELECT a_id AS id FROM pairs UNION SELECT b_id AS id FROM pairs),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e2 e ON e.a = r.dst),
+comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+lab AS (
+  SELECT p.doc_id, coalesce(c.cluster_id, p.doc_id) AS cluster_id
+  FROM p LEFT JOIN comp c ON c.doc_id = p.doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
 """

@@ -196,3 +196,52 @@ def knn_within(
         (-F.col("_nd")).alias("dist2"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def cluster_points(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Density clustering of the point corpus → ``(id_col, cluster_id,
+    cluster_size)``: two points share a cluster iff connected by a chain
+    of hops each ≤ ``radius`` (DBSCAN with minPts=2 where every in-radius
+    point is core; singletons keep their own id as cluster_id, size 1).
+    Deterministic: cluster_id = min member id.
+
+    Composition of two already-scale-shaped pieces: the grid-bucket
+    radius join (:func:`radius_pairs` — equi-join, never a distance
+    theta-join) feeds the same iterative min-label propagation that turns
+    near-dup pairs into dedup groups (``dedup.connected_components`` —
+    one join + one min-agg per iteration, localCheckpoint lineage
+    truncation, fail-loud past ``max_iters``). Iterations needed = the
+    largest cluster's hop diameter: shallow below the continuum
+    percolation threshold (mean degree ≈ 4.5 — i.e. point density ·
+    π·radius² per point), but past it a giant component forms whose
+    diameter grows with the spatial extent and the propagation will hit
+    the ``max_iters`` fail-loud guard — shrink the radius or raise
+    ``max_iters`` deliberately. Sizes come from a map-side-combining
+    groupBy on the high-cardinality cluster_id + an equi-join back —
+    never a window."""
+    from .dedup import connected_components
+
+    pairs = radius_pairs(points, radius, id_col, lat_col, lon_col)
+    comp = connected_components(
+        pairs, id_a="a_id", id_b="b_id", max_iters=max_iters
+    )
+    lab = (
+        points.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+        )
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col), "cluster_id", "cluster_size"
+    )

@@ -1,5 +1,6 @@
-"""As-of (temporal) join: attach the most recent right-side value at or
-before each left row's timestamp, per key.
+"""Temporal joins and rollups Spark lacks natively: as-of join, banded
+range (interval) join, and the hypertable-style hierarchical time-bucket
+rollup.
 
 The classic shapes in a crawl/analytics stack: trades×quotes, click×last
 view, fetch×last robots snapshot, metric×last config change. Spark has no
@@ -71,3 +72,175 @@ def asof_join(
         .where(F.col("_tag") == 1)
         .select("_row.*", F.col("_asof.v").alias(out_col))
     )
+
+
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Exact epoch-microsecond BIGINT for a timestamp column (integral
+    columns pass through as already-micros). TIMESTAMP_NTZ goes through a
+    cast to TIMESTAMP — the session TZ is pinned UTC repo-wide, so the
+    wall clock IS the epoch and the cast is value-preserving."""
+    t = df.schema[ts_col].dataType.simpleString()
+    c = F.col(ts_col)
+    if t.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp"))
+    return c.cast("long")
+
+
+def _bucket_start(e: Column, width: int) -> Column:
+    """floor(e / width) · width, sign-safe exact BIGINT (``pmod`` is
+    non-negative, so this is true floor alignment for negative epochs
+    too — never ``div``'s truncation toward zero)."""
+    return e - F.pmod(e, F.lit(int(width)))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lo_us: int,
+    hi_us: int,
+    right_ts_out: str = "ts_r",
+) -> DataFrame:
+    """Banded interval join: every (left, right) pair sharing ``key_col``
+    with ``right.ts IN [left.ts + lo_us, left.ts + hi_us]`` (both ends
+    inclusive, offsets in exact integer microseconds; negative offsets
+    allowed, ``hi_us > lo_us`` required). Output = all ``left`` columns +
+    the right timestamp as ``right_ts_out`` + the right side's remaining
+    columns (caller keeps them collision-free).
+
+    Spark has no native band join — the naive formulation is an equi-join
+    on key + a residual theta filter, which degenerates to a per-key
+    cartesian when keys repeat (and to a full cartesian with no key). The
+    standard distributed plan is time-grid bucketing, the 1-D twin of the
+    geo grid join (operators/geo.py): bucket width = the band width
+    ``hi_us - lo_us``, so each left row's admissible window spans AT MOST
+    two buckets — left probes the bucket of ``ts+lo`` and of ``ts+hi``
+    (a fixed ≤×2 fan-out, deduped when equal), right lands in its own
+    bucket, and the join is a plain EQUI-join on (key, bucket) followed
+    by the exact range verify.
+
+    Scale shape (10^10 × 10^10 events): one shuffle of ≤2 copies of the
+    left keys + one of the right on a (key, time-bucket) key whose
+    cardinality grows with the time span — no window, no theta join, no
+    per-key cartesian beyond true same-bucket density (AQE skew split
+    handles hot buckets; the band width is the knob)."""
+    if hi_us <= lo_us:
+        raise ValueError(
+            f"band must be non-empty: lo_us={lo_us} hi_us={hi_us} "
+            "(equal offsets are an equi-join on ts — use a plain join)"
+        )
+    lo, hi = int(lo_us), int(hi_us)
+    w = hi - lo
+    le = _micros(left, ts_col)
+    probes = left.withColumn("_le", le).withColumn(
+        "_b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    _bucket_start(F.col("_le") + F.lit(lo), w),
+                    _bucket_start(F.col("_le") + F.lit(hi), w),
+                )
+            )
+        ),
+    )
+    rest = [c for c in right.columns if c not in (key_col, ts_col)]
+    r2 = right.select(
+        F.col(key_col).alias("_rk"),
+        _micros(right, ts_col).alias("_re"),
+        F.col(ts_col).alias(right_ts_out),
+        *rest,
+    ).withColumn("_rb", _bucket_start(F.col("_re"), w))
+    out = probes.join(
+        r2,
+        (F.col(key_col) == F.col("_rk")) & (F.col("_b") == F.col("_rb")),
+    ).where(
+        (F.col("_re") >= F.col("_le") + F.lit(lo))
+        & (F.col("_re") <= F.col("_le") + F.lit(hi))
+    )
+    return out.select(*left.columns, right_ts_out, *rest)
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    widths_s: list[int],
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup → one row per
+    (granularity, bucket, keys) with re-aggregatable stats:
+    ``(gran_s, bucket_start, *key_cols, n, sum_value_micro, min_value,
+    max_value)``. ``widths_s`` ascending, each a multiple of the previous
+    (e.g. hour/day/week); buckets are epoch-aligned.
+
+    The TimescaleDB continuous-aggregate shape, distributed: raw rows are
+    aggregated ONCE at the finest granularity (the only shuffle that sees
+    raw data — map-side partial agg, then a (bucket, keys) exchange);
+    every coarser level re-aggregates the previous level's already-tiny
+    output, never rescanning raw. The finest aggregate is
+    ``localCheckpoint``-ed (default) so the union's branches share one
+    physical computation — without it Spark re-derives the base per level
+    (no cross-branch CSE), i.e. G raw scans instead of 1.
+
+    Values are summed as exact BIGINT micro-units (``floor(v · 1e6)``):
+    IEEE-754 multiply + floor is bit-deterministic across engines and the
+    integer sum is shuffle-order independent — the repo-wide trick for
+    hash-stable double aggregation (see lm.py, corpus report). min/max
+    stay raw doubles (order-independent already)."""
+    if not widths_s:
+        raise ValueError("widths_s must be non-empty")
+    widths = [int(x) for x in widths_s]
+    for a, b in zip(widths, widths[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                f"widths_s must be ascending multiples, got {a} then {b}"
+            )
+    e = _micros(df, ts_col)
+    v = F.col(value_col)
+    base = (
+        df.select(
+            _bucket_start(e, widths[0] * 1_000_000).alias("_bk"),
+            *key_cols,
+            F.floor(v * F.lit(1_000_000.0)).alias("_vm"),
+            v.alias("_v"),
+        )
+        .groupBy("_bk", *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_vm").alias("sum_value_micro"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+    )
+    if checkpoint:
+        base = base.localCheckpoint()
+    levels, prev = [(widths[0], base)], base
+    for wid in widths[1:]:
+        cur = prev.groupBy(
+            _bucket_start(F.col("_bk"), wid * 1_000_000).alias("_bk"),
+            *key_cols,
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        levels.append((wid, cur))
+        prev = cur
+    out = None
+    for wid, lvl in levels:
+        tagged = lvl.select(
+            F.lit(wid).cast("long").alias("gran_s"),
+            F.timestamp_micros(F.col("_bk"))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+            *key_cols,
+            "n",
+            "sum_value_micro",
+            "min_value",
+            "max_value",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

@@ -504,6 +504,38 @@ def test_dsir_model_is_broadcast_and_topk_salted(spark):
             assert "_salt" in line, line
 
 
+def test_range_join_is_bucket_equi_join(spark):
+    """The band join must be the time-grid bucket EQUI-join + residual
+    verify, never a theta-only join: no cartesian, no nested loop, and
+    the range predicate appears as a post-join Filter/condition, not as
+    the join strategy."""
+    plan = _plan(entry_mod.queries()["range_join_events"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_rollup_never_rescans_raw(spark):
+    """Hypertable hierarchy: raw events aggregate ONCE (materialized at
+    the hour level by the checkpoint); day/week re-aggregate that output.
+    The executed plan of the 3-level union must contain NO parquet scan
+    at all — a second raw scan is the regression this pins out."""
+    plan = _plan(entry_mod.queries()["rollup_events"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_geo_cluster_no_cartesian_no_window(spark):
+    """Clustering = grid radius join + label propagation over
+    checkpointed edges; the final sizing is groupBy + equi-join. Nothing
+    in the composed plan may fall back to a nested-loop/cartesian or a
+    global window."""
+    plan = _plan(entry_mod.queries()["geo_cluster"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
 def test_geo_knn_is_hash_agg_no_window_no_cartesian(spark):
     """Per-point kNN must be the grid equi-join + a per-point HASH
     AGGREGATE top-k: the group key (point id) is high-cardinality, so

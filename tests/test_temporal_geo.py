@@ -174,6 +174,117 @@ def test_knn_excludes_self_ties_and_radius(spark):
         knn_within(pts, k=0, radius=10)
 
 
+def test_range_join_inclusive_band_and_key_isolation(spark):
+    """[ts+lo, ts+hi] is inclusive BOTH ends; other keys never match; the
+    in-band match crossing a bucket boundary (bucket width = band width
+    = 10: left 7 probes buckets 0 and 10, right 16 lives in bucket 10)
+    must still be found."""
+    from geospatial_web_scraper_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 7, "L1"), (2, 7, "L2")], "k int, ts bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 1.0), (1, 16, 2.0), (1, 17, 3.0), (1, 20, 4.0), (1, 6, 5.0)],
+        "k int, ts bigint, v double",
+    )
+    rows = range_join(left, right, "k", "ts", lo_us=2, hi_us=10).collect()
+    got = sorted((r.tag, r.ts_r, r.v) for r in rows)
+    # band for ts=7 is [9, 17]: 9 ✓ (lo edge), 16 ✓ (bucket crossing),
+    # 17 ✓ (hi edge), 20 ✗, 6 ✗; key 2 matches nothing
+    assert got == [("L1", 9, 1.0), ("L1", 16, 2.0), ("L1", 17, 3.0)]
+    assert rows[0].asDict().keys() >= {"k", "ts", "tag", "ts_r", "v"}
+
+
+def test_range_join_negative_offsets_and_bad_band(spark):
+    from geospatial_web_scraper_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 100, "a")], "k int, ts bigint, tag string")
+    right = spark.createDataFrame(
+        [(1, 95, 1.0), (1, 89, 2.0), (1, 101, 3.0)],
+        "k int, ts bigint, v double",
+    )
+    got = sorted(
+        r.ts_r
+        for r in range_join(
+            left, right, "k", "ts", lo_us=-10, hi_us=0
+        ).collect()
+    )
+    assert got == [95]  # 89 below band, 101 above (hi = ts itself)
+    with pytest.raises(ValueError):
+        range_join(left, right, "k", "ts", lo_us=5, hi_us=5)
+
+
+def test_rollup_levels_equal_direct_aggregation(spark):
+    """Every coarser level must equal aggregating raw directly at that
+    width — the re-aggregatability contract (count/sum-micro/min/max)."""
+    from geospatial_web_scraper_spark.operators.temporal import rollup_time
+
+    rows = [
+        (i, 1000 + i * 7_000_000, "t" if i % 2 else "u", float(i) * 1.25)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, event_type string, value double"
+    )
+    import calendar
+    import math
+
+    out = rollup_time(df, "ts", ["event_type"], "value", [10, 100, 1000])
+    by_gran = {}
+    for r in out.collect():
+        by_gran.setdefault(r.gran_s, []).append(r)
+    for wid in (10, 100, 1000):
+        direct = {}
+        for _, ts, et, v in rows:
+            bk = ts - ts % (wid * 1_000_000)
+            key = (bk, et)
+            n, s, lo, hi = direct.get(key, (0, 0, None, None))
+            direct[key] = (
+                n + 1,
+                s + math.floor(v * 1_000_000),
+                v if lo is None else min(lo, v),
+                v if hi is None else max(hi, v),
+            )
+        got = {
+            (
+                calendar.timegm(r.bucket_start.utctimetuple()) * 1_000_000
+                + r.bucket_start.microsecond,
+                r.event_type,
+            ): (r.n, r.sum_value_micro, r.min_value, r.max_value)
+            for r in by_gran[wid]
+        }
+        assert got == direct, wid
+
+
+def test_rollup_rejects_non_multiple_widths(spark):
+    from geospatial_web_scraper_spark.operators.temporal import rollup_time
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 1.0)],
+        "event_id bigint, ts bigint, event_type string, value double",
+    )
+    with pytest.raises(ValueError):
+        rollup_time(df, "ts", ["event_type"], "value", [10, 25])
+    with pytest.raises(ValueError):
+        rollup_time(df, "ts", ["event_type"], "value", [])
+
+
+def test_cluster_points_chain_and_singleton(spark):
+    """Transitive chain 1-2-3 (each hop ≤ r, ends > r apart) is ONE
+    cluster labeled by the min id; 7 is a singleton of size 1."""
+    from geospatial_web_scraper_spark.operators.geo import cluster_points
+
+    pts = _pts(
+        spark, [(1, 0, 0), (2, 0, 9), (3, 0, 18), (7, 500, 500)]
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in cluster_points(pts, radius=10).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 1)}
+
+
 def test_knn_large_radius_no_int_overflow(spark):
     """radius > 46341 makes r² exceed int32 — the literal must be
     computed in Python, not wrapped by int arithmetic in the plan."""
