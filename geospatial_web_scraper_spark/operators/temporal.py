@@ -189,14 +189,7 @@ def rollup_time(
     integer sum is shuffle-order independent — the repo-wide trick for
     hash-stable double aggregation (see lm.py, corpus report). min/max
     stay raw doubles (order-independent already)."""
-    if not widths_s:
-        raise ValueError("widths_s must be non-empty")
-    widths = [int(x) for x in widths_s]
-    for a, b in zip(widths, widths[1:]):
-        if b % a != 0 or b <= a:
-            raise ValueError(
-                f"widths_s must be ascending multiples, got {a} then {b}"
-            )
+    widths = _validate_widths(widths_s)
     e = _micros(df, ts_col)
     v = F.col(value_col)
     base = (
@@ -216,31 +209,71 @@ def rollup_time(
     )
     if checkpoint:
         base = base.localCheckpoint()
-    levels, prev = [(widths[0], base)], base
+    finest = base.select(
+        F.lit(widths[0]).cast("long").alias("gran_s"),
+        F.timestamp_micros(F.col("_bk"))
+        .cast("timestamp_ntz")
+        .alias("bucket_start"),
+        *key_cols,
+        "n",
+        "sum_value_micro",
+        "min_value",
+        "max_value",
+    )
+    return coarsen_rollup(finest, key_cols, widths)
+
+
+def _validate_widths(widths_s: list[int]) -> list[int]:
+    if not widths_s:
+        raise ValueError("widths_s must be non-empty")
+    widths = [int(x) for x in widths_s]
+    for a, b in zip(widths, widths[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                f"widths_s must be ascending multiples, got {a} then {b}"
+            )
+    return widths
+
+
+def coarsen_rollup(
+    finest: DataFrame, key_cols: list[str], widths_s: list[int]
+) -> DataFrame:
+    """Extend a finest-granularity rollup (the :func:`rollup_time` output
+    schema at ``widths_s[0]`` — e.g. the table a
+    ``streaming.rollup_stream`` sink maintains) with every coarser level,
+    returning the full multi-granularity union. Each level re-aggregates
+    only the PREVIOUS level's already-reduced rows — the raw table is
+    never touched, which is the whole point of the hypertable hierarchy:
+    the continuous/streaming path keeps the finest level fresh, and the
+    coarser views are cheap batch folds over it. ``widths_s[0]`` must
+    equal the finest table's actual granularity (the caller's contract;
+    rows are not re-bucketed at level 0)."""
+    widths = _validate_widths(widths_s)
+    out, prev = finest, finest
     for wid in widths[1:]:
-        cur = prev.groupBy(
-            _bucket_start(F.col("_bk"), wid * 1_000_000).alias("_bk"),
-            *key_cols,
-        ).agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_value_micro").alias("sum_value_micro"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+        e = F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        cur = (
+            prev.groupBy(
+                _bucket_start(e, wid * 1_000_000).alias("_bk"), *key_cols
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value_micro").alias("sum_value_micro"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                F.lit(wid).cast("long").alias("gran_s"),
+                F.timestamp_micros(F.col("_bk"))
+                .cast("timestamp_ntz")
+                .alias("bucket_start"),
+                *key_cols,
+                "n",
+                "sum_value_micro",
+                "min_value",
+                "max_value",
+            )
         )
-        levels.append((wid, cur))
+        out = out.unionByName(cur)
         prev = cur
-    out = None
-    for wid, lvl in levels:
-        tagged = lvl.select(
-            F.lit(wid).cast("long").alias("gran_s"),
-            F.timestamp_micros(F.col("_bk"))
-            .cast("timestamp_ntz")
-            .alias("bucket_start"),
-            *key_cols,
-            "n",
-            "sum_value_micro",
-            "min_value",
-            "max_value",
-        )
-        out = tagged if out is None else out.unionByName(tagged)
     return out
