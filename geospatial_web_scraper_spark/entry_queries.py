@@ -2369,6 +2369,49 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_points(pts, radius=20_000)
 
 
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (operators/geo.py point_in_polygon):
+    which synthetic points fall strictly inside which synthetic diamond
+    footprints (one per doc_id % 25 == 0). The engine plan is the
+    bbox-cell-explode EQUI-join + exact-integer ray-casting parity —
+    never a theta join; the brute-force oracle rebuilds the identical
+    md5 vertices and evaluates the same PNPOLY half-open crossing rule
+    edge by edge."""
+    from .operators.geo import point_in_polygon, synth_points, synth_polygons
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return point_in_polygon(
+        synth_points(docs), synth_polygons(docs, every=25), cell=65_536
+    )
+
+
+def q_geo_zorder_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial density rollup (operators/geo.py
+    zorder_rollup): per-cell point counts at grid level 6 (64×64), with
+    the level-3 parents re-aggregated from the checkpointed fine level
+    via the curve's prefix property (``zkey div 4³``) — raw points
+    shuffle once, the rollup_time hierarchy shape. The key expression is
+    ONE generated div/mod string evaluated by both engines
+    (zorder_key_sql: Spark ``div``, DuckDB ``//`` — all operands ≥ 0)."""
+    from .operators.geo import synth_points, zorder_rollup
+
+    pts = synth_points(_docs(spark, sf_dir).select("doc_id"))
+    return zorder_rollup(pts, fine_level=6, coarse_level=3)
+
+
+def q_kmeans_fit_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (operators/clustering.py): k=4
+    centroids initialized at vec_id<4, two full assign/update rounds in
+    exact micro-unit BIGINT arithmetic (truncating integer-mean updates,
+    argmin key = dist2·k + cid), final assignment returned. The oracle
+    unrolls both iterations as MATERIALIZED CTEs over the exploded
+    (vec_id, d, qv) form — digit-for-digit parity, the
+    pagerank_fixed_point trick applied to an ML fit."""
+    from .operators.clustering import kmeans_lloyd_exact
+
+    return kmeans_lloyd_exact(_emb(spark, sf_dir), k=4, iters=2)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2568,6 +2611,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_radius_pairs": q_geo_radius_pairs,
     "geo_knn": q_geo_knn,
     "geo_cluster": q_geo_cluster,
+    "geo_point_in_polygon": q_geo_point_in_polygon,
+    "geo_zorder_rollup": q_geo_zorder_rollup,
+    "kmeans_fit_exact": q_kmeans_fit_exact,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "rollup_events": q_rollup_events,
@@ -4693,4 +4739,114 @@ lab AS (
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
+"""
+
+
+def _pip_edge_sql(a: int, b: int) -> str:
+    """One PNPOLY crossing term for the diamond edge v{a} → v{b} — the
+    exact-integer rule of geo.crossings_expr: the edge spans the +x ray's
+    line (half-open endpoints) AND the cross product t has the sign of
+    dy (t = 0, on-edge, never counts)."""
+    x1, y1, x2, y2 = f"x{a}", f"y{a}", f"x{b}", f"y{b}"
+    t = f"(({x2} - {x1}) * (py - {y1}) - (px - {x1}) * ({y2} - {y1}))"
+    return (
+        f"CASE WHEN (({y1} > py) <> ({y2} > py))"
+        f" AND (({t} > 0) = ({y2} - {y1} > 0)) AND {t} <> 0"
+        f" THEN 1 ELSE 0 END"
+    )
+
+
+# geo_point_in_polygon — brute-force points × diamonds with the identical
+# md5 vertex construction (every=25, arms 10000 + h % 40000) and the same
+# 4 exact-integer crossing terms; inside ⇔ odd parity.
+ORACLES["geo_point_in_polygon"] = f"""
+WITH pt AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('lat:' || doc_id), 1, 15))::BIGINT % 1000000 AS py,
+    ('0x' || substr(md5('lon:' || doc_id), 1, 15))::BIGINT % 1000000 AS px
+  FROM documents),
+pg AS (
+  SELECT doc_id AS poly_id,
+    ('0x' || substr(md5('pcx:' || doc_id), 1, 15))::BIGINT % 1000000 AS cx,
+    ('0x' || substr(md5('pcy:' || doc_id), 1, 15))::BIGINT % 1000000 AS cy,
+    10000 + ('0x' || substr(md5('pr0:' || doc_id), 1, 15))::BIGINT % 40000 AS r0,
+    10000 + ('0x' || substr(md5('pr1:' || doc_id), 1, 15))::BIGINT % 40000 AS r1,
+    10000 + ('0x' || substr(md5('pr2:' || doc_id), 1, 15))::BIGINT % 40000 AS r2,
+    10000 + ('0x' || substr(md5('pr3:' || doc_id), 1, 15))::BIGINT % 40000 AS r3
+  FROM documents WHERE doc_id % 25 = 0),
+v AS (
+  SELECT poly_id,
+    cx + r0 AS x1, cy AS y1,  cx AS x2, cy + r1 AS y2,
+    cx - r2 AS x3, cy AS y3,  cx AS x4, cy - r3 AS y4
+  FROM pg),
+c AS (
+  SELECT pt.doc_id, v.poly_id,
+    {_pip_edge_sql(1, 2)} + {_pip_edge_sql(2, 3)}
+    + {_pip_edge_sql(3, 4)} + {_pip_edge_sql(4, 1)} AS nc
+  FROM pt, v)
+SELECT doc_id, poly_id FROM c WHERE nc % 2 = 1
+"""
+
+# geo_zorder_rollup — the SAME generated div/mod Morton-key string
+# (zorder_key_sql, '//' dialect), direct group-bys at both levels; the
+# level-3 parent key is the level-6 key // 4^3 (Z-curve prefix property).
+from .operators.geo import zorder_key_sql as _zk  # noqa: E402
+
+ORACLES["geo_zorder_rollup"] = f"""
+WITH p AS (
+  SELECT
+    ('0x' || substr(md5('lat:' || doc_id), 1, 15))::BIGINT % 1000000 AS lat,
+    ('0x' || substr(md5('lon:' || doc_id), 1, 15))::BIGINT % 1000000 AS lon
+  FROM documents),
+fine AS (
+  SELECT {_zk("lat", "lon", 6, "//")}::BIGINT AS zkey,
+         count(*)::BIGINT AS n_points
+  FROM p GROUP BY 1)
+SELECT 6::BIGINT AS level, zkey, n_points FROM fine
+UNION ALL
+SELECT 3::BIGINT AS level, zkey // 64 AS zkey,
+       sum(n_points)::BIGINT AS n_points
+FROM fine GROUP BY 2
+"""
+
+
+def _kmeans_assign_sql(cent: str, out: str) -> str:
+    """One exact Lloyd assignment CTE body: per (vec_id, cid) the BIGINT
+    squared-L2 over the exploded dims, argmin via min(dist2·4 + cid) —
+    the clustering.kmeans_lloyd_exact key (k = 4 constant)."""
+    return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, min(key) AS key FROM (
+    SELECT q.vec_id,
+           sum((q.qv - c.cv) * (q.qv - c.cv)) * 4 + c.cid AS key
+    FROM q JOIN {cent} c USING (d) GROUP BY q.vec_id, c.cid)
+  GROUP BY vec_id)"""
+
+
+def _kmeans_update_sql(assign: str, out: str) -> str:
+    """One exact centroid-update CTE body: truncating integer mean per
+    (cid, d) — DuckDB ``//`` == Spark ``div`` (both toward zero)."""
+    return f"""{out} AS MATERIALIZED (
+  SELECT (a.key % 4)::BIGINT AS cid, q.d,
+         (sum(q.qv)::BIGINT // count(*)::BIGINT) AS cv
+  FROM {assign} a JOIN q USING (vec_id) GROUP BY 1, q.d)"""
+
+
+# kmeans_fit_exact — both Lloyd rounds unrolled as MATERIALIZED CTEs
+# (a1/c1 feed a2/c2 feed fin — the deferral-chain inlining gotcha) over
+# the exploded micro-unit quantization; k=4 init = vec_id < 4.
+ORACLES["kmeans_fit_exact"] = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, d, floor(u * 1000000)::BIGINT AS qv
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)),
+c0 AS MATERIALIZED (
+  SELECT vec_id::BIGINT AS cid, d, qv AS cv FROM q WHERE vec_id < 4),
+{_kmeans_assign_sql("c0", "a1")},
+{_kmeans_update_sql("a1", "c1")},
+{_kmeans_assign_sql("c1", "a2")},
+{_kmeans_update_sql("a2", "c2")},
+{_kmeans_assign_sql("c2", "fin")}
+SELECT vec_id, (key % 4)::BIGINT AS cid, (key // 4)::BIGINT AS dist2
+FROM fin
 """

@@ -198,6 +198,202 @@ def knn_within(
     )
 
 
+def synth_polygons(df: DataFrame, id_col: str = "doc_id", every: int = 50) -> DataFrame:
+    """Deterministic synthetic polygon corpus → ``(poly_id, xs, ys)``
+    (closed implicitly, vertex arrays BIGINT micro-degrees): one convex
+    diamond quad per ``id % every == 0`` row, centered at the md5 point
+    ``('pcx:'|'pcy:' salts)`` with four independently-hashed arm lengths
+    in [10000, 50000). Pure integer md5 arithmetic — the DuckDB oracle
+    rebuilds the identical vertices (same construction as
+    :func:`synth_point_expr`). A real corpus supplies extracted footprint
+    polygons instead."""
+    c = F.col(id_col)
+    cx = synth_point_expr(c, "pcx")
+    cy = synth_point_expr(c, "pcy")
+
+    def arm(i: int) -> Column:
+        return F.lit(10_000) + _md5_hash64_expr(
+            F.concat(F.lit(f"pr{i}:"), c)
+        ) % F.lit(40_000)
+
+    base = df.where(c % every == 0).select(
+        c.alias("poly_id"),
+        cx.cast("long").alias("_cx"),
+        cy.cast("long").alias("_cy"),
+        *[arm(i).cast("long").alias(f"_r{i}") for i in range(4)],
+    )
+    return base.select(
+        "poly_id",
+        F.array(
+            F.col("_cx") + F.col("_r0"),
+            F.col("_cx"),
+            F.col("_cx") - F.col("_r2"),
+            F.col("_cx"),
+        ).alias("xs"),
+        F.array(
+            F.col("_cy"),
+            F.col("_cy") + F.col("_r1"),
+            F.col("_cy"),
+            F.col("_cy") - F.col("_r3"),
+        ).alias("ys"),
+    )
+
+
+def crossings_expr(px: Column, py: Column, xs: Column, ys: Column) -> Column:
+    """Ray-casting crossing count of the +x horizontal ray from ``(px,
+    py)`` against the simple polygon ``(xs, ys)`` (closed implicitly),
+    EXACT 64-bit integer arithmetic — no division, no floating point.
+    Per edge (i → i%n+1) the PNPOLY half-open rule: the edge spans the
+    ray's line iff ``(y1 > py) != (y2 > py)``, and the intersection lies
+    strictly right of the point iff the cross product
+    ``t = (x2-x1)(py-y1) - (px-x1)(y2-y1)`` has the sign of ``y2-y1``
+    (``t = 0`` — point exactly on the edge line — never counts, the
+    strict-< rule, identical in the oracle). Inside ⇔ odd count.
+    Coordinates < 2^21 keep every product < 2^42: overflow-free."""
+    n = F.size(xs)
+
+    def term(acc: Column, i: Column) -> Column:
+        j = (i % n) + F.lit(1)
+        x1, y1 = F.element_at(xs, i), F.element_at(ys, i)
+        x2, y2 = F.element_at(xs, j), F.element_at(ys, j)
+        spans = (y1 > py) != (y2 > py)
+        t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        hit = spans & ((t > 0) == ((y2 - y1) > 0)) & (t != 0)
+        return acc + F.when(hit, 1).otherwise(0)
+
+    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell: int = 65_536,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatial containment join → ``(id_col, poly_id)``: every (point,
+    polygon) pair where the point lies strictly inside the polygon
+    (ray-casting parity, exact integers — see :func:`crossings_expr`).
+
+    Scale shape (10^10 points × 10^6 polygons): never a theta join.
+    Polygons explode to the grid cells their bbox covers (fan-out =
+    ⌈extent/cell⌉² — bounded by polygon size over the ``cell`` knob, ~4-9
+    for footprint-sized shapes); points carry their single home cell; the
+    candidate set is the cell EQUI-join (balanced shuffle on a uniform
+    spatial key, broadcastable when the polygon side is small), and the
+    exact parity verify runs on the ~constant candidates per cell. A
+    point's home cell matches each polygon's exploded cell list at most
+    once, so no candidate dedup is needed. lat = y, lon = x."""
+    if cell <= 0:
+        raise ValueError(f"cell must be positive, got {cell}")
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(lat_col).cast("long").alias("_py"),
+        F.col(lon_col).cast("long").alias("_px"),
+    ).select(
+        "*",
+        F.expr(f"_py div {int(cell)}").alias("_ncy"),
+        F.expr(f"_px div {int(cell)}").alias("_ncx"),
+    )
+    polys = polygons.select(
+        "poly_id",
+        "xs",
+        "ys",
+        F.explode(
+            F.sequence(
+                F.expr(f"array_min(ys) div {int(cell)}"),
+                F.expr(f"array_max(ys) div {int(cell)}"),
+            )
+        ).alias("_ncy"),
+        F.expr(f"array_min(xs) div {int(cell)}").alias("_cx0"),
+        F.expr(f"array_max(xs) div {int(cell)}").alias("_cx1"),
+    ).select(
+        "poly_id",
+        "xs",
+        "ys",
+        "_ncy",
+        F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))).alias("_ncx"),
+    )
+    cand = pts.join(polys, ["_ncy", "_ncx"])
+    inside = cand.where(
+        crossings_expr(
+            F.col("_px"), F.col("_py"), F.col("xs"), F.col("ys")
+        ) % 2
+        == 1
+    )
+    return inside.select(F.col("_id").alias(id_col), "poly_id")
+
+
+#: the synthetic box [0, 2^20) covers every micro-degree coordinate
+ZORDER_BOX_BITS = 20
+
+
+def zorder_key_sql(
+    lat: str, lon: str, level: int, div_op: str = "div"
+) -> str:
+    """The level-``level`` Z-order (Morton) cell key of ``(lat, lon)`` as
+    a SQL expression string — pure non-negative integer div/mod
+    arithmetic, valid in Spark SQL (``div_op='div'``) and DuckDB
+    (``div_op='//'``) with identical values (both truncate, and every
+    operand is ≥ 0 so truncate == floor). The grid is 2^level × 2^level
+    over [0, 2^ZORDER_BOX_BITS); bit i of each cell coordinate lands at
+    output bit 2i (lon/x) / 2i+1 (lat/y) — the standard interleave that
+    makes the key a data-layout clustering column: a cell's children at
+    any finer level are the contiguous key range ``[k·4^d, (k+1)·4^d)``,
+    so sorting by the finest key physically co-locates every coarser
+    cell too (the 100 TB layout story: ZORDER-cluster the corpus once,
+    and every grid-blocked operator in this module scans contiguous
+    files)."""
+    if not 1 <= level <= ZORDER_BOX_BITS:
+        raise ValueError(f"level must be in [1, {ZORDER_BOX_BITS}]")
+    w = 1 << (ZORDER_BOX_BITS - level)
+    terms = []
+    for i in range(level):
+        terms.append(f"(({lon} {div_op} {w << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({lat} {div_op} {w << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_rollup(
+    points: DataFrame,
+    fine_level: int,
+    coarse_level: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spatial density rollup → ``(level, zkey, n_points)`` at two grid
+    levels. Raw points shuffle exactly ONCE (the fine-level groupBy,
+    map-side combining on the uniform Morton key); the coarse level
+    re-aggregates the checkpointed fine output via the Z-curve's prefix
+    property (``zkey div 4^(fine-coarse)`` IS the parent cell) — the same
+    no-second-raw-scan hierarchy as ``temporal.rollup_time``."""
+    if not 1 <= coarse_level < fine_level <= ZORDER_BOX_BITS:
+        raise ValueError("need 1 <= coarse_level < fine_level <= box bits")
+    key = F.expr(
+        zorder_key_sql(lat_col, lon_col, fine_level, "div")
+    ).cast("long")
+    fine = (
+        points.select(key.alias("zkey"))
+        .groupBy("zkey")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .localCheckpoint(eager=False)
+    )
+    shift = 4 ** (fine_level - coarse_level)
+    coarse = (
+        fine.select(
+            F.expr(f"zkey div {shift}").alias("zkey"), "n_points"
+        )
+        .groupBy("zkey")
+        .agg(F.sum("n_points").alias("n_points"))
+    )
+    lvl = lambda n, d: d.select(  # noqa: E731
+        F.lit(n).cast("long").alias("level"), "zkey", "n_points"
+    )
+    return lvl(fine_level, fine).unionByName(lvl(coarse_level, coarse))
+
+
 def cluster_points(
     points: DataFrame,
     radius: int,

@@ -545,3 +545,36 @@ def test_geo_knn_is_hash_agg_no_window_no_cartesian(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_point_in_polygon_is_cell_equi_join(spark):
+    """Containment must run as the bbox-cell-explode EQUI-join with the
+    parity verify as a post-join filter — never a geometry theta-join
+    (cartesian at 10^10 points × 10^6 polygons) and never a window."""
+    plan = _plan(entry_mod.queries()["geo_point_in_polygon"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "_ncy" in plan and "_ncx" in plan, plan
+
+
+def test_zorder_rollup_never_rescans_raw(spark):
+    """Morton-key density hierarchy: raw points aggregate ONCE (the
+    fine level, materialized by the checkpoint); the coarse level
+    re-aggregates via the Z-curve prefix division. No second parquet
+    scan, no window — the rollup_time contract on the spatial axis."""
+    plan = _plan(entry_mod.queries()["geo_zorder_rollup"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_kmeans_exact_assignment_is_arrow_map_no_shuffle(spark):
+    """The exact-Lloyd final assignment must be ONE Arrow batch pass
+    over broadcast centroids: no join, no window, no exchange of the
+    vector rows anywhere in the returned plan (updates aggregate inside
+    the builder; the output plan is scan → quantize → pandas_udf)."""
+    plan = _plan(entry_mod.queries()["kmeans_fit_exact"](spark, SF))
+    assert "ArrowEvalPython" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
