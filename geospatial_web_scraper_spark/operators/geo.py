@@ -249,7 +249,12 @@ def crossings_expr(px: Column, py: Column, xs: Column, ys: Column) -> Column:
     ``t = (x2-x1)(py-y1) - (px-x1)(y2-y1)`` has the sign of ``y2-y1``
     (``t = 0`` — point exactly on the edge line — never counts, the
     strict-< rule, identical in the oracle). Inside ⇔ odd count.
-    Coordinates < 2^21 keep every product < 2^42: overflow-free."""
+    Coordinates < 2^21 keep every product < 2^42: overflow-free.
+
+    Degenerate inputs are never "inside": an EMPTY vertex array returns
+    0 directly (guarded — ``sequence(1, 0)`` is DESCENDING in Spark and
+    would index ``element_at(xs, 0)``), a 1-gon has no spanning edge,
+    and a 2-gon's two opposite traversals produce an even count."""
     n = F.size(xs)
 
     def term(acc: Column, i: Column) -> Column:
@@ -261,7 +266,7 @@ def crossings_expr(px: Column, py: Column, xs: Column, ys: Column) -> Column:
         hit = spans & ((t > 0) == ((y2 - y1) > 0)) & (t != 0)
         return acc + F.when(hit, 1).otherwise(0)
 
-    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return F.when(n >= 1, F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)).otherwise(F.lit(0))
 
 
 def point_in_polygon(

@@ -181,3 +181,18 @@ def test_kmeans_rejects_bad_args_and_missing_init(spark):
         kmeans_lloyd_exact(emb, k=0)
     with pytest.raises(ValueError):
         kmeans_lloyd_exact(emb, k=2)  # no vec_id < 2 rows to seed
+
+
+def test_pip_degenerate_polygons_never_match(spark):
+    """Empty / 1-gon / 2-gon vertex arrays: no crash (the empty array
+    would otherwise build a DESCENDING sequence(1,0) and index 0), no
+    containment."""
+    polys = spark.createDataFrame(
+        [
+            (1, [], []),
+            (2, [5], [5]),
+            (3, [-10, 10], [0, 0]),
+        ],
+        "poly_id long, xs array<long>, ys array<long>",
+    )
+    assert _inside(spark, [(1, 0, 0), (2, 5, 5)], polys) == []
