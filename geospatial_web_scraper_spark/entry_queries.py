@@ -2412,6 +2412,33 @@ def q_kmeans_fit_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_exact(_emb(spark, sf_dir), k=4, iters=2)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/normalize.py): NFC (the one
+    justified Arrow UDF — no native expression) then native control
+    strip / exotic-space mapping / whitespace collapse. The pure-ASCII
+    corpus is decorated with deterministic probe suffixes covering each
+    normalization class (combining marks, singletons, jamo, exotic
+    spaces, control bytes); the oracle rebuilds the identical decorated
+    input from chr() literals and runs DuckDB's utf8proc NFC + the very
+    same regex pattern strings."""
+    from .operators.normalize import normalize_text_expr, probe_suffix_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), probe_suffix_expr(F.col("doc_id"))).alias(
+            "_raw"
+        ),
+    )
+    norm = normalize_text_expr(F.col("_raw"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length("_raw").cast("long").alias("n_raw"),
+        F.length(norm).cast("long").alias("n_norm"),
+        (norm != F.col("_raw")).alias("changed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2614,6 +2641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_point_in_polygon": q_geo_point_in_polygon,
     "geo_zorder_rollup": q_geo_zorder_rollup,
     "kmeans_fit_exact": q_kmeans_fit_exact,
+    "normalize_text": q_normalize_text,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "rollup_events": q_rollup_events,
@@ -4849,4 +4877,35 @@ c0 AS MATERIALIZED (
 {_kmeans_assign_sql("c2", "fin")}
 SELECT vec_id, (key % 4)::BIGINT AS cid, (key // 4)::BIGINT AS dist2
 FROM fin
+"""
+
+# normalize_text — DuckDB's utf8proc NFC + the SAME pattern strings the
+# Spark side compiles (Java∩RE2 \x{...} portable subset; DuckDB needs the
+# explicit 'g' flag, Spark regexp_replace is global by default). Probe
+# suffixes rebuilt from chr() literals — no string-escape dialect risk.
+from .operators.normalize import (  # noqa: E402
+    CONTROL_CLASS as _N_CTL,
+    SPACE_CLASS as _N_SPC,
+    WS_RUN as _N_WS,
+    PROBES as _N_PROBES,
+    probes_sql_list as _n_probes_sql,
+)
+
+ORACLES["normalize_text"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || chr(32) || ({_n_probes_sql()})[(doc_id % {len(_N_PROBES)} + 1)::INT] AS t
+  FROM documents),
+n AS (
+  SELECT doc_id, t,
+    trim(regexp_replace(regexp_replace(regexp_replace(
+        nfc_normalize(t),
+        '{_N_CTL}', '', 'g'),
+        '{_N_SPC}', ' ', 'g'),
+        '{_N_WS}', ' ', 'g')) AS s
+  FROM raw)
+SELECT doc_id, md5(s) AS norm_md5,
+       length(t)::BIGINT AS n_raw, length(s)::BIGINT AS n_norm,
+       (s <> t) AS changed
+FROM n
 """

@@ -578,3 +578,15 @@ def test_kmeans_exact_assignment_is_arrow_map_no_shuffle(spark):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_normalize_text_is_single_arrow_pass_no_shuffle(spark):
+    """Unicode canonicalization must be ONE Arrow batch (the NFC UDF)
+    with the regex cleanup in native codegen around it — no exchange,
+    no join, no window anywhere (it runs ahead of the dedup family on
+    every row of the corpus)."""
+    plan = _plan(entry_mod.queries()["normalize_text"](spark, SF))
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
