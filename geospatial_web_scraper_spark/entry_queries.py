@@ -2439,6 +2439,63 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    jumping — 4 self-equi-joins resolve every chain of ≤ 10 hops (the
+    Go net/http redirect limit the reference's fetch layer inherits,
+    reference scraper.go http.Get). The synthetic fetch table arranges
+    doc_ids in 16-blocks: block member i 301s to i-1, member 0 is the
+    landing page — except every 7th block, whose member 0 redirects to
+    ITSELF (the classic redirect-loop trap). Members 11-15 exceed the
+    hop budget (terminal reachable but too deep), loop-block members
+    never terminate: both come back unresolved with NULL final/hops.
+    The oracle is DuckDB's hop-bounded recursive walk — semantics match
+    the doubling construction exactly (see the operator docstring)."""
+    from .operators.redirects import resolve_redirects
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id") % 16
+    b = F.expr("doc_id div 16")
+    edges = d.select(
+        "doc_id",
+        F.when((i == 0) & (b % 7 == 0), F.col("doc_id"))
+        .when(i == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") - 1)
+        .alias("redirect_to"),
+    )
+    return resolve_redirects(
+        edges, max_hops=10, id_col="doc_id", dst_col="redirect_to"
+    )
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (operators/mirrors.py): host pairs ranked
+    by content-hash overlap (Szymkiewicz–Simpson coefficient over the
+    df-capped hash universe). Synthetic decoration: host = doc_id % 24;
+    content is mirrored across each 3-doc run (``m:(doc_id div 3)`` —
+    adjacent hosts share it), unique for doc_id % 5 == 0 rows, and
+    cross-site BOILERPLATE (two values spread over all 24 hosts) for
+    doc_id % 11 == 3 rows — the boilerplate's document frequency blows
+    the max_df=16 cap and is excluded from pairs AND sizes on both
+    engines, which is the operator's fan-out bound at scale."""
+    from .operators.mirrors import mirror_hosts
+
+    did = F.col("doc_id")
+    key = (
+        F.when(
+            did % 11 == 3, F.concat(F.lit("b:"), (did % 2).cast("string"))
+        )
+        .when(did % 5 == 0, F.concat(F.lit("u:"), did.cast("string")))
+        .otherwise(
+            F.concat(F.lit("m:"), F.expr("doc_id div 3").cast("string"))
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        (did % 24).alias("host"), F.md5(key).alias("content_hash")
+    )
+    return mirror_hosts(d, min_shared=2, max_df=16)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2645,6 +2702,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "rollup_events": q_rollup_events,
+    # r4 (session 4): redirect-chain resolution (pointer jumping, the Go
+    # 10-hop fetch policy as a set operation) and mirror-site detection
+    # (df-capped content-hash host containment) — appended past position
+    # 50 like the other beyond-the-reference rows
+    "crawl_redirects": q_crawl_redirects,
+    "mirror_hosts": q_mirror_hosts,
 }
 
 
@@ -4908,4 +4971,65 @@ SELECT doc_id, md5(s) AS norm_md5,
        length(t)::BIGINT AS n_raw, length(s)::BIGINT AS n_norm,
        (s <> t) AS changed
 FROM n
+"""
+
+# crawl_redirects — the hop-bounded recursive walk twin of the pointer-
+# jumping resolution (operators/redirects.py). The walk extends only
+# while cur still redirects and hops < 10; a row lands in fin exactly
+# when it reaches a non-redirecting URL, which matches the doubling
+# construction's terminal-absorbing semantics + the final d <= max_hops
+# gate digit-for-digit (see the operator docstring's equivalence note).
+# The synthetic 16-block chain/loop arithmetic is duplicated from
+# q_crawl_redirects — change both together.
+ORACLES["crawl_redirects"] = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT doc_id AS url_id,
+         CASE WHEN doc_id % 16 = 0 AND (doc_id // 16) % 7 = 0 THEN doc_id
+              WHEN doc_id % 16 = 0 THEN NULL
+              ELSE doc_id - 1 END AS redirect_to
+  FROM documents),
+walk(u, cur, hops) AS (
+  SELECT url_id, url_id, 0 FROM e
+  UNION ALL
+  SELECT w.u, e2.redirect_to, w.hops + 1
+  FROM walk w JOIN e e2 ON e2.url_id = w.cur AND e2.redirect_to IS NOT NULL
+  WHERE w.hops < 10),
+fin AS (
+  SELECT w.u, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM e r
+                    WHERE r.url_id = w.cur AND r.redirect_to IS NOT NULL))
+SELECT e.url_id AS doc_id,
+       f.cur::BIGINT AS final_id,
+       f.hops::BIGINT AS hops,
+       f.u IS NOT NULL AS resolved
+FROM e LEFT JOIN fin f ON f.u = e.url_id
+"""
+
+# mirror_hosts — direct SQL of the df-capped host-containment pipeline
+# (operators/mirrors.py); the host/content decoration arithmetic is
+# duplicated from q_mirror_hosts — change both together. Sizes and pairs
+# both live on the capped universe (a perfect mirror scores 1.0).
+ORACLES["mirror_hosts"] = """
+WITH d AS (
+  SELECT doc_id % 24 AS host,
+         md5(CASE WHEN doc_id % 11 = 3 THEN 'b:' || (doc_id % 2)
+                  WHEN doc_id % 5 = 0 THEN 'u:' || doc_id
+                  ELSE 'm:' || (doc_id // 3) END) AS h
+  FROM documents),
+hh AS (SELECT DISTINCT host, h FROM d),
+capped AS (
+  SELECT hh.host, hh.h FROM hh
+  JOIN (SELECT h FROM hh GROUP BY h HAVING count(*) <= 16) ok USING (h)),
+sizes AS (SELECT host, count(*) AS n FROM capped GROUP BY host),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT p.host_a, p.host_b, p.shared::BIGINT AS shared,
+       sa.n::BIGINT AS size_a, sb.n::BIGINT AS size_b,
+       round(p.shared / least(sa.n, sb.n), 6) AS score
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
 """

@@ -590,3 +590,32 @@ def test_normalize_text_is_single_arrow_pass_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_redirect_resolution_is_log_hop_equi_joins(spark):
+    """Pointer jumping must compose as plain equi-joins on the URL id —
+    ceil(log2 10) = 4 squarings, each a hash/sort-merge join, never a
+    nested-loop join, a window, or a driver-depth per-hop loop (the plan
+    would show ~10 joins; the doubling shows ≤ 5 incl. the terminal
+    probe). The checkpoint per squaring truncates lineage, so the
+    RETURNED plan contains only the final squaring + the terminal-set
+    probe join."""
+    plan = _plan(entry_mod.queries()["crawl_redirects"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_mirror_hosts_is_df_capped_hash_equi_join(spark):
+    """Mirror detection must never shuffle text (hashes only in the
+    plan), and the pair stage must be the df-capped EQUI-join on the
+    content hash + map-side-combining counts — no window, no cartesian,
+    no nested loop."""
+    df = entry_mod.queries()["mirror_hosts"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # text is consumed by the md5 projection at the scan; the join keys
+    # are the hash/host columns only
+    assert "partial_count" in plan, plan
