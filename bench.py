@@ -42,8 +42,12 @@ N_SEED = int(os.environ.get("BENCH_SEEDS", "1000"))
 # best-of-k on the headline round: this box's hypervisor steal is 10-12%
 # under load and run-to-run variance reaches ±15%; min-of-k is the
 # least-interfered sample of the SAME deterministic computation (standard
-# practice for wall-clock benchmarks on shared hardware)
-TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
+# practice for wall-clock benchmarks on shared hardware). k=3 (was 2):
+# measured trial sequences on an evening box (data/bench_r4_trials_probe
+# .json: 56.3 → 39.7 → 24.8 → 25.2 s for the identical steady round) show
+# the first TWO trials still paying JIT/codegen warmup + early-run steal,
+# so min-of-2 can overstate the engine by ~60%; trials 3+ are stable.
+TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
 
 
 def calibration_probe(spark) -> dict:
