@@ -82,3 +82,37 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"seq", "url", "depth", "parent_url", "round", "host"}
+
+
+# §2 operators whose DEDICATED catalog row must sit inside the driver's
+# 50-row recording window (CLAUDE.md invariant 5; the r4 swap put
+# semdedup / curate_corpus_v2 / link_pagerank in, ceding variant rows to
+# 51+). Appending new queries is always safe; REORDERING the dict is not.
+_WINDOW_ROWS = [
+    "crawl_bfs_seen", "crawl_trace_budget", "crawl_priority_trace",
+    "crawl_deferral_trace", "x1_extract_links", "x2_extract_text",
+    "s6_xml_links", "c10_xml_meta", "c7_keywords", "c8_metadata_json",
+    "f6_geo_ext_classify", "c3_canonicalize", "c4_filename",
+    "t3_priority_dequeue", "j1_seen_anti_join", "f1_first_wins",
+    "u1_union_dedup", "u2_except_seeds", "k1_download_manifest",
+    "k5_resume_trace", "harvest_engine2", "p1_to_links",
+    "a4_batch_accumulate", "dedup_exact", "minhash_neardup",
+    "simhash_neardup", "dedup_groups", "neardup_embedding", "semdedup",
+    "curate_corpus", "curate_corpus_v2", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_pq_adc", "a2_cosine_scores", "t1_sort_rank",
+    "t2_topk_quirk", "link_pagerank", "lang_id", "token_count",
+    "quality_score", "fingerprint", "c1_contains", "multimodal_decode",
+    "a1_event_counters", "window_agg_events", "f10_global_budget",
+    "a3_multiset_equality", "c9_json_extract",
+]
+
+
+def test_driver_recording_window_holds():
+    """The driver records correctness rows for AT MOST the first 50
+    queries() positions (measured round 1). Every SURVEY §2 operator's
+    dedicated row must stay inside that window — this pins the exact
+    window so an accidental dict reorder (or an insert before position
+    50) fails loudly instead of silently dropping an operator out of
+    CORRECTNESS_r{N}.json."""
+    keys = list(entry_mod.queries())
+    assert keys[:50] == _WINDOW_ROWS
