@@ -240,6 +240,7 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
                     defer_overflow=False,
                 ),
             ).run(frontier),
+            trials=TRIALS,
         )
 
         # --- small multi-round BFS (driver-loop cost visible at toy size) ---
@@ -249,6 +250,7 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             lambda: CrawlEngine(
                 spark, pages_small, max_crawl=None, lineage_detail=False
             ).run(corpus.seeds_df(spark, N_MULTI, k=N_SEED)),
+            trials=TRIALS,
         )
 
         calibration["mid"] = calibration_probe(spark)
