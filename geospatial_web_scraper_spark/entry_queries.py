@@ -2496,6 +2496,33 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_hosts(d, min_shared=2, max_df=16)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py resize_images):
+    the letterbox-fit dimension arithmetic is REAL (exact integer
+    min-scale fit, upscaling allowed) and fully oracle-checked; only the
+    pixel codec is stubbed (n_bytes = the RGB buffer the resize would
+    allocate; checksum = md5-60bit of the source payload, proving the
+    binary column crossed the Arrow boundary byte-intact). Source dims
+    are decorated deterministically (320+id%1600 × 240+7id%900 — mixes
+    width-limited and height-limited fits against the 640×480 target);
+    kind uses the decode query's modulo-3 assignment, so only the
+    doc_id % 3 == 0 rows are images."""
+    from .operators.multimodal import resize_images
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (320 + F.col("doc_id") % 1600).cast("int").alias("width"),
+        (240 + (F.col("doc_id") * 7) % 900).cast("int").alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )
+    return resize_images(media, 640, 480)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2708,6 +2735,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50 like the other beyond-the-reference rows
     "crawl_redirects": q_crawl_redirects,
     "mirror_hosts": q_mirror_hosts,
+    # r4 (session 4): the resize leg of the multimodal plumbing — exact
+    # integer letterbox-fit dims + Arrow byte-intactness checksum (the
+    # codec stays a marked stub; see the operator docstring)
+    "multimodal_resize": q_multimodal_resize,
 }
 
 
@@ -5032,4 +5063,33 @@ SELECT p.host_a, p.host_b, p.shared::BIGINT AS shared,
 FROM pairs p
 JOIN sizes sa ON sa.host = p.host_a
 JOIN sizes sb ON sb.host = p.host_b
+"""
+
+# multimodal_resize — the letterbox-fit arithmetic mirrored exactly
+# (integer division, both operands positive → Spark //numpy floor ==
+# DuckDB // truncate); checksum is the md5-60bit of the payload BYTES,
+# which equals md5 of the text (UTF-8) on both engines. The 320/1600 ×
+# 240/900 source-dim decoration and the 640×480 target are duplicated
+# from q_multimodal_resize — change both together.
+ORACLES["multimodal_resize"] = """
+WITH m AS (
+  SELECT doc_id AS asset_id,
+         (320 + doc_id % 1600)::BIGINT AS w0,
+         (240 + (doc_id * 7) % 900)::BIGINT AS h0,
+         text
+  FROM documents WHERE doc_id % 3 = 0),
+f AS (
+  SELECT asset_id,
+         CASE WHEN 640 * h0 <= 480 * w0
+              THEN 640 ELSE (w0 * 480) // h0 END AS ow,
+         CASE WHEN 640 * h0 <= 480 * w0
+              THEN (h0 * 640) // w0 ELSE 480 END AS oh,
+         text
+  FROM m)
+SELECT asset_id,
+       ow::INT AS out_width,
+       oh::INT AS out_height,
+       (ow * oh * 3)::BIGINT AS n_bytes,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+FROM f
 """

@@ -108,12 +108,82 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover
-    """Image resize — NOT implementable in this container (no PIL/opencv).
-    The signature and schema are the contract; raises until a codec lib is
-    present on the cluster."""
-    raise NotImplementedError(
-        "image resize requires an image codec library (PIL/opencv) on the "
-        "executors; install it cluster-side and replace _fake_decode_feature "
-        "with the real kernel"
+RESIZE_SCHEMA = (
+    "asset_id long, out_width int, out_height int, n_bytes long, "
+    "checksum long"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing → one row per IMAGE asset: ``(asset_id,
+    out_width, out_height, n_bytes, checksum)``.
+
+    Everything EXCEPT the pixel codec is real: the letterbox-fit
+    arithmetic (scale = min(W/w0, H/h0), exact integer division — the
+    actual dimension computation a production resize performs), the
+    Arrow batch plumbing, the kind gate, the null/degenerate-metadata
+    drop, and the output contract. The pixel kernel is STUBBED (this
+    container ships no PIL/opencv): ``n_bytes`` is the uncompressed RGB
+    buffer size ``out_w·out_h·3`` the real kernel would allocate, and
+    ``checksum`` is the md5-60bit of the SOURCE payload (proving the
+    bytes crossed the Arrow boundary intact) — a real deployment
+    replaces the two marked lines with decode+resize+re-encode and
+    checksums the output instead.
+
+    Rows whose ``kind`` is not ``image`` or whose source ``width``/
+    ``height`` metadata is missing/non-positive are dropped (no aspect
+    ratio to preserve). Upscaling is allowed (pure fit semantics)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    W, H = int(width), int(height)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            img = pdf[
+                (pdf["kind"] == "image")
+                & pdf["width"].notna()
+                & pdf["height"].notna()
+            ]
+            img = img[(img["width"] > 0) & (img["height"] > 0)]
+            if len(img) == 0:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(dtype="int64"),
+                        "out_width": pd.Series(dtype="int32"),
+                        "out_height": pd.Series(dtype="int32"),
+                        "n_bytes": pd.Series(dtype="int64"),
+                        "checksum": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            w0 = img["width"].astype("int64").to_numpy()
+            h0 = img["height"].astype("int64").to_numpy()
+            # exact integer letterbox fit: width-limited iff W/w0 <= H/h0
+            wlim = W * h0 <= H * w0
+            ow = np.where(wlim, W, (w0 * H) // h0)
+            oh = np.where(wlim, (h0 * W) // w0, H)
+            # STUB line 1: real kernel = decode(payload) → resize(ow, oh)
+            checksum = img["payload"].map(
+                lambda b: int(
+                    hashlib.md5(bytes(b or b"")).hexdigest()[:15], 16
+                )
+            )
+            # STUB line 2: real kernel re-encodes; the fake reports the
+            # RGB buffer the resize would materialize
+            yield pd.DataFrame(
+                {
+                    "asset_id": img["asset_id"].astype("int64"),
+                    "out_width": ow.astype("int32"),
+                    "out_height": oh.astype("int32"),
+                    "n_bytes": (ow * oh * 3).astype("int64"),
+                    "checksum": checksum.astype("int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, RESIZE_SCHEMA
     )

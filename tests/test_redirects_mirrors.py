@@ -125,3 +125,68 @@ def test_mirror_rejects_bad_params(spark):
         mirror_hosts(df, min_shared=0)
     with pytest.raises(ValueError):
         mirror_hosts(df, max_df=1)
+
+
+# --- resize plumbing corners (operators/multimodal.py resize_images) ----
+
+from geospatial_web_scraper_spark.operators.multimodal import resize_images
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "asset_id bigint, kind string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+
+
+def test_resize_letterbox_fit_exact(spark):
+    """Width-limited, height-limited, exact-fit and upscale rows all fit
+    within 640x480 with the aspect preserved by exact integer division."""
+    rows = [
+        (1, "image", b"a", 1600, 900, None),   # width-limited: 640x360
+        (2, "image", b"a", 900, 1600, None),   # height-limited: 270x480
+        (3, "image", b"a", 640, 480, None),    # exact fit
+        (4, "image", b"a", 64, 48, None),      # upscale to 640x480
+        (5, "image", b"a", 1000, 750, None),   # 4:3 at odd scale: 640x480
+    ]
+    out = {
+        r.asset_id: (r.out_width, r.out_height, r.n_bytes)
+        for r in resize_images(_media(spark, rows), 640, 480).collect()
+    }
+    assert out[1] == (640, 360, 640 * 360 * 3)
+    assert out[2] == (270, 480, 270 * 480 * 3)
+    assert out[3] == (640, 480, 640 * 480 * 3)
+    assert out[4] == (640, 480, 640 * 480 * 3)
+    assert out[5] == (640, 480, 640 * 480 * 3)
+
+
+def test_resize_drops_non_images_and_degenerate_dims(spark):
+    rows = [
+        (1, "video", b"a", 100, 100, 5),
+        (2, "image", b"a", None, 100, None),
+        (3, "image", b"a", 100, 0, None),
+        (4, "image", b"a", 10, 10, None),
+    ]
+    out = resize_images(_media(spark, rows), 640, 480).collect()
+    assert [r.asset_id for r in out] == [4]
+
+
+def test_resize_checksum_is_source_md5(spark):
+    import hashlib
+
+    payload = "café contents".encode()
+    [row] = resize_images(
+        _media(spark, [(7, "image", payload, 10, 10, None)]), 640, 480
+    ).collect()
+    assert row.checksum == int(hashlib.md5(payload).hexdigest()[:15], 16)
+    # empty payload is a defined checksum, not an error
+    [row0] = resize_images(
+        _media(spark, [(8, "image", b"", 10, 10, None)]), 640, 480
+    ).collect()
+    assert row0.checksum == int(hashlib.md5(b"").hexdigest()[:15], 16)
+
+
+def test_resize_rejects_bad_target(spark):
+    with pytest.raises(ValueError):
+        resize_images(_media(spark, []), 0, 480)

@@ -619,3 +619,13 @@ def test_mirror_hosts_is_df_capped_hash_equi_join(spark):
     # text is consumed by the md5 projection at the scan; the join keys
     # are the hash/host columns only
     assert "partial_count" in plan, plan
+
+
+def test_multimodal_resize_is_single_arrow_pass_no_shuffle(spark):
+    """The resize leg must be ONE Arrow batch pass (mapInPandas) behind
+    the native kind filter — no exchange, no join, no window: binary
+    payloads never shuffle."""
+    plan = _plan(entry_mod.queries()["multimodal_resize"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
