@@ -1,0 +1,114 @@
+"""Streaming corpus admission == a sequential batch fold of
+incremental_dedup over the same micro-batches (admission order = epoch
+order), plus epoch-replay idempotence and fresh-state queryability.
+The batch operator itself is oracle-checked by the dedup_incremental
+catalog row; this pins the streaming twin to it row-for-row."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from geospatial_web_scraper_spark.operators.dedup import incremental_dedup
+from geospatial_web_scraper_spark.streaming.admission_stream import AdmissionState
+from geospatial_web_scraper_spark.streaming.drain import await_drained
+
+
+def _text(seed: str, n: int = 24, tail: str = "") -> str:
+    words = [f"{seed}w{i}" for i in range(n)]
+    return " ".join(words) + (" " + tail if tail else "")
+
+
+def _batches(spark):
+    """Two micro-batches covering every admission path: batch 1 carries
+    an exact dup of batch 0 (dropped, gate 1), a near-dup of batch 0
+    (one tail token changed on a 24-gram doc — Jaccard ≈ 0.88 ≥ 0.7,
+    dropped, gate 3), a within-batch exact dup pair (first id wins,
+    gate 2), and genuinely new docs (admitted)."""
+    b0 = spark.createDataFrame(
+        [
+            (0, _text("a")),
+            (1, _text("b")),
+            (2, _text("c")),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (100, _text("a")),                    # exact dup of doc 0
+            (101, _text("b", tail="zz")),         # near dup of doc 1
+            (102, _text("fresh")),                # new
+            (103, _text("same")),                 # within-batch dup pair:
+            (104, _text("same")),                 #   103 wins
+        ],
+        "doc_id long, text string",
+    )
+    return [b0, b1]
+
+
+def _sequential_fold(spark, batches):
+    prior = spark.createDataFrame([], "doc_id long, text string, content_hash string")
+    for b in batches:
+        surv = incremental_dedup(b, prior.select("doc_id", "text"))
+        admitted = b.join(surv, "doc_id").select("doc_id", "text", "content_hash")
+        prior = prior.unionByName(admitted)
+    return prior
+
+
+def test_stream_admission_equals_sequential_batch_fold(spark, tmp_path):
+    batches = _batches(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for idx, b in enumerate(batches):
+        sub = f"{src}/b{idx}"
+        b.coalesce(1).write.parquet(sub)
+        # pin micro-batch ORDER explicitly (admission is order-dependent;
+        # coarse-mtime filesystems must not merge or swap the batches)
+        for root, _dirs, files in os.walk(sub):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (now + 10 * idx, now + 10 * idx))
+
+    state = AdmissionState(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(state.sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(q, 180)
+
+    got = {r.doc_id: r.content_hash for r in state.admitted().collect()}
+    exp = {
+        r.doc_id: r.content_hash
+        for r in _sequential_fold(spark, batches).collect()
+    }
+    assert got == exp
+    # and the semantics themselves: dups dropped, first-wins, new admitted
+    assert set(got) == {0, 1, 2, 102, 103}
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    batches = _batches(spark)
+    state = AdmissionState(spark, str(tmp_path / "state"))
+    for eid, b in enumerate(batches):
+        state.sink(b, eid)
+    before = sorted(
+        (r.doc_id, r.content_hash) for r in state.admitted().collect()
+    )
+    state.sink(batches[1], 1)  # replay: must rewrite identical content
+    after = sorted(
+        (r.doc_id, r.content_hash) for r in state.admitted().collect()
+    )
+    assert after == before
+
+
+def test_admitted_queryable_on_fresh_state(spark, tmp_path):
+    state = AdmissionState(spark, str(tmp_path / "nostate"))
+    assert state.admitted().count() == 0
