@@ -2496,6 +2496,26 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_hosts(d, min_shared=2, max_df=16)
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled per-group quantiles (operators/profile.py
+    sampled_quantiles): the mergeable scale path beside the exact
+    operator — exact type-1 quantiles over a deterministic 1/4
+    identity-hash sample of documents (md5 seedless, so per-shard
+    samples union to the global sample and both engines draw the
+    identical rows). Same lens as token_len_quantiles for direct
+    comparison; n is the per-group SAMPLE size."""
+    from .operators.profile import sampled_quantiles
+
+    lens = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(textstats.tokens_expr(F.col("text"))).cast("long").alias("dl"),
+    )
+    return sampled_quantiles(
+        lens, "source", "dl", "doc_id", qs=QUANTILE_QS, rate_denom=4
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing (operators/multimodal.py resize_images):
     the letterbox-fit dimension arithmetic is REAL (exact integer
@@ -2739,6 +2759,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # integer letterbox-fit dims + Arrow byte-intactness checksum (the
     # codec stays a marked stub; see the operator docstring)
     "multimodal_resize": q_multimodal_resize,
+    # r4 (session 4): the mergeable sampled-quantile path beside the
+    # exact token_len_quantiles (deterministic identity-hash sample)
+    "quantile_sketch": q_quantile_sketch,
 }
 
 
@@ -4405,14 +4428,16 @@ SELECT source, w, cnt, rank FROM r WHERE rank <= 5
 """
 
 
-def _quantiles_oracle_sql(qs) -> str:
+def _quantiles_oracle_sql(qs, keep: str = "TRUE") -> str:
     """Type-1 quantiles over the aggregated (source, length, count) table.
     The probes are CAST('…' AS DOUBLE) via repr so ceil(q*n) multiplies
     the identical IEEE double on both sides (bare decimal literals would
-    be DECIMAL in DuckDB and change the arithmetic)."""
+    be DECIMAL in DuckDB and change the arithmetic). ``keep`` filters the
+    document rows first (the sampled-quantile twin)."""
     probes = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in qs)
     return f"""
-WITH d AS (SELECT source, len({_sql_toks('text')})::BIGINT AS v FROM documents),
+WITH d AS (SELECT source, len({_sql_toks('text')})::BIGINT AS v
+           FROM documents WHERE {keep}),
 c AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
 cum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
         FROM c),
@@ -4426,6 +4451,15 @@ GROUP BY 1, 2, 3
 
 
 ORACLES["token_len_quantiles"] = _quantiles_oracle_sql(QUANTILE_QS)
+
+# quantile_sketch — the same type-1 machinery over the deterministic
+# 1/4 identity-hash sample (salt 'qsk', the seedless-md5 discipline);
+# the keep predicate is duplicated from profile.sampled_quantiles —
+# change salt/denominator in both places.
+ORACLES["quantile_sketch"] = _quantiles_oracle_sql(
+    QUANTILE_QS,
+    keep="('0x' || substr(md5('qsk:' || doc_id), 1, 15))::BIGINT % 4 = 0",
+)
 
 
 def _vocab_overlap_oracle_sql(k: int) -> str:

@@ -87,3 +87,49 @@ def group_quantiles(
         .agg(F.min("_v").alias("value"))
         .select(F.col("_g").alias(group_col), "q", "n", "value")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    id_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    rate_denom: int = 4,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Approximate per-group quantiles over a DETERMINISTIC 1/rate_denom
+    hash sample — the mergeable scale path beside :func:`group_quantiles`.
+
+    The exact operator's running-sum window is bounded by the distinct
+    VALUE domain per group; when that domain is itself corpus-sized
+    (high-resolution floats, web-scale length counts), the sketch path
+    bounds the aggregated table by the sample instead. The sample is
+    keyed on ROW IDENTITY (``md5('<salt>:' || id) % rate_denom == 0``),
+    not on the value:
+
+    - identity keying keeps duplicates of a value independently sampled
+      (value keying would include all-or-none of a heavy value and bias
+      every quantile around it);
+    - the keep decision is a pure function of the id, so per-shard
+      samples UNION to exactly the global sample — mergeable across
+      shards/partitions/days by construction, reproducible across runs
+      and engines (the seedless-md5 discipline of sampling.py).
+
+    Returns :func:`group_quantiles`'s shape ``(group, q, n, value)``
+    computed exactly on the sample; ``n`` is the per-group SAMPLE size
+    (the honest denominator — callers scale by rate_denom if they want
+    population-count estimates). Standard sampling error applies: the
+    q-quantile estimate's rank error is O(sqrt(q(1-q)/n_sample))."""
+    if rate_denom <= 0:
+        raise ValueError(f"rate_denom must be positive, got {rate_denom}")
+    from .dedup import _md5_hash64_expr
+
+    keep = (
+        _md5_hash64_expr(
+            F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+        )
+        % F.lit(int(rate_denom))
+        == 0
+    )
+    return group_quantiles(df.where(keep), group_col, num_col, qs)

@@ -190,3 +190,41 @@ def test_resize_checksum_is_source_md5(spark):
 def test_resize_rejects_bad_target(spark):
     with pytest.raises(ValueError):
         resize_images(_media(spark, []), 0, 480)
+
+
+# --- sampled quantiles (operators/profile.py sampled_quantiles) ---------
+
+from geospatial_web_scraper_spark.operators.profile import (
+    group_quantiles,
+    sampled_quantiles,
+)
+
+
+def test_sampled_quantiles_merge_across_shards(spark):
+    """The keep decision is a pure function of the row id, so quantiles
+    over the union of per-shard samples equal sampled_quantiles over the
+    whole relation — the mergeability claim, tested literally."""
+    from geospatial_web_scraper_spark.operators.dedup import _md5_hash64_expr
+
+    rows = [(i, "s" if i % 2 else "t", (i * 13) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    whole = sampled_quantiles(df, "g", "v", "doc_id", rate_denom=4)
+    keep = (
+        _md5_hash64_expr(
+            F.concat(F.lit("qsk"), F.lit(":"), F.col("doc_id").cast("string"))
+        )
+        % 4
+        == 0
+    )
+    shard_a = df.where("doc_id < 123").where(keep)
+    shard_b = df.where("doc_id >= 123").where(keep)
+    merged = group_quantiles(shard_a.unionByName(shard_b), "g", "v")
+    key = lambda r: (r.g, r.q)  # noqa: E731
+    assert {key(r): (r.n, r.value) for r in whole.collect()} == {
+        key(r): (r.n, r.value) for r in merged.collect()
+    }
+
+
+def test_sampled_quantiles_rejects_bad_rate(spark):
+    with pytest.raises(ValueError):
+        sampled_quantiles(None, "g", "v", "doc_id", rate_denom=0)
