@@ -2519,10 +2519,15 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing (operators/multimodal.py resize_images):
     the letterbox-fit dimension arithmetic is REAL (exact integer
-    min-scale fit, upscaling allowed) and fully oracle-checked; only the
-    pixel codec is stubbed (n_bytes = the RGB buffer the resize would
-    allocate; checksum = md5-60bit of the source payload, proving the
-    binary column crossed the Arrow boundary byte-intact). Source dims
+    min-scale fit, upscaling allowed) and fully oracle-checked. The
+    operator's codec is real for netpbm payloads (r5: pure-numpy
+    PPM/PGM decode → nearest-neighbor resample → re-encode, golden-
+    pinned in tests/test_multimodal_codec.py); THIS query's synthetic
+    payloads are UTF-8 text, so it exercises — and its oracle freezes —
+    the compressed-format STUB path (n_bytes = the RGB buffer the
+    resize would allocate; checksum = md5-60bit of the source payload,
+    proving the binary column crossed the Arrow boundary byte-intact).
+    Source dims
     are decorated deterministically (320+id%1600 × 240+7id%900 — mixes
     width-limited and height-limited fits against the 640×480 target);
     kind uses the decode query's modulo-3 assignment, so only the
