@@ -161,10 +161,14 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
         samples: dict[str, list[float]] = {}
         calibration: dict[str, dict] = {}
 
-        def timed(name: str, fn, trials: int = 1):
+        def timed(name: str, fn, trials: int = TRIALS):
             """Record EVERY raw wall-clock sample under samples[name];
             times[name] keeps the min (least-interfered sample of the same
-            deterministic computation)."""
+            deterministic computation). min-of-TRIALS is the DEFAULT for
+            every entry as of r5 (VERDICT r4 #1: 19 of 24 r4 entries were
+            single-trial against the repo's own 56→40→25→25 s warmup
+            evidence, making regression comparison noisy) — pass trials=1
+            only for an entry explicitly meant as a cold measurement."""
             best = None
             out = None
             for _ in range(max(1, trials)):
@@ -240,6 +244,34 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
                     defer_overflow=False,
                 ),
             ).run(frontier),
+            trials=TRIALS,
+        )
+
+        # --- r5: the same steady round under HARD skew (VERDICT r4 #5):
+        # host0 owns 50% of this frontier (page_id % 10 < 6 keeps all of
+        # host0's 30% plus an equal slice of the others), budgets finite
+        # so the capped two-phase salted dequeue actually runs. The
+        # politeness-exactness and no-straggler assertions live in
+        # tests/test_politeness.py::test_skew_hot_host_*; this entry is
+        # the wall-time witness that a 50%-hot-host round costs ~its row
+        # share of the balanced round, not a straggler multiple.
+        frontier_skew = (
+            corpus.corpus_df(spark, N_ROUND)
+            .filter(F.col("page_id") % 10 < 6)
+            .select(
+                F.col("page_id").cast("int").alias("seed_order"), F.col("url")
+            )
+        )
+        timed(
+            "steady_round_skew",
+            lambda: CrawlEngine(
+                spark, pages, max_crawl=None, lineage_detail=False,
+                max_rounds=1,
+                scheduler=PolitenessScheduler(
+                    default_tokens_per_round=N_ROUND, n_salts=8,
+                    defer_overflow=False,
+                ),
+            ).run(frontier_skew),
             trials=TRIALS,
         )
 
@@ -496,6 +528,47 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             cluster_points(pts, radius=1000).count()
 
         timed("geo_cluster", _cluster)
+
+        # --- r5: sketch paths at bench scale (VERDICT r4 #7) — the
+        # mergeable sampled-quantile sketch and the Count-Min point-query
+        # pass, both over the same repartitioned docs as the other table
+        # ops; .collect() (tiny outputs) so projection pruning can't
+        # skip the aggregation being timed
+        from geospatial_web_scraper_spark.operators import textstats
+        from geospatial_web_scraper_spark.operators.profile import (
+            sampled_quantiles,
+        )
+        from geospatial_web_scraper_spark.operators.sketch import (
+            cms_counts,
+            cms_estimate,
+        )
+
+        def _quantile_sketch():
+            lens = docs.select(
+                "doc_id",
+                "source",
+                F.size(textstats.tokens_expr(F.col("text")))
+                .cast("long")
+                .alias("dl"),
+            )
+            sampled_quantiles(
+                lens, "source", "dl", "doc_id", rate_denom=4
+            ).collect()
+
+        timed("quantile_sketch", _quantile_sketch)
+
+        def _cms():
+            toks = docs.select(
+                "doc_id",
+                F.explode(
+                    textstats.tokens_expr(F.lower(F.col("text")))
+                ).alias("term"),
+            )
+            cms = cms_counts(toks, "term", width=512, depth=4)
+            qterms = toks.where("doc_id < 20").select("term").distinct()
+            cms_estimate(cms, qterms, "term", width=512, depth=4).collect()
+
+        timed("cms_token_counts", _cms)
 
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)

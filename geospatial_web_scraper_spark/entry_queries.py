@@ -2309,6 +2309,38 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed as-of join (operators/temporal.py asof_join_bucketed,
+    r5): bit-identical semantics to asof_join_events — the oracle IS the
+    same DuckDB ASOF LEFT JOIN — computed with the (key, time-bucket)
+    two-pass reduction that parallelizes WITHIN hot keys (pass 1: running
+    last per (key, 1h bucket); pass 2: per-key carry over the bucket
+    summaries). The dedicated within-bucket/cross-bucket corners are in
+    tests/test_temporal_geo.py; the plan pin (both windows partitioned as
+    claimed) in tests/test_scale_plan.py."""
+    from .operators.temporal import asof_join_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join_bucketed(
+        left, right, "user_id", "ts", "value", bucket_width_s=3600,
+        out_col="last_purchase",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("last_purchase", 2).alias("last_purchase"),
+    )
+
+
 def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join (operators/temporal.py range_join): every
     (click, purchase) pair of the same user with the purchase inside the
@@ -2752,6 +2784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_fit_exact": q_kmeans_fit_exact,
     "normalize_text": q_normalize_text,
     "asof_join_events": q_asof_join_events,
+    # r5: the hot-key-parallel two-pass variant; same oracle by design
+    "asof_join_bucketed": q_asof_join_bucketed,
     "range_join_events": q_range_join_events,
     "rollup_events": q_rollup_events,
     # r4 (session 4): redirect-chain resolution (pointer jumping, the Go
@@ -4839,6 +4873,11 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts, round(r.value, 2) AS last_purchase
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+# asof_join_bucketed — identical semantics by construction (the bucket
+# decomposition is an execution strategy, not a semantic change), so the
+# bucketed engine path is value-checked against the SAME native ASOF oracle
+ORACLES["asof_join_bucketed"] = ORACLES["asof_join_events"]
 
 # range_join_events — the band is a plain interval theta predicate in
 # SQL; the engine's bucket decomposition must reproduce it exactly

@@ -491,6 +491,32 @@ def test_asof_join_window_is_key_partitioned(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_asof_bucketed_windows_partition_as_claimed(spark):
+    """The bucketed as-of's pass-1 window must partition by (key,
+    bucket) — the whole point is that a hot key's rows split across
+    buckets — and its only per-key window is the pass-2 carry, which
+    runs over one row per (key, bucket) summary slot, never raw rows."""
+    plan = _plan(entry_mod.queries()["asof_join_bucketed"](spark, SF))
+    local_seen = carry_seen = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        assert "_k" in line, line
+        if "currentrow" in line:
+            # pass 1 (running last over raw rows, ordered by _ts): MUST
+            # be partitioned by the bucket too
+            assert "_bk" in line and "_ts" in line, line
+            local_seen = True
+        else:
+            # pass 2 (carry, frame ends at -1): per key over one row per
+            # (key, bucket) summary slot — ordered by _bk, never by _ts
+            assert "_ts" not in line, line
+            carry_seen = True
+    assert local_seen and carry_seen, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_dsir_model_is_broadcast_and_topk_salted(spark):
     """DSIR's two ≤512-row bucket models and the target-id set must ride
     BROADCAST joins back into the token stream (document rows shuffle

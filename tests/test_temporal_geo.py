@@ -59,6 +59,56 @@ def test_asof_keeps_all_left_columns(spark):
     assert df.columns == ["k", "ts", "tag", "last_v"]
 
 
+def test_asof_bucketed_equals_plain_on_every_corner(spark):
+    """asof_join_bucketed == asof_join row-for-row (VERDICT r4 #4) on a
+    fixture hitting every boundary the bucket decomposition introduces:
+    answers WITHIN the left row's own bucket, answers carried across one
+    or many empty buckets, NULL-value carry, inclusive ties at a bucket
+    EDGE, no-predecessor, keys absent on the right — at several widths,
+    including one so wide everything shares a bucket (degenerates to the
+    plain algorithm) and one so narrow every row sits alone."""
+    s = 1_000_000  # ts columns are already-micros BIGINTs
+    left = _left(
+        spark,
+        [
+            (1, 0, "no-pred"),
+            (1, 2 * s + 500_000, "in-bucket"),
+            (1, 9 * s, "carried-far"),  # across empty buckets 3..8
+            (1, 4 * s, "tie-at-edge"),  # right row AT 4s, inclusive
+            (2, 7 * s, "null-carry"),
+            (3, 5 * s, "absent-key"),
+        ],
+    )
+    right = _right(
+        spark,
+        [
+            (1, 2 * s, 10.0),
+            (1, 2 * s + 700_000, 11.0),  # after the in-bucket left row
+            (1, 4 * s, 20.0),
+            (2, 1 * s, 30.0),
+            (2, 3 * s, None),  # NULL value must carry as present
+            (9, 0, 99.0),
+        ],
+    )
+    from geospatial_web_scraper_spark.operators.temporal import (
+        asof_join_bucketed,
+    )
+
+    want = sorted(
+        tuple(r) for r in asof_join(left, right, "k", "ts", "v").collect()
+    )
+    for width in (1, 2, 3, 1000):
+        got = sorted(
+            tuple(r)
+            for r in asof_join_bucketed(
+                left, right, "k", "ts", "v", bucket_width_s=width
+            ).collect()
+        )
+        assert got == want, (width, got, want)
+    with pytest.raises(ValueError):
+        asof_join_bucketed(left, right, "k", "ts", "v", bucket_width_s=0)
+
+
 def _pts(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, lat long, lon long")
 
