@@ -1125,6 +1125,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram NB language ID (operators/langid.py, r5) — the
+    classifier-kernel upgrade of the stopword vote: md5-60bit trigram
+    buckets, frozen integer micro-nat weights (langid_weights.py, single
+    source for BOTH engines — the oracle's VALUES table is generated
+    from the same module), argmax with en<es<fr tie order, 'und' on
+    trigram-less docs. The vote row (lang_id) stays frozen beside it."""
+    from .operators.langid import langid_ngram_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", langid_ngram_expr(F.col("text")).alias("lang")
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.token_count_expr(F.col("text")).cast("long").alias("n_tok")
@@ -2801,6 +2815,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4 (session 4): the mergeable sampled-quantile path beside the
     # exact token_len_quantiles (deterministic identity-hash sample)
     "quantile_sketch": q_quantile_sketch,
+    # r5: the hashed char-trigram NB language ID beside the frozen
+    # stopword-vote row (lang_id, in the first 50); curate_corpus can
+    # thread it in via lang_gate="ngram"
+    "lang_id_ngram": q_lang_id_ngram,
 }
 
 
@@ -5170,4 +5188,50 @@ SELECT asset_id,
        (ow * oh * 3)::BIGINT AS n_bytes,
        ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
 FROM f
+"""
+
+# lang_id_ngram — the hashed char-trigram NB pass re-derived in SQL: the
+# SAME normalization as the fingerprint family (tokens joined by single
+# spaces, lowercased), 1-based substr trigrams, the md5-60bit bucket hash,
+# and the weight VALUES table generated from the frozen langid_weights
+# module (single source — scripts/train_langid.py regenerates it; never
+# hand-edit either side). Tie order en < es < fr; docs with no trigrams
+# LEFT-JOIN to NULL scores → 'und' (weights are strictly negative, so a
+# zero score cannot occur on a non-empty trigram stream).
+from .operators.langid_weights import (  # noqa: E402
+    LANGID_LANGS as _LID_LANGS,
+    LANGID_WEIGHTS as _LID_W,
+    N_BUCKETS as _LID_B,
+)
+
+_lid_values = ",\n    ".join(
+    f"({b}, {_LID_W['en'][b]}, {_LID_W['es'][b]}, {_LID_W['fr'][b]})"
+    for b in range(_LID_B)
+)
+assert _LID_LANGS == ("en", "es", "fr")
+ORACLES["lang_id_ngram"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+s AS (SELECT doc_id, lower({_sql_norm('text')}) AS s FROM d),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+                                       i -> substr(s, i, 3))) AS gr
+  FROM s WHERE len(s) >= 3),
+b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(gr), 1, 15))::BIGINT % {_LID_B}) AS bk
+  FROM g),
+w(bk, w_en, w_es, w_fr) AS (VALUES
+    {_lid_values}),
+sc AS (
+  SELECT b.doc_id,
+         sum(w.w_en)::BIGINT AS s_en,
+         sum(w.w_es)::BIGINT AS s_es,
+         sum(w.w_fr)::BIGINT AS s_fr
+  FROM b JOIN w ON w.bk = b.bk GROUP BY 1)
+SELECT d.doc_id,
+  CASE WHEN sc.doc_id IS NULL THEN 'und'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang
+FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """

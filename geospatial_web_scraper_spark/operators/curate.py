@@ -40,6 +40,7 @@ def curate_corpus(
     max_top2gram_frac: float | None = None,
     eval_docs: DataFrame | None = None,
     max_contam_frac: float = 0.0,
+    lang_gate: str = "vote",
 ) -> DataFrame:
     """→ the curated subset of ``docs`` (original columns), surviving all
     gates. Deterministic: every keep/drop decision is min-id-wins.
@@ -49,8 +50,19 @@ def curate_corpus(
     the scan-local stage-1 filter; ``eval_docs`` adds an n-gram
     decontamination gate after the cheap gates — documents whose distinct
     5-gram overlap fraction with the (broadcast) eval set exceeds
-    ``max_contam_frac`` are dropped before any dedup work sees them."""
-    stage1 = lang_id_expr(F.col(text_col)).isin(*languages) & (
+    ``max_contam_frac`` are dropped before any dedup work sees them.
+    ``lang_gate`` picks the stage-1 language classifier: ``"vote"`` (the
+    frozen stopword vote — the catalog/oracle default) or ``"ngram"``
+    (``langid.langid_ngram_expr``, the hashed char-trigram NB kernel —
+    r5; fires on sub-word evidence the exact-token vote misses, same
+    scan-local no-shuffle shape)."""
+    if lang_gate == "ngram":
+        from .langid import langid_ngram_expr as _lang_expr
+    elif lang_gate == "vote":
+        _lang_expr = lang_id_expr
+    else:
+        raise ValueError(f"lang_gate must be 'vote' or 'ngram', got {lang_gate!r}")
+    stage1 = _lang_expr(F.col(text_col)).isin(*languages) & (
         quality_score_expr(F.col(text_col)) >= min_quality
     )
     if max_top2gram_frac is not None:
