@@ -1093,6 +1093,23 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
 
+def q_curate_corpus_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus with the r5 char-trigram NB language gate threaded
+    in (lang_gate='ngram') — the same four-stage composed pipeline as
+    curate_corpus, value-checked end-to-end; its oracle swaps the
+    stopword-vote fragment for the lang_id_ngram fragment verbatim and
+    keeps every other stage identical (see ORACLES['curate_corpus_ngram']
+    at the end of this file)."""
+    out = curate_corpus(
+        _docs(spark, sf_dir),
+        languages=("en",),
+        min_quality=0.3,
+        neardup_threshold=0.5,
+        lang_gate="ngram",
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
     gram hash so DuckDB reproduces every fingerprint value."""
@@ -2817,8 +2834,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch": q_quantile_sketch,
     # r5: the hashed char-trigram NB language ID beside the frozen
     # stopword-vote row (lang_id, in the first 50); curate_corpus can
-    # thread it in via lang_gate="ngram"
+    # thread it in via lang_gate="ngram" — curate_corpus_ngram is that
+    # composition oracle-checked end-to-end
     "lang_id_ngram": q_lang_id_ngram,
+    "curate_corpus_ngram": q_curate_corpus_ngram,
 }
 
 
@@ -5235,3 +5254,13 @@ SELECT d.doc_id,
        ELSE 'fr' END AS lang
 FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
+
+# curate_corpus_ngram — the SAME composed curation oracle with the
+# stopword-vote language fragment swapped verbatim for the lang_id_ngram
+# fragment (every other stage byte-identical; the assert pins the
+# verbatim-composition invariant so a refactor of either fragment can't
+# silently decouple them).
+assert ORACLES["lang_id"] in ORACLES["curate_corpus"]
+ORACLES["curate_corpus_ngram"] = ORACLES["curate_corpus"].replace(
+    ORACLES["lang_id"], ORACLES["lang_id_ngram"], 1
+)
