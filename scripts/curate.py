@@ -15,7 +15,7 @@ the survivors), and stages/ (per-stage yield counts).
         --input  s3://bucket/documents.parquet \
         --output s3://bucket/curated_out \
         [--languages en] [--min-quality 0.3] [--neardup-threshold 0.5] \
-        [--max-top2gram-frac 0.2] \
+        [--max-top2gram-frac 0.2] [--lang-gate vote|ngram] \
         [--eval-set s3://bucket/eval.parquet --max-contam-frac 0.0] \
         [--budget-tokens N] [--split 0.8,0.1,0.1]
 
@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--neardup-threshold", type=float, default=0.5)
     ap.add_argument("--max-top2gram-frac", type=float, default=None,
                     help="Gopher repetition gate (off when omitted)")
+    ap.add_argument("--lang-gate", choices=("vote", "ngram"),
+                    default="vote", help="stage-1 language classifier: "
+                    "the frozen stopword vote or the char-trigram NB "
+                    "kernel (operators/langid.py)")
     ap.add_argument("--eval-set", help="eval documents parquet for n-gram "
                     "decontamination (doc_id, text)")
     ap.add_argument("--max-contam-frac", type=float, default=0.0)
@@ -75,6 +79,7 @@ def main() -> None:
         max_top2gram_frac=args.max_top2gram_frac,
         eval_docs=eval_docs,
         max_contam_frac=args.max_contam_frac,
+        lang_gate=args.lang_gate,
     ).localCheckpoint()  # fans out to sampling/split/report below
     n_curated = curated.count()
 
