@@ -617,10 +617,17 @@ def main() -> None:
         # ratio; alternating sessions and taking each level's best sample
         # decorrelates the drift from the efficiency estimate
         n_pairs = int(os.environ.get("BENCH_PAIRS", "2"))
-        # serving recall/latency is not a scaling metric: measure it once
-        # (high level) so the scaling pair stays lean
-        low = run_level(n_low, sf_dir, serving=False)
-        high = run_level(n_high, sf_dir)
+        # r5: BOTH levels run headline-only. The north rule's efficiency is
+        # defined on the steady frontier round; with min-of-k now the
+        # default for all 27 table entries, a full low-level pass would
+        # burn ~an hour of local[2] wall time contributing nothing to the
+        # ratio while DRIFTING the box between the two headline
+        # measurements (the exact contamination the interleaved protocol
+        # exists to remove). The per-query table comes from the plain
+        # `python bench.py` run (BENCH_rN); serving recall/latency is not
+        # a scaling metric either.
+        low = run_level(n_low, sf_dir, headline_only=True, serving=False)
+        high = run_level(n_high, sf_dir, headline_only=True, serving=False)
         for _ in range(n_pairs - 1):
             for lvl, res in ((n_low, low), (n_high, high)):
                 again = run_level(lvl, sf_dir, headline_only=True)
