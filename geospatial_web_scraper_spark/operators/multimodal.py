@@ -7,10 +7,13 @@ PGM ``P5``, one byte per sample): :func:`decode_image` /
 :func:`encode_image` / :func:`nn_resample` are pure numpy — header parse,
 pixel array, exact-integer nearest-neighbor resample — so
 :func:`resize_images` and :func:`decode_features` run a genuine
-decode→compute→encode on those payloads (r5, VERDICT r4 ask #2).
-COMPRESSED formats (JPEG/PNG/…) and the audio/video codecs remain
-deterministic marked STUBS: this container ships no PIL/opencv/ffmpeg,
-and re-implementing a DCT/inflate stack here would be scope theater.
+decode→compute→encode on those payloads (r5, VERDICT r4 ask #2). The
+audio codec is likewise REAL for canonical PCM16 WAV
+(:func:`decode_audio` / :func:`encode_audio` — RIFF chunk walk, int16
+frame matrix; r5). COMPRESSED formats (JPEG/PNG/MP3/…) and the video
+codecs remain deterministic marked STUBS: this container ships no
+PIL/opencv/ffmpeg, and re-implementing a DCT/inflate stack here would be
+scope theater.
 Each stub is deterministic so tests can assert the full distributed path.
 
 Pattern: ``media(asset_id, kind, payload:binary, meta:struct)`` →
@@ -111,6 +114,96 @@ def encode_image(img: np.ndarray) -> bytes:
     return magic + b"\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Pure-numpy decoder for canonical RIFF/WAVE PCM16 audio →
+    ``(sample_rate, channels, samples[int16, frames × channels])``, or
+    ``None`` when the payload is not a well-formed PCM16 WAV (wrong
+    magic, compressed format tag, odd bit depth, or a data chunk whose
+    length doesn't fit the frame size — strict, like the netpbm decoder,
+    so arbitrary blobs never false-positive). Walks the chunk list per
+    the RIFF spec (word-aligned chunk sizes), requires one ``fmt `` chunk
+    (audio_format 1 = PCM, bits 16) before the ``data`` chunk."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt: tuple[int, int] | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            return None
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
+                return None
+            fmt = (rate, channels)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            rate, channels = fmt
+            frame = 2 * channels
+            if size % frame != 0:
+                return None
+            samples = np.frombuffer(body, dtype="<i2").reshape(-1, channels)
+            return rate, channels, samples
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def encode_audio(rate: int, samples: np.ndarray) -> bytes:
+    """Canonical PCM16 WAV encoder — the inverse of :func:`decode_audio`
+    (decode(encode(r, s)) == (r, channels, s) exactly). ``samples`` is
+    ``frames × channels`` int16."""
+    if samples.ndim != 2:
+        raise ValueError("samples must be frames x channels")
+    channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + (int(rate) * 2 * channels).to_bytes(4, "little")
+        + (2 * channels).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _real_audio_feature(rate: int, channels: int, samples: np.ndarray) -> list[float]:
+    """8-dim feature from REAL decoded PCM frames — integer sums with a
+    single final divide (bit-deterministic), mirroring the image path:
+    rate, channels, frames, min, max, mean, mean |amplitude|, and the
+    clipped-sample fraction (|s| ≥ 32767·0.99)."""
+    frames = samples.shape[0]
+    size = max(1, samples.size)
+    s64 = samples.astype(np.int64)
+    return [
+        float(rate),
+        float(channels),
+        float(frames),
+        float(int(samples.min()) if frames else 0),
+        float(int(samples.max()) if frames else 0),
+        round(int(s64.sum()) / size, 6),
+        round(int(np.abs(s64).sum()) / size, 6),
+        round(int((np.abs(s64) >= 32440).sum()) / size, 6),
+    ]
+
+
 def _fake_decode_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder (STUB — used
     only for payloads :func:`decode_image` cannot parse, i.e. compressed
@@ -147,14 +240,18 @@ def _real_image_feature(img: np.ndarray) -> list[float]:
 def decode_features(media: DataFrame) -> DataFrame:
     """media → (asset_id, kind, n_bytes, feature). Arrow-batched iterator;
     one output row per asset. Netpbm payloads get REAL decoded-pixel
-    features (:func:`_real_image_feature`); anything else falls back to
-    the deterministic byte-fold stub."""
+    features (:func:`_real_image_feature`), PCM16 WAV payloads REAL
+    decoded-frame features (:func:`_real_audio_feature`); anything else
+    falls back to the deterministic byte-fold stub."""
 
     def _feature(b) -> list[float]:
         raw = bytes(b or b"")
         img = decode_image(raw)
         if img is not None:
             return _real_image_feature(img)
+        wav = decode_audio(raw)
+        if wav is not None:
+            return _real_audio_feature(*wav)
         return _fake_decode_feature(raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

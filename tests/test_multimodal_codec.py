@@ -171,3 +171,78 @@ def test_decode_features_real_pixels(spark):
         _media(spark, [(2, "image", b"\x01\x02\x03\x04", None, None, None)])
     ).collect()
     assert len(stub.feature) == 8 and stub.feature != row.feature
+
+
+# ------------------------------------------------------- audio (PCM16 WAV)
+
+from geospatial_web_scraper_spark.operators.multimodal import (  # noqa: E402
+    decode_audio,
+    encode_audio,
+)
+
+
+def _wav(rate=8000, frames=16, channels=1, amp=1000):
+    sam = (
+        np.arange(frames * channels, dtype=np.int64).reshape(frames, channels)
+        * 37
+        % (2 * amp)
+        - amp
+    ).astype(np.int16)
+    return encode_audio(rate, sam), sam
+
+
+def test_wav_roundtrip_and_golden():
+    payload, sam = _wav(rate=16000, frames=8, channels=2)
+    rate, ch, got = decode_audio(payload)
+    assert (rate, ch) == (16000, 2)
+    assert got.tolist() == sam.tolist()
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """A LIST chunk (with odd size, exercising word alignment) between
+    fmt and data must be skipped per the RIFF spec."""
+    payload, sam = _wav(frames=4)
+    # splice an odd-sized junk chunk before 'data'
+    di = payload.find(b"data")
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"xyz" + b"\x00"
+    spliced = payload[:di] + junk + payload[di:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    rate, ch, got = decode_audio(spliced)
+    assert got.tolist() == sam.tolist()
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: b"",  # empty
+        lambda p: b"RIFX" + p[4:],  # wrong magic
+        lambda p: p[:8] + b"AVI " + p[12:],  # not WAVE
+        # audio_format 3 (float) instead of PCM
+        lambda p: p.replace(b"fmt \x10\x00\x00\x00\x01\x00",
+                            b"fmt \x10\x00\x00\x00\x03\x00", 1),
+        lambda p: p[:-1],  # truncated data chunk
+        lambda p: p[: p.find(b"data")],  # no data chunk at all
+    ],
+)
+def test_wav_rejects_malformed(mutate):
+    payload, _ = _wav()
+    assert decode_audio(mutate(payload)) is None
+
+
+def test_decode_features_real_audio(spark):
+    payload, sam = _wav(rate=8000, frames=16, channels=1)
+    [row] = decode_features(
+        _media(spark, [(1, "audio", payload, None, None, 2000)])
+    ).collect()
+    rate, ch, frames, mn, mx, mean, absmean, clip = row.feature
+    assert (rate, ch, frames) == (8000.0, 1.0, 16.0)
+    s = sam.astype("int64")
+    assert mn == float(s.min()) and mx == float(s.max())
+    assert mean == pytest.approx(int(s.sum()) / s.size, abs=1e-2)
+    assert absmean == pytest.approx(int(abs(s).sum()) / s.size, abs=1e-2)
+    assert clip == 0.0
+    # non-WAV audio payload keeps the byte-fold stub
+    [stub] = decode_features(
+        _media(spark, [(2, "audio", b"\x09\x08\x07", None, None, None)])
+    ).collect()
+    assert len(stub.feature) == 8 and stub.feature != row.feature
