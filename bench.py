@@ -493,6 +493,30 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("asof_join_events", _asof)
 
+        # r5: the hot-key-parallel bucketed variant on the identical
+        # workload — the plain/bucketed pair shows what the two extra
+        # equi-shuffles cost at a size where no key is actually hot
+        # (the variant's win only appears under hot keys; here it should
+        # simply not be much slower)
+        from geospatial_web_scraper_spark.operators.temporal import (
+            asof_join_bucketed,
+        )
+
+        def _asof_bucketed():
+            left = ev.where("event_type = 'click'").select(
+                "event_id", "user_id", "ts"
+            )
+            right = (
+                ev.where("event_type = 'purchase'")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("value"))
+            )
+            asof_join_bucketed(
+                left, right, "user_id", "ts", "value", bucket_width_s=3600
+            ).where("asof_value is not null").count()
+
+        timed("asof_join_bucketed", _asof_bucketed)
+
         # --- r4 session 3b: band join, hypertable rollup, geo clusters --
         from geospatial_web_scraper_spark.operators.geo import cluster_points
         from geospatial_web_scraper_spark.operators.temporal import (

@@ -246,3 +246,66 @@ def test_decode_features_real_audio(spark):
         _media(spark, [(2, "audio", b"\x09\x08\x07", None, None, None)])
     ).collect()
     assert len(stub.feature) == 8 and stub.feature != row.feature
+
+
+# ---------------------------------------------------- codec properties
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_image_roundtrip_property(w, h, c, seed):
+    """decode(encode(x)) == x for every shape/channel/pixel content —
+    the inverse contract the resize path relies on."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_image(encode_image(img))
+    assert out is not None and out.tolist() == img.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(0, 32),
+    channels=st.integers(1, 4),
+    rate=st.integers(1, 192_000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_audio_roundtrip_property(frames, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    sam = rng.integers(-(2**15), 2**15, size=(frames, channels)).astype(
+        np.int16
+    )
+    r, c, out = decode_audio(encode_audio(rate, sam))
+    assert (r, c) == (rate, channels)
+    assert out.tolist() == sam.tolist()
+
+
+@settings(max_examples=120, deadline=None)
+@given(blob=st.binary(max_size=256))
+def test_decoders_never_crash_on_garbage(blob):
+    """Arbitrary bytes must decode to None or to a valid array — never
+    raise (the Arrow batch path feeds the decoders raw corpus payloads)."""
+    img = decode_image(blob)
+    assert img is None or img.dtype == np.uint8
+    wav = decode_audio(blob)
+    assert wav is None or wav[2].dtype == np.int16
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    blob=st.binary(max_size=64),
+    magic=st.sampled_from([b"P5\n", b"P6\n", b"RIFF"]),
+)
+def test_decoders_never_crash_on_magic_prefixed_garbage(blob, magic):
+    """Garbage that passes the magic check exercises the deep parse
+    paths (header tokenizer, chunk walk)."""
+    payload = magic + blob
+    decode_image(payload)
+    decode_audio(payload)

@@ -175,6 +175,59 @@ def test_compacted_state_equals_uncompacted_fold(spark, tmp_path):
     assert {d for d, _ in got} == {0, 1, 2, 102, 103, 202}
 
 
+def test_stream_compact_between_triggers_matches_fold(spark, tmp_path):
+    """The REAL streaming shape around compact(): an availableNow stream
+    drains b0+b1, compact() runs between triggers (the documented call
+    site), then a second availableNow run on the SAME checkpoint admits
+    b2 — the committed corpus must equal the sequential three-batch fold,
+    with the compacted base carrying all prior state."""
+    import os
+    import time as _time
+
+    batches = _batches(spark) + [_batch2(spark)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+
+    def _write_batch(idx):
+        sub = f"{src}/b{idx}"
+        batches[idx].coalesce(1).write.parquet(sub)
+        for root, _dirs, files in os.walk(sub):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (now + 10 * idx, now + 10 * idx))
+
+    state = AdmissionState(spark, str(tmp_path / "state"))
+
+    def _drain():
+        q = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .writeStream.foreachBatch(state.sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(q, 180)
+
+    _write_batch(0)
+    _write_batch(1)
+    _drain()
+    state.compact()
+    assert state.compacted_upto() >= 1
+    _write_batch(2)
+    _drain()
+
+    got = {r.doc_id: r.content_hash for r in state.admitted().collect()}
+    exp = {
+        r.doc_id: r.content_hash
+        for r in _sequential_fold(spark, batches).collect()
+    }
+    assert got == exp
+    assert set(got) == {0, 1, 2, 102, 103, 202}
+
+
 def test_replay_after_compaction_is_idempotent(spark, tmp_path):
     """Replays stay exactly-once across a compaction boundary: the TAIL
     epoch (written after compaction) replays identically, and even a
