@@ -549,9 +549,9 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
         def _cluster():
             # radius 1000 keeps mean degree ~1.6 at 500k points on the
             # 1e6 box — below the ~4.5 continuum-percolation threshold,
-            # so components stay shallow and label propagation converges
-            # (radius 2000 → degree ~6.3 → a giant component whose
-            # diameter exceeds the 50-iteration fail-loud bound)
+            # so components stay shallow (kept for r4-comparability; the
+            # r5 star-contraction CC also handles the supercritical
+            # giant-component regime in ≤ log₂ n rounds)
             n = int(os.environ.get("BENCH_GEO_POINTS", "500000"))
             pts = synth_points(
                 spark.range(0, n, 1, cores * 2).select(

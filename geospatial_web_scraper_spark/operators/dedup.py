@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.ckpt import checkpoint as _stats_reset_checkpoint
 from .textstats import tokens_expr, winnow_fingerprints_expr, word_ngrams_expr
 
 
@@ -328,60 +329,151 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 50,
 ) -> DataFrame:
-    """→ (id, component): connected components of the near-dup pair graph by
-    iterative min-label propagation — the step that turns pairwise
-    near-duplicates into dedup GROUPS (keep one doc per component).
+    """→ (id, component): connected components of the near-dup pair graph
+    by STAR CONTRACTION — the step that turns pairwise near-duplicates
+    into dedup GROUPS (keep one doc per component).
 
-    Each iteration is one join + one min-aggregate (both shuffle on id, so
-    at 10^10 edges the per-iteration cost is two hash shuffles of the label
-    table); iterations needed = graph diameter, and near-dup components are
-    shallow in practice (dup clusters, not long chains). Deterministic:
-    component id = min member id. localCheckpoint per iteration truncates
-    the growing plan (same pattern as the crawl rounds)."""
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    r5 rewrite: the previous one-hop min-label propagation needed
+    diameter-many rounds (measured 65 at sf0.1 on the radius-chain geo
+    graph — chains with monotone ids defeat plain pointer jumping, since
+    each node's best label is only one hop closer to the min). Star
+    contraction is the standard worst-case-logarithmic MapReduce CC
+    shape instead: each outer round (1) labels every node with the min
+    of itself and its 1-hop neighbors (one edge groupBy — every
+    non-isolated node merges into a strictly-smaller neighbor ball, so
+    the supernode count at least HALVES per round ⇒ ≤ log₂ n outer
+    rounds for any id ordering), (2) compresses the resulting pointer
+    forest to its roots by label-of-label doubling (cheap label-table
+    self-joins, ≤ log₂ chain length), (3) folds the round's labels into
+    the global id→component mapping and rewrites the edge list through
+    them, dropping self-loops and duplicates — the contracted edge set
+    shrinks geometrically, so total work ≈ 2× the first round. All
+    steps are id-keyed equi-joins / hash aggregates; nothing is
+    diameter-bounded.
+
+    Compression runs to the pointer-forest roots (full compression is
+    what makes the halving guarantee ordering-independent: with partial
+    compression an increasing-id chain shifts injectively and nothing
+    merges), detected by the monotone label sum — labels only ever
+    decrease, so an unchanged decimal label-sum ⇔ all pointers are
+    roots (decimal because at corpus scale ids are full-range hashes
+    and ~1e10 of them would overflow an int64 sum). Doublings needed =
+    log₂ of the longest pointer chain, so the inner loop is log-bounded
+    too. The outer loop ends when the contracted edge set is empty.
+    Deterministic: component id = min member id (the component min is a
+    local min in every round, so it survives as its own supernode and
+    every other member contracts into it). Every step checkpoints
+    through :func:`...functions.ckpt.checkpoint` — localCheckpoint plus
+    a Catalyst size-statistics RESET, because self-join chains SQUARE
+    the copied sizeInBytes estimate per step and the driver ends up in
+    multi-megabit BigInteger math (measured r5: 43 s of driver CPU for
+    a 2-row round). Fail-loud past ``max_iters`` on either loop — with
+    halving / doubling those bounds mean >2^max_iters nodes, i.e. they
+    only fire on a real bug."""
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # checkpoint the symmetrized base ONCE — mapping and edges both
+    # derive from it, and the upstream pair plan (a banded self-join or
+    # a grid radius join) must not be evaluated twice
+    sym = _stats_reset_checkpoint(
+        raw.unionByName(
+            raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        .distinct()
-        .localCheckpoint()
     )
-    lab = (
-        edges.select(F.col("a").alias("id"))
+    # the output covers every endpoint (self-loop-only nodes keep their
+    # own id, matching the old propagation's init), but self-loops never
+    # enter the contraction
+    mapping = _stats_reset_checkpoint(
+        sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
     )
-    changed = 0
-    for _ in range(max_iters):
-        nbr = edges.join(lab, edges["a"] == lab["id"]).select(
-            F.col("b").alias("id"), F.col("component")
-        )
-        new_lab = (
-            lab.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        lab = new_lab
-        if changed == 0:
-            break
-    if changed != 0:
-        # a silent exit here would present non-converged labels as final
-        # components — wrong dedup groups with no symptom
+    edges = _stats_reset_checkpoint(
+        sym.filter(F.col("a") != F.col("b")).distinct()
+    )
+
+    def _compress(lab: DataFrame) -> DataFrame:
+        """Pointer-double ``(id, lbl)`` to its forest roots: lbl ← lbl(lbl)
+        until the (monotone-decreasing) label sum stops changing.
+        Checkpoint per step — a lazy f∘f references f twice, so an
+        unmaterialized doubling chain is an exponentially-sized plan."""
+        prev = None
+        for _ in range(max_iters):
+            lab = _stats_reset_checkpoint(
+                lab.alias("x")
+                .join(
+                    lab.alias("y"),
+                    F.col("x.lbl") == F.col("y.id"),
+                    "left",
+                )
+                .select(
+                    F.col("x.id").alias("id"),
+                    F.coalesce(F.col("y.lbl"), F.col("x.lbl")).alias("lbl"),
+                )
+            )
+            cur = lab.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if prev is not None and cur == prev:
+                return lab
+            prev = cur
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            f"iterations ({changed} labels still changing): the pair graph "
-            "has a path longer than max_iters — raise max_iters (iterations "
-            "needed = graph diameter)"
+            f"connected_components pointer compression did not converge "
+            f"in {max_iters} doublings (chain longer than 2^{max_iters})"
         )
-    return lab
+
+    for _ in range(max_iters):
+        if edges.isEmpty():
+            return mapping
+        # star step: every node points at the min of its 1-hop ball
+        lab = _compress(
+            _stats_reset_checkpoint(
+                edges.groupBy("a")
+                .agg(F.min("b").alias("nb"))
+                .select(
+                    F.col("a").alias("id"),
+                    F.least(F.col("a"), F.col("nb")).alias("lbl"),
+                )
+            )
+        )
+        # fold this round's supernode labels into the global mapping
+        # (ids whose supernode is already final stay put via the left
+        # join — their component no longer appears in the edge set)
+        mapping = _stats_reset_checkpoint(
+            mapping.alias("m")
+            .join(
+                lab.alias("l"),
+                F.col("m.component") == F.col("l.id"),
+                "left",
+            )
+            .select(
+                F.col("m.id").alias("id"),
+                F.coalesce(F.col("l.lbl"), F.col("m.component")).alias(
+                    "component"
+                ),
+            )
+        )
+        # contract: rewrite both endpoints through the labels, drop the
+        # collapsed self-loops and merged duplicates
+        la = lab.select(
+            F.col("id").alias("a"), F.col("lbl").alias("na")
+        )
+        lb = lab.select(
+            F.col("id").alias("b"), F.col("lbl").alias("nb2")
+        )
+        edges = _stats_reset_checkpoint(
+            edges.join(la, "a")
+            .join(lb, "b")
+            .select(F.col("na").alias("a"), F.col("nb2").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    # a silent exit here would present non-converged labels as final
+    # components — wrong dedup groups with no symptom
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} contraction "
+        f"rounds: the pair graph would need more than 2^{max_iters} nodes "
+        "for that, so this is a bug, not a data-shape problem"
+    )
 
 
 # ------------------------------------------------------------------- simhash

@@ -415,18 +415,17 @@ def cluster_points(
 
     Composition of two already-scale-shaped pieces: the grid-bucket
     radius join (:func:`radius_pairs` — equi-join, never a distance
-    theta-join) feeds the same iterative min-label propagation that turns
-    near-dup pairs into dedup groups (``dedup.connected_components`` —
-    one join + one min-agg per iteration, localCheckpoint lineage
-    truncation, fail-loud past ``max_iters``). Iterations needed = the
-    largest cluster's hop diameter: shallow below the continuum
-    percolation threshold (mean degree ≈ 4.5 — i.e. point density ·
-    π·radius² per point), but past it a giant component forms whose
-    diameter grows with the spatial extent and the propagation will hit
-    the ``max_iters`` fail-loud guard — shrink the radius or raise
-    ``max_iters`` deliberately. Sizes come from a map-side-combining
-    groupBy on the high-cardinality cluster_id + an equi-join back —
-    never a window."""
+    theta-join) feeds the same star-contraction components engine that
+    turns near-dup pairs into dedup groups
+    (``dedup.connected_components``). Since the r5 rewrite rounds are
+    ≤ log₂(points), NOT hop-diameter-bounded — past the continuum
+    percolation threshold (mean degree ≈ 4.5, i.e. point density ·
+    π·radius² per point) a giant component forms whose hop diameter
+    grows with the spatial extent, and the old one-hop propagation hit
+    its fail-loud guard there (measured: diameter 65 at sf0.1 with
+    r=20 000); contraction handles it in a handful of rounds. Sizes
+    come from a map-side-combining groupBy on the high-cardinality
+    cluster_id + an equi-join back — never a window."""
     from .dedup import connected_components
 
     pairs = radius_pairs(points, radius, id_col, lat_col, lon_col)

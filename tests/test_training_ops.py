@@ -246,6 +246,56 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == 20 and comp[21] == 20 and comp[22] == 20
 
 
+def test_connected_components_long_increasing_chain(spark):
+    """r5 regression: a 200-hop path with ids INCREASING along it. The
+    pre-r5 one-hop min-label propagation needed diameter-many rounds and
+    hit its 50-iteration fail-loud guard on exactly this shape (and
+    plain pointer jumping doesn't help — each node's best label is only
+    one hop closer to the min); star contraction with full pointer
+    compression must converge in ≤ log₂(n) rounds."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(path).collect()
+    }
+    assert len(comp) == 200
+    assert all(v == 0 for v in comp.values())
+
+
+def test_stats_reset_checkpoint_bounds_size_estimates(spark):
+    """r5 regression: ``Dataset.localCheckpoint`` copies origin-plan
+    statistics, so a checkpointed self-join chain SQUARES sizeInBytes
+    per step — bit length doubles per doubling and the driver ends up
+    in multi-megabit BigInteger multiplications inside the stats
+    visitor (measured: a 2-row contraction round cost 43 s of pure
+    driver CPU). functions.ckpt.checkpoint must keep the estimate at
+    the flat default across an iterated self-join chain."""
+    from geospatial_web_scraper_spark.functions.ckpt import checkpoint
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    d = checkpoint(
+        spark.range(64).select(F.col("id"), F.col("id").alias("lbl"))
+    )
+    base = bits(d)
+    for _ in range(4):
+        d = checkpoint(
+            d.alias("x")
+            .join(d.alias("y"), F.col("x.lbl") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.lbl"), F.col("x.lbl")).alias("lbl"),
+            )
+        )
+    assert bits(d) == base  # un-reset checkpoints: ~16× base after 4 rounds
+    assert d.count() == 64
+
+
 def test_textstats_goldens(spark):
     df = spark.createDataFrame(
         [
