@@ -344,10 +344,13 @@ def connected_components(
     the supernode count at least HALVES per round ⇒ ≤ log₂ n outer
     rounds for any id ordering), (2) compresses the resulting pointer
     forest to its roots by label-of-label doubling (cheap label-table
-    self-joins, ≤ log₂ chain length), (3) folds the round's labels into
-    the global id→component mapping and rewrites the edge list through
-    them, dropping self-loops and duplicates — the contracted edge set
-    shrinks geometrically, so total work ≈ 2× the first round. All
+    self-joins, ≤ log₂ chain length), (3) rewrites the edge list
+    through the round's labels, dropping self-loops and duplicates —
+    the contracted edge set shrinks geometrically, so total work ≈ 2×
+    the first round. The per-round label tables are composed into the
+    final id→component mapping BACKWARD after the loop (suffix-compose
+    from the last, smallest table up: join sizes telescope to ≈2n
+    total, versus folding an n-row global mapping every round). All
     steps are id-keyed equi-joins / hash aggregates; nothing is
     diameter-bounded.
 
@@ -421,9 +424,10 @@ def connected_components(
             f"in {max_iters} doublings (chain longer than 2^{max_iters})"
         )
 
+    labs: list[DataFrame] = []
     for _ in range(max_iters):
         if edges.isEmpty():
-            return mapping
+            break
         # star step: every node points at the min of its 1-hop ball
         lab = _compress(
             _stats_reset_checkpoint(
@@ -435,23 +439,7 @@ def connected_components(
                 )
             )
         )
-        # fold this round's supernode labels into the global mapping
-        # (ids whose supernode is already final stay put via the left
-        # join — their component no longer appears in the edge set)
-        mapping = _stats_reset_checkpoint(
-            mapping.alias("m")
-            .join(
-                lab.alias("l"),
-                F.col("m.component") == F.col("l.id"),
-                "left",
-            )
-            .select(
-                F.col("m.id").alias("id"),
-                F.coalesce(F.col("l.lbl"), F.col("m.component")).alias(
-                    "component"
-                ),
-            )
-        )
+        labs.append(lab)
         # contract: rewrite both endpoints through the labels, drop the
         # collapsed self-loops and merged duplicates
         la = lab.select(
@@ -467,12 +455,46 @@ def connected_components(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    # a silent exit here would present non-converged labels as final
-    # components — wrong dedup groups with no symptom
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} contraction "
-        f"rounds: the pair graph would need more than 2^{max_iters} nodes "
-        "for that, so this is a bug, not a data-shape problem"
+    else:
+        # a silent exit here would present non-converged labels as final
+        # components — wrong dedup groups with no symptom
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"contraction rounds: the pair graph would need more than "
+            f"2^{max_iters} nodes for that, so this is a bug, not a "
+            "data-shape problem"
+        )
+    # suffix-compose the per-round labels, smallest first: comp_r maps
+    # round-r supernodes to their FINAL roots. A round-r label absent
+    # from comp_{r+1} became edge-isolated after round r — already final
+    # (left join + coalesce keeps it).
+    comp = None
+    for lab in reversed(labs):
+        if comp is None:
+            comp = lab.select("id", F.col("lbl").alias("component"))
+            continue
+        comp = _stats_reset_checkpoint(
+            lab.alias("l")
+            .join(comp.alias("c"), F.col("l.lbl") == F.col("c.id"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.coalesce(F.col("c.component"), F.col("l.lbl")).alias(
+                    "component"
+                ),
+            )
+        )
+    if comp is None:
+        return mapping  # no edges at all: every endpoint is its own root
+    # nodes never contracted (self-loop-only) keep their own id
+    return (
+        mapping.alias("m")
+        .join(comp.alias("c"), "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("c.component"), F.col("m.component")).alias(
+                "component"
+            ),
+        )
     )
 
 
