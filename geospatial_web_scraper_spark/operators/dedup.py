@@ -548,6 +548,11 @@ def simhash48_expr(tokens: Column) -> Column:
     DuckDB can oracle-check the whole near-dup pipeline), per-bit ±1 votes
     folded with ``aggregate``. 48 bits so the signature and all shifts stay
     exact in a signed 64-bit long everywhere."""
+    # note (r5 audit): `hashes` is the aggregate's INPUT argument, not a
+    # subtree inside its lambda, so ordinary subexpression elimination
+    # dedupes it across the 48 votes — measured identical wall time with
+    # an explicit array-bind. The no-CSE trap only bites subtrees INSIDE
+    # a lambda body (winnow_fingerprints_expr, token_window_spans_expr).
     hashes = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
     )
@@ -846,15 +851,24 @@ def token_window_spans_expr(text: Column, span_tokens: int = 12) -> Column:
     corpus needs (its synthetic text has no newlines or punctuation). On
     real web text pass ``F.split(text, '\\n')`` (or a sentence splitter)
     to :func:`span_dedup` instead; the dedup dataflow is span-agnostic."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(1), n, F.lit(span_tokens)),
-            lambda start: F.array_join(F.slice(toks, start, span_tokens), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bind the token array once (r5): `slice(toks, start, …)` inside the
+    # transform lambda re-derives the whole tokenization per span (no CSE
+    # in HOF lambdas — the winnow trap). Parity on this corpus's ~50-token
+    # docs (4 spans), but real web documents are 10-100× longer and the
+    # unbound form is O(n²/span) in them.
+    def _spans(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(1), n, F.lit(span_tokens)),
+                lambda start: F.array_join(
+                    F.slice(t, start, span_tokens), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(tokens_expr(text)), _spans), 0)
 
 
 def span_dedup(

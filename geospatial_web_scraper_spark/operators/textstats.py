@@ -176,12 +176,24 @@ def winnow_fingerprints_expr(
     if hash_fn is None:
         hash_fn = F.xxhash64
     hashes = F.transform(grams, lambda g: hash_fn(g))
-    count = F.size(hashes) - F.lit(window - 1)
-    mins = F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        ),
-    ).otherwise(hashes)  # shorter than one window → keep all hashes
-    return F.array_distinct(mins)
+
+    # bind the hash array ONCE via the single-element-array trick: a
+    # non-lambda subtree inside a HOF lambda gets NO common-subexpression
+    # elimination, so `slice(hashes, i, window)` re-derived the whole
+    # gram+hash array PER WINDOW POSITION — O(len²) hashing per doc
+    # (measured r5: 11-13 s of the sf0.1 containment run was this one
+    # expression; ~2 s after binding). Same trap and same fix as the r4
+    # top_ngram_char_frac rewrite.
+    def _window_mins(h: Column) -> Column:
+        cnt = F.size(h) - F.lit(window - 1)
+        return F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            ),
+        ).otherwise(h)  # shorter than one window → keep all hashes
+
+    return F.array_distinct(
+        F.get(F.transform(F.array(hashes), _window_mins), 0)
+    )
