@@ -94,11 +94,20 @@ def _in_radius_candidates(
         F.expr(f"_lat div {int(radius)}").alias("_cy"),
         F.expr(f"_lon div {int(radius)}").alias("_cx"),
     )
+    # mirror_cut probes only the 5 FORWARD offsets (r5): a cross-cell
+    # pair with cell delta d is found by exactly one side — d ∈ FWD or
+    # −d ∈ FWD, and FWD ∪ −FWD covers all 9 offsets intersecting only at
+    # (0,0) — so the probe explosion drops 9× → 5× with the identical
+    # output pair set. Same-cell pairs are still found from both ends
+    # and keep the id gate; cross-cell finds are emitted as
+    # (least, greatest). The neighbor-list form (mirror_cut=False) needs
+    # per-point rows in both directions and keeps the full 3×3.
+    fwd = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    all9 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
+            for dy, dx in (fwd if mirror_cut else all9)
         ]
     )
     probes = cells.select(
@@ -114,9 +123,14 @@ def _in_radius_candidates(
         "_alon",
         (F.col("_cy") + F.col("_o.dy")).alias("_ncy"),
         (F.col("_cx") + F.col("_o.dx")).alias("_ncx"),
+        ((F.col("_o.dy") == 0) & (F.col("_o.dx") == 0)).alias("_same"),
     )
     pair_gate = (
-        F.col("a_id") < F.col("b_id")
+        # same cell: both ends probe it — keep one orientation; forward
+        # cells: found once, any id order
+        F.when(F.col("_same"), F.col("a_id") < F.col("b_id")).otherwise(
+            F.lit(True)
+        )
         if mirror_cut
         else F.col("a_id") != F.col("b_id")
     )
@@ -133,10 +147,15 @@ def _in_radius_candidates(
     dlat = F.col("_alat") - F.col("_blat")
     dlon = F.col("_alon") - F.col("_blon")
     dist2 = (dlat * dlat + dlon * dlon).cast("long")
-    return (
-        joined.select("a_id", "b_id", dist2.alias("dist2"))
-        .where(F.col("dist2") <= r2)
-    )
+    if mirror_cut:
+        out = joined.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            dist2.alias("dist2"),
+        )
+    else:
+        out = joined.select("a_id", "b_id", dist2.alias("dist2"))
+    return out.where(F.col("dist2") <= r2)
 
 
 def radius_pairs(
