@@ -299,9 +299,16 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
         # --- parquet-table operators ----------------------------------------
         # the testdata tables are single parquet files → a 1-partition scan;
         # a production table has many files/splits, so spread the rows once
-        # (operators themselves inherit input partitioning, as they should)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            cores * 2
+        # (operators themselves inherit input partitioning, as they should).
+        # The spread must be MATERIALIZED (r5): a lazy repartition is
+        # defeated by predicate pushdown — Catalyst moves an operator's
+        # first filter BELOW the round-robin exchange, so its expensive
+        # per-row exprs run as ONE task on the single-file scan (measured:
+        # the curate stage-1 gate at 10.9 s single-task vs 0.6 s spread).
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(cores * 2)
+            .localCheckpoint()
         )
         timed("dedup_exact", lambda: dedup.exact_dedup(docs).count(), TRIALS)
 
@@ -420,8 +427,10 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             "curate_corpus_v2",
             lambda: entry_queries.q_curate_corpus_v2(spark, sf_dir).count(),
         )
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-            cores * 2
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(cores * 2)
+            .localCheckpoint()  # same pushdown-defeats-repartition note as docs
         )
         timed(
             "sessionize_events",

@@ -1085,7 +1085,11 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash pipeline over the exact-dedup survivors, the recursive-CTE
     reachability closure) so both sides compose the identical semantics."""
     out = curate_corpus(
-        _docs(spark, sf_dir),
+        # spread + materialize the 1-file scan (r5): pushdown would
+        # otherwise run the stage-1 gate as one task (see v2's note)
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(),
         languages=("en",),
         min_quality=0.3,
         neardup_threshold=0.5,
@@ -1101,7 +1105,10 @@ def q_curate_corpus_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every other stage identical (see ORACLES['curate_corpus_ngram']
     at the end of this file)."""
     out = curate_corpus(
-        _docs(spark, sf_dir),
+        # same spread-and-materialize note as q_curate_corpus
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(),
         languages=("en",),
         min_quality=0.3,
         neardup_threshold=0.5,
@@ -1581,9 +1588,14 @@ def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it once so the gate/minhash scan work parallelizes (a production
     # table has many splits — same note as bench.py), and materialize the
     # curated survivors before the sampling fan-out below re-reads them
-    # twice (audit hash + budget join)
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    # twice (audit hash + budget join). The spread itself must be
+    # MATERIALIZED (r5): predicate pushdown moves the stage-1 gate BELOW
+    # a lazy round-robin exchange, evaluating the expensive gate exprs as
+    # one task on the single-file scan (measured 10.9 s vs 0.6 s spread).
+    docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
     )
     curated = curate_corpus(
         docs.where(F.col("doc_id") % 29 != 0),

@@ -87,11 +87,18 @@ def curate_corpus(
             .where(F.col("contam_frac") > max_contam_frac)
             .select(id_col)
         )
-        gated = gated.join(contaminated, id_col, "left_anti")
+        # materialize (r5): this anti-join feeds exact dedup AND the
+        # survivor semi-join below — unchecked, the whole decontam gram
+        # join re-executes per consumer
+        gated = gated.join(contaminated, id_col, "left_anti").localCheckpoint()
     exact_keep = dedup.exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    uniq = gated.join(exact_keep, id_col, "left_semi")
+    # materialize (r5): uniq fans out to the minhash pair join and the
+    # canonical-keep anti-join — the exact-dedup chain would otherwise run
+    # once per consumer (measured: the warm composed v2 pipeline dropped
+    # 14.7 → ~8 s with these two checkpoints)
+    uniq = gated.join(exact_keep, id_col, "left_semi").localCheckpoint()
     pairs = dedup.minhash_neardup_pairs(
         uniq, threshold=neardup_threshold, id_col=id_col, text_col=text_col
     )
