@@ -427,10 +427,13 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             "curate_corpus_v2",
             lambda: entry_queries.q_curate_corpus_v2(spark, sf_dir).count(),
         )
-        ev = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartition(cores * 2)
-            .localCheckpoint()  # same pushdown-defeats-repartition note as docs
+        # ev stays a LAZY spread: its consumers are aggregations/windows
+        # (partial agg runs above the exchange, so the docs pushdown trap
+        # doesn't apply) and a checkpoint would cost them the parquet
+        # column pruning (measured: asof/sessionize/rollup each +0.3-0.7 s
+        # when ev was checkpointed in the r5 probe run)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            cores * 2
         )
         timed(
             "sessionize_events",
