@@ -2623,6 +2623,37 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, 640, 480)
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end (operators/multimodal.py decode_video /
+    decode_video_frames, r5c): every video asset carries a genuine
+    YUV4MPEG2 stream (synth_y4m_payload — header, FRAME markers, planar
+    Y/U/V; even ids 4:4:4, odd ids 4:2:0) and the operator runs a true
+    decode → per-frame luma mean → fps-exact timestamp sampling pass.
+    The payload generator's arithmetic (dims/fps/frame-count/luma
+    formulas) is duplicated in ORACLES["multimodal_video"] — change both
+    together. every_ms=500 mixes full (2 fps), first+last (3 fps) and
+    every-other (4 fps) sampling across the corpus."""
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import decode_video_frames, synth_y4m_payload
+
+    gen = F.pandas_udf(
+        lambda ids: ids.map(synth_y4m_payload), BinaryType()
+    )
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        gen(F.col("doc_id")).alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return decode_video_frames(media, every_ms=500)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2850,6 +2881,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # composition oracle-checked end-to-end
     "lang_id_ngram": q_lang_id_ngram,
     "curate_corpus_ngram": q_curate_corpus_ngram,
+    # r5c: the REAL Y4M video codec end-to-end — decode → per-frame luma
+    # mean → fps-exact timestamp sampling (closes the last codec stub;
+    # netpbm images and PCM16 WAV landed earlier in r5)
+    "multimodal_video": q_multimodal_video,
 }
 
 
@@ -5276,3 +5311,40 @@ assert ORACLES["lang_id"] in ORACLES["curate_corpus"]
 ORACLES["curate_corpus_ngram"] = ORACLES["curate_corpus"].replace(
     ORACLES["lang_id"], ORACLES["lang_id_ngram"], 1
 )
+
+# multimodal_video — the Y4M payload generator's arithmetic
+# (multimodal.synth_y4m_payload: dims 8+4·(id%4) × 6+2·(id%3), fps
+# (id%3+2):1, 2+id%4 frames, luma pixel = (31·id + 7·f + x + 2·y) mod
+# 256) re-derived in SQL: per sampled frame the oracle brute-forces the
+# luma sum over an unnested x × y pixel grid (≤ 20×10 px × ≤5 frames —
+# trivial at oracle scale) and applies the SAME exact-integer timestamp
+# ((f·1000)//num, den=1) and mean ((1000·Σ)//(w·h)) formulas, with the
+# query's every_ms=500 sampling predicate. Change q_multimodal_video /
+# synth_y4m_payload and this entry together. All operands are
+# non-negative, so Python %, // == DuckDB %, //.
+ORACLES["multimodal_video"] = """
+WITH v AS (
+  SELECT doc_id,
+         (8 + 4 * (doc_id % 4))::BIGINT AS w,
+         (6 + 2 * (doc_id % 3))::BIGINT AS h,
+         (doc_id % 3 + 2)::BIGINT AS num,
+         (2 + doc_id % 4)::BIGINT AS nf
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT v.*, unnest(range(0, nf)) AS f FROM v),
+samp AS (
+  SELECT doc_id, w, h, f, (f * 1000) // num AS ts
+  FROM fr WHERE ((f * 1000) // num) % 500 = 0),
+xx AS (SELECT samp.*, unnest(range(0, w)) AS x FROM samp),
+xy AS (SELECT xx.*, unnest(range(0, h)) AS y FROM xx),
+px AS (
+  SELECT doc_id, f, w, h, ts,
+         sum((31 * doc_id + 7 * f + x + 2 * y) % 256)::BIGINT AS ysum
+  FROM xy GROUP BY doc_id, f, w, h, ts)
+SELECT doc_id AS asset_id,
+       f::INT AS frame_idx,
+       ts::INT AS ts_ms,
+       w::INT AS width,
+       h::INT AS height,
+       ((1000 * ysum) // (w * h))::BIGINT AS mean_y_milli
+FROM px
+"""

@@ -10,8 +10,12 @@ pixel array, exact-integer nearest-neighbor resample — so
 decode→compute→encode on those payloads (r5, VERDICT r4 ask #2). The
 audio codec is likewise REAL for canonical PCM16 WAV
 (:func:`decode_audio` / :func:`encode_audio` — RIFF chunk walk, int16
-frame matrix; r5). COMPRESSED formats (JPEG/PNG/MP3/…) and the video
-codecs remain deterministic marked STUBS: this container ships no
+frame matrix; r5). The video codec is REAL for uncompressed YUV4MPEG2
+streams (:func:`decode_video` / :func:`encode_video` — header parse,
+FRAME walk, planar Y/U/V arrays for mono, 4:4:4 and 4:2:0 layouts;
+r5c), so :func:`decode_video_frames` runs a genuine per-frame
+decode→luma-stats pass. COMPRESSED formats (JPEG/PNG/MP3/H.264/…)
+remain deterministic marked STUBS: this container ships no
 PIL/opencv/ffmpeg, and re-implementing a DCT/inflate stack here would be
 scope theater.
 Each stub is deterministic so tests can assert the full distributed path.
@@ -184,6 +188,173 @@ def encode_audio(rate: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# 4:2:0 layout variants share one plane geometry; the suffix only states
+# the (irrelevant-to-layout) chroma siting convention.
+_Y4M_420 = ("420", "420jpeg", "420mpeg2", "420paldv")
+
+
+def decode_video(
+    payload: bytes,
+) -> tuple[int, int, int, int, str, np.ndarray, np.ndarray | None, np.ndarray | None] | None:
+    """Pure-numpy decoder for uncompressed YUV4MPEG2 (``.y4m``) streams →
+    ``(w, h, fps_num, fps_den, colourspace, y, u, v)`` with ``y`` a
+    ``(frames, h, w)`` uint8 array and ``u``/``v`` the chroma planes
+    (``None`` for mono; ``(frames, h/2, w/2)`` for the 4:2:0 family),
+    or ``None`` when the payload is not well-formed (wrong magic, missing
+    W/H/F params, unsupported colourspace, odd dims under 4:2:0, or a
+    stream whose frame data does not end EXACTLY at the payload tail —
+    strict, like the netpbm/WAV decoders, so arbitrary blobs never
+    false-positive).
+
+    Grammar per the public yuv4mpeg spec: one ``YUV4MPEG2`` header line of
+    space-separated ``W<int> H<int> F<num>:<den> [I?] [A?:?] [C<cs>]
+    [X...]`` parameters, then per frame a ``FRAME[ params]\\n`` marker
+    followed by raw planar samples (Y then U then V). ``C`` defaults to
+    ``420jpeg``; supported layouts are ``mono``, ``444`` and the 4:2:0
+    family (``420``/``420jpeg``/``420mpeg2``/``420paldv``)."""
+    nl = payload.find(b"\n")
+    if nl == -1 or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    w = h = num = den = 0
+    cs = "420jpeg"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                n_b, d_b = val.split(b":")
+                num, den = int(n_b), int(d_b)
+            elif tag == b"C":
+                cs = val.decode("ascii")
+            elif tag in (b"I", b"A", b"X"):
+                pass  # interlacing / aspect / extensions: irrelevant to layout
+            else:
+                return None
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None
+    if cs == "mono":
+        chroma = 0
+    elif cs == "444":
+        chroma = w * h
+    elif cs in _Y4M_420:
+        if w % 2 or h % 2:
+            return None
+        chroma = (w // 2) * (h // 2)
+    else:
+        return None
+    ysize, n = w * h, len(payload)
+    pos = nl + 1
+    ys: list[np.ndarray] = []
+    us: list[np.ndarray] = []
+    vs: list[np.ndarray] = []
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", pos + 5)
+        # optional frame params must be space-introduced
+        if fnl == -1 or (fnl > pos + 5 and payload[pos + 5] != 0x20):
+            return None
+        pos = fnl + 1
+        if pos + ysize + 2 * chroma > n:
+            return None
+        ys.append(np.frombuffer(payload, np.uint8, ysize, pos).reshape(h, w))
+        pos += ysize
+        if chroma:
+            ch, cw = (h, w) if cs == "444" else (h // 2, w // 2)
+            us.append(np.frombuffer(payload, np.uint8, chroma, pos).reshape(ch, cw))
+            vs.append(
+                np.frombuffer(payload, np.uint8, chroma, pos + chroma).reshape(ch, cw)
+            )
+            pos += 2 * chroma
+    if not ys:
+        return None
+    y = np.stack(ys)
+    u = np.stack(us) if us else None
+    v = np.stack(vs) if vs else None
+    return w, h, num, den, cs, y, u, v
+
+
+def encode_video(
+    num: int,
+    den: int,
+    y: np.ndarray,
+    u: np.ndarray | None = None,
+    v: np.ndarray | None = None,
+) -> bytes:
+    """YUV4MPEG2 encoder — the inverse of :func:`decode_video`
+    (``decode(encode(...))`` reproduces every argument exactly). ``y`` is
+    ``(frames, h, w)`` uint8; the colourspace is inferred from the chroma
+    shape: absent → ``mono``, full-size → ``444``, half-size →
+    ``420jpeg``."""
+    if y.ndim != 3:
+        raise ValueError("y must be frames x h x w")
+    if (u is None) != (v is None):
+        raise ValueError("u and v must both be present or both absent")
+    frames, h, w = y.shape
+    if u is None:
+        cs = "mono"
+    elif u.shape == y.shape:
+        cs = "444"
+    elif u.shape == (frames, h // 2, w // 2) and h % 2 == 0 and w % 2 == 0:
+        cs = "420jpeg"
+    else:
+        raise ValueError(f"unsupported chroma shape {u.shape} for luma {y.shape}")
+    if u is not None and v.shape != u.shape:
+        raise ValueError("u and v shapes differ")
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        w,
+        h,
+        num,
+        den,
+        cs.encode("ascii"),
+    )
+    parts = [head]
+    for f in range(frames):
+        parts.append(b"FRAME\n")
+        parts.append(y[f].astype(np.uint8).tobytes())
+        if u is not None:
+            parts.append(u[f].astype(np.uint8).tobytes())
+            parts.append(v[f].astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def synth_y4m_payload(doc_id: int) -> bytes:
+    """Deterministic REAL Y4M stream for the ``multimodal_video`` catalog
+    query: ``w = 8 + 4·(id%4)``, ``h = 6 + 2·(id%3)``, ``fps =
+    (id%3+2):1``, ``2 + id%4`` frames, luma pixel ``(x, y)`` of frame
+    ``f`` = ``(31·id + 7·f + x + 2·y) mod 256``; even ids are 4:4:4,
+    odd ids 4:2:0 (constant chroma planes — the query output depends on
+    luma only). The ORACLES["multimodal_video"] SQL duplicates this
+    arithmetic — change both together."""
+    doc_id = int(doc_id)
+    w, h = 8 + 4 * (doc_id % 4), 6 + 2 * (doc_id % 3)
+    num, nf = doc_id % 3 + 2, 2 + doc_id % 4
+    f = np.arange(nf, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    yy = np.arange(h, dtype=np.int64)[None, :, None]
+    y = ((31 * doc_id + 7 * f + x + 2 * yy) % 256).astype(np.uint8)
+    if doc_id % 2 == 0:
+        ch, cw = h, w
+    else:
+        ch, cw = h // 2, w // 2
+    u = (
+        np.broadcast_to(((17 * doc_id + f) % 256).astype(np.uint8), (nf, ch, cw))
+        .copy()
+    )
+    v = (
+        np.broadcast_to(((29 * doc_id + 2 * f) % 256).astype(np.uint8), (nf, ch, cw))
+        .copy()
+    )
+    return encode_video(num, 1, y, u, v)
+
+
 def _real_audio_feature(rate: int, channels: int, samples: np.ndarray) -> list[float]:
     """8-dim feature from REAL decoded PCM frames — integer sums with a
     single final divide (bit-deterministic), mirroring the image path:
@@ -237,12 +408,31 @@ def _real_image_feature(img: np.ndarray) -> list[float]:
     ]
 
 
+def _real_video_feature(
+    w: int, h: int, num: int, den: int, y: np.ndarray
+) -> list[float]:
+    """8-dim feature from REAL decoded luma planes — integer sums with a
+    single final divide, mirroring the image/audio paths: dims, frame
+    count, fps ratio, luma min/max/mean."""
+    return [
+        float(w),
+        float(h),
+        float(y.shape[0]),
+        round(num / den, 6),
+        float(int(y.min())),
+        float(int(y.max())),
+        round(int(y.sum(dtype=np.int64)) / y.size, 6),
+        round(int((y > 127).sum(dtype=np.int64)) / y.size, 6),
+    ]
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """media → (asset_id, kind, n_bytes, feature). Arrow-batched iterator;
     one output row per asset. Netpbm payloads get REAL decoded-pixel
     features (:func:`_real_image_feature`), PCM16 WAV payloads REAL
-    decoded-frame features (:func:`_real_audio_feature`); anything else
-    falls back to the deterministic byte-fold stub."""
+    decoded-frame features (:func:`_real_audio_feature`), Y4M payloads
+    REAL decoded-luma features (:func:`_real_video_feature`); anything
+    else falls back to the deterministic byte-fold stub."""
 
     def _feature(b) -> list[float]:
         raw = bytes(b or b"")
@@ -252,6 +442,10 @@ def decode_features(media: DataFrame) -> DataFrame:
         wav = decode_audio(raw)
         if wav is not None:
             return _real_audio_feature(*wav)
+        vid = decode_video(raw)
+        if vid is not None:
+            w, h, num, den, _cs, y, _u, _v = vid
+            return _real_video_feature(w, h, num, den, y)
         return _fake_decode_feature(raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,9 +464,12 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame (row explosion
-    inside mapInPandas — variable fan-out per input row). Frame decode is
-    stubbed (raises for non-video kinds; emits deterministic frame stats)."""
+    """METADATA-driven video frame sampling: one output row per sampled
+    frame (row explosion inside mapInPandas — variable fan-out per input
+    row). Frame decode is stubbed here (deterministic frame stats from
+    duration/size metadata) — this is the path for opaque COMPRESSED
+    payloads; uncompressed Y4M streams get the real decode in
+    :func:`decode_video_frames`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -311,6 +508,73 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, ts_ms int, width int, height int, "
+    "mean_y_milli long"
+)
+
+
+def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling over Y4M payloads → one row per sampled
+    frame: ``(asset_id, frame_idx, ts_ms, width, height, mean_y_milli)``.
+
+    Frame ``f``'s timestamp is ``(f · 1000 · den) // num`` ms (exact
+    integer arithmetic from the header's ``F<num>:<den>`` rate); a frame
+    is emitted iff ``ts_ms % every_ms == 0``. ``mean_y_milli`` is the
+    luma-plane mean in milli-units via one integer divide
+    (``(1000 · Σ luma) // (w·h)``) — bit-deterministic, so the catalog's
+    ``multimodal_video`` oracle mirrors it value-for-value.
+
+    Payloads that are not well-formed Y4M are DROPPED here (this is the
+    real-codec path; the metadata-driven stub sampler
+    :func:`sample_frames` covers opaque compressed payloads). Same
+    mapInPandas row-explosion shape as :func:`sample_frames` — variable
+    fan-out per input row, Arrow-batched."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+
+    _OUT = {
+        "asset_id": "int64",
+        "frame_idx": "int32",
+        "ts_ms": "int32",
+        "width": "int32",
+        "height": "int32",
+        "mean_y_milli": "int64",
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vid = pdf[pdf["kind"] == "video"]
+            aid = vid["asset_id"].to_numpy()
+            payloads = vid["payload"].to_numpy(dtype="object")
+            out: dict[str, list] = {k: [] for k in _OUT}
+            for i in range(len(vid)):
+                dec = decode_video(bytes(payloads[i] or b""))
+                if dec is None:
+                    continue
+                w, h, num, den, _cs, y, _u, _v = dec
+                size = w * h
+                for f in range(y.shape[0]):
+                    ts = (f * 1000 * den) // num
+                    if ts % every_ms:
+                        continue
+                    out["asset_id"].append(int(aid[i]))
+                    out["frame_idx"].append(f)
+                    out["ts_ms"].append(ts)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_y_milli"].append(
+                        (1000 * int(y[f].sum(dtype=np.int64))) // size
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = (

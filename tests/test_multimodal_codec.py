@@ -309,3 +309,196 @@ def test_decoders_never_crash_on_magic_prefixed_garbage(blob, magic):
     payload = magic + blob
     decode_image(payload)
     decode_audio(payload)
+
+
+# ------------------------------------------------------------ y4m codec
+
+from geospatial_web_scraper_spark.operators.multimodal import (  # noqa: E402
+    decode_video,
+    decode_video_frames,
+    encode_video,
+    synth_y4m_payload,
+)
+
+
+def _y4m(frames=2, h=4, w=6, num=30, den=1, chroma=None, seed=3):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+    if chroma == "444":
+        u = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+        v = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+    elif chroma == "420":
+        u = rng.integers(0, 256, size=(frames, h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(0, 256, size=(frames, h // 2, w // 2), dtype=np.uint8)
+    else:
+        u = v = None
+    return encode_video(num, den, y, u, v), y, u, v
+
+
+@pytest.mark.parametrize("chroma", [None, "444", "420"])
+def test_y4m_roundtrip(chroma):
+    payload, y, u, v = _y4m(chroma=chroma)
+    dec = decode_video(payload)
+    assert dec is not None
+    w, h, num, den, cs, y2, u2, v2 = dec
+    assert (w, h, num, den) == (6, 4, 30, 1)
+    assert y2.tolist() == y.tolist()
+    if chroma is None:
+        assert cs == "mono" and u2 is None and v2 is None
+    else:
+        assert cs == ("444" if chroma == "444" else "420jpeg")
+        assert u2.tolist() == u.tolist() and v2.tolist() == v.tolist()
+
+
+def test_y4m_golden_header_and_layout():
+    payload, y, _, _ = _y4m(frames=1, h=2, w=3, num=25, den=2)
+    assert payload.startswith(b"YUV4MPEG2 W3 H2 F25:2 Ip A1:1 Cmono\nFRAME\n")
+    # raster is row-major Y samples immediately after the FRAME marker
+    assert payload[-6:] == y[0].tobytes()
+
+
+def test_y4m_tolerates_frame_params_and_defaults_to_420():
+    # no C param -> 420jpeg default; frame-level params are skipped
+    raw = (
+        b"YUV4MPEG2 W4 H2 F1:1 Xmeta\n"
+        + b"FRAME Ix\n"
+        + bytes(range(8))  # Y 4x2
+        + bytes([1, 2])  # U 2x1
+        + bytes([3, 4])  # V 2x1
+    )
+    dec = decode_video(raw)
+    assert dec is not None
+    w, h, num, den, cs, y, u, v = dec
+    assert (w, h, cs) == (4, 2, "420jpeg")
+    assert y[0].tolist() == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    assert u[0].tolist() == [[1, 2]] and v[0].tolist() == [[3, 4]]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: b"",  # empty
+        lambda p: b"JUV" + p[3:],  # wrong magic
+        lambda p: p.replace(b" W6", b"", 1),  # missing width
+        lambda p: p.replace(b" F30:1", b" F30", 1),  # malformed rate
+        lambda p: p.replace(b" F30:1", b" F0:1", 1),  # zero rate
+        lambda p: p.replace(b"Cmono", b"C422", 1),  # unsupported cs
+        lambda p: p.replace(b"Cmono", b"Qmono", 1),  # unknown param tag
+        lambda p: p[:-1],  # truncated raster (strict)
+        lambda p: p + b"\x00",  # trailing byte (strict)
+        lambda p: p.replace(b"FRAME\n", b"frame\n", 1),  # bad frame magic
+        lambda p: p.replace(b"FRAME\n", b"FRAMEx\n", 1),  # params w/o space
+        lambda p: p[: p.find(b"\n") + 1],  # zero frames
+        lambda p: p.replace(b" W6 H4", b" W5 H3", 1).replace(
+            b"Cmono", b"C420", 1
+        ),  # odd dims under 4:2:0
+    ],
+)
+def test_y4m_rejects_malformed(mutate):
+    payload, _, _, _ = _y4m()
+    assert decode_video(mutate(payload)) is None
+
+
+def test_synth_y4m_matches_its_oracle_formula():
+    """The catalog generator's luma/dims/fps arithmetic IS the
+    ORACLES["multimodal_video"] SQL — this re-derives it in python."""
+    for did in (2, 5, 8, 11, 14, 17, 20, 23):
+        dec = decode_video(synth_y4m_payload(did))
+        assert dec is not None
+        w, h, num, den, cs, y, u, v = dec
+        assert (w, h) == (8 + 4 * (did % 4), 6 + 2 * (did % 3))
+        assert (num, den) == (did % 3 + 2, 1)
+        assert y.shape[0] == 2 + did % 4
+        assert cs == ("444" if did % 2 == 0 else "420jpeg")
+        f = np.arange(y.shape[0])[:, None, None]
+        x = np.arange(w)[None, None, :]
+        yy = np.arange(h)[None, :, None]
+        exp = (31 * did + 7 * f + x + 2 * yy) % 256
+        assert y.tolist() == exp.astype(np.uint8).tolist()
+
+
+def test_decode_video_frames_real_path(spark):
+    """Real decode → fps-exact timestamp sampling → luma mean. At F4:1
+    frame timestamps are 0/250/500/750 ms, so every_ms=500 keeps frames
+    0 and 2; at F2:1 (0/500 ms) it keeps both. Non-video kinds and
+    non-Y4M payloads are dropped."""
+    y4 = np.stack([np.full((2, 2), 10 * (f + 1), dtype=np.uint8) for f in range(4)])
+    p4 = encode_video(4, 1, y4)
+    y2 = np.stack([np.full((2, 2), 7, dtype=np.uint8), np.full((2, 2), 9, dtype=np.uint8)])
+    p2 = encode_video(2, 1, y2)
+    rows = decode_video_frames(
+        _media(
+            spark,
+            [
+                (1, "video", p4, None, None, None),
+                (2, "video", p2, None, None, None),
+                (3, "video", b"not a stream", None, None, None),
+                (4, "image", p4, None, None, None),
+            ],
+        ),
+        every_ms=500,
+    ).collect()
+    got = sorted((r.asset_id, r.frame_idx, r.ts_ms, r.mean_y_milli) for r in rows)
+    assert got == [
+        (1, 0, 0, 10_000),
+        (1, 2, 500, 30_000),
+        (2, 0, 0, 7_000),
+        (2, 1, 500, 9_000),
+    ]
+    assert all(r.width == 2 and r.height == 2 for r in rows)
+
+
+def test_decode_features_real_video(spark):
+    payload, y, _, _ = _y4m(frames=3, h=4, w=6, num=24, den=1)
+    [row] = decode_features(
+        _media(spark, [(1, "video", payload, None, None, None)])
+    ).collect()
+    w, h, frames, fps, mn, mx, mean, bright = row.feature
+    assert (w, h, frames, fps) == (6.0, 4.0, 3.0, 24.0)
+    s = y.astype("int64")
+    assert mn == float(s.min()) and mx == float(s.max())
+    assert mean == pytest.approx(int(s.sum()) / s.size, abs=1e-2)
+    assert bright == pytest.approx(int((s > 127).sum()) / s.size, abs=1e-2)
+    # non-Y4M video payload keeps the byte-fold stub
+    [stub] = decode_features(
+        _media(spark, [(2, "video", b"\x01\x02\x03", None, None, None)])
+    ).collect()
+    assert len(stub.feature) == 8 and stub.feature != row.feature
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(1, 6),
+    w=st.integers(1, 5),
+    h=st.integers(1, 5),
+    num=st.integers(1, 120),
+    den=st.integers(1, 4),
+    chroma=st.sampled_from(["mono", "444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_video_roundtrip_property(frames, w, h, num, den, chroma, seed):
+    if chroma == "420":
+        w, h = 2 * w, 2 * h
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+    u = v = None
+    if chroma != "mono":
+        cw, ch_ = (w, h) if chroma == "444" else (w // 2, h // 2)
+        u = rng.integers(0, 256, size=(frames, ch_, cw), dtype=np.uint8)
+        v = rng.integers(0, 256, size=(frames, ch_, cw), dtype=np.uint8)
+    dec = decode_video(encode_video(num, den, y, u, v))
+    assert dec is not None
+    w2, h2, n2, d2, _cs, y2, u2, v2 = dec
+    assert (w2, h2, n2, d2) == (w, h, num, den)
+    assert y2.tolist() == y.tolist()
+    if u is not None:
+        assert u2.tolist() == u.tolist() and v2.tolist() == v.tolist()
+
+
+@settings(max_examples=80, deadline=None)
+@given(blob=st.binary(max_size=192), prefix=st.sampled_from(
+    [b"", b"YUV4MPEG2 ", b"YUV4MPEG2 W4 H4 F1:1 Cmono\n",
+     b"YUV4MPEG2 W4 H4 F1:1 Cmono\nFRAME\n"]))
+def test_video_decoder_never_crashes(blob, prefix):
+    out = decode_video(prefix + blob)
+    assert out is None or out[5].dtype == np.uint8
