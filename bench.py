@@ -615,6 +615,37 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("cms_token_counts", _cms)
 
+        # --- r5c: the REAL video codec at bench scale — synth Y4M streams
+        # for every video-kind doc (~sf·200k assets), then the composed
+        # decode → frame-sample → letterbox luma thumbnail pass; the agg
+        # reads the computed column so projection pruning can't skip the
+        # decode. Generation is inside the timing on purpose: it is the
+        # same Arrow-batch shape a real ingest pays.
+        def _thumbs():
+            from pyspark.sql.types import BinaryType
+
+            from geospatial_web_scraper_spark.operators.multimodal import (
+                synth_y4m_payload,
+                thumbnail_frames,
+            )
+
+            gen = F.pandas_udf(
+                lambda ids: ids.map(synth_y4m_payload), BinaryType()
+            )
+            media = docs.where(F.col("doc_id") % 3 == 2).select(
+                F.col("doc_id").alias("asset_id"),
+                F.lit("video").alias("kind"),
+                gen(F.col("doc_id")).alias("payload"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            )
+            thumbnail_frames(media, 500, 64, 48).agg(
+                F.sum("mean_y_milli"), F.count("*")
+            ).collect()
+
+        timed("multimodal_thumbs", _thumbs)
+
         serving_res = ivf_pq_serving_bench(spark, cores) if serving else None
         calibration["end"] = calibration_probe(spark)
 

@@ -2654,6 +2654,36 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(media, every_ms=500)
 
 
+def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed real-codec pipeline (multimodal.thumbnail_frames, r5c):
+    Y4M decode → fps-exact frame sampling → exact-integer letterbox
+    nearest-neighbor luma thumbnail → integer stats, all in ONE Arrow
+    pass. The 64×48 target mixes width-limited (4·h0 ≤ 3·w0) and
+    height-limited source shapes across the corpus; the oracle
+    re-derives the resampled luma sum from the synth_y4m_payload pixel
+    formula and the floor mapping ``src = (dst·src_dim)//out_dim`` —
+    change q/oracle/generator together."""
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import synth_y4m_payload, thumbnail_frames
+
+    gen = F.pandas_udf(
+        lambda ids: ids.map(synth_y4m_payload), BinaryType()
+    )
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        gen(F.col("doc_id")).alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return thumbnail_frames(media, every_ms=500, width=64, height=48)
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2885,6 +2915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mean → fps-exact timestamp sampling (closes the last codec stub;
     # netpbm images and PCM16 WAV landed earlier in r5)
     "multimodal_video": q_multimodal_video,
+    # r5c: the composed codec pipeline — decode → sample → letterbox
+    # nearest-neighbor luma thumbnail → stats in one Arrow pass
+    "multimodal_thumbs": q_multimodal_thumbs,
 }
 
 
@@ -5346,5 +5379,46 @@ SELECT doc_id AS asset_id,
        w::INT AS width,
        h::INT AS height,
        ((1000 * ysum) // (w * h))::BIGINT AS mean_y_milli
+FROM px
+"""
+
+# multimodal_thumbs — the composed chain (Y4M decode → every_ms=500
+# sampling → 64×48 letterbox NN luma thumbnail → milli-unit mean)
+# re-derived in SQL: the letterbox CASE duplicates resize_images' exact
+# integer fit, the resample is the floor mapping src=(dst·src)//out
+# applied INSIDE the pixel formula, and the luma sum brute-forces the
+# OUTPUT grid (≤64×48 px × ≤5 frames per video — fine at oracle scale).
+# Change q_multimodal_thumbs / synth_y4m_payload / nn_resample and this
+# entry together. All operands non-negative → %, // agree across engines.
+ORACLES["multimodal_thumbs"] = """
+WITH v AS (
+  SELECT doc_id,
+         (8 + 4 * (doc_id % 4))::BIGINT AS w,
+         (6 + 2 * (doc_id % 3))::BIGINT AS h,
+         (doc_id % 3 + 2)::BIGINT AS num,
+         (2 + doc_id % 4)::BIGINT AS nf
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT v.*, unnest(range(0, nf)) AS f FROM v),
+samp AS (
+  SELECT doc_id, w, h, f, (f * 1000) // num AS ts
+  FROM fr WHERE ((f * 1000) // num) % 500 = 0),
+d AS (
+  SELECT samp.*,
+         CASE WHEN 64 * h <= 48 * w THEN 64 ELSE (w * 48) // h END AS ow,
+         CASE WHEN 64 * h <= 48 * w THEN (h * 64) // w ELSE 48 END AS oh
+  FROM samp),
+gx AS (SELECT d.*, unnest(range(0, ow)) AS ox FROM d),
+gxy AS (SELECT gx.*, unnest(range(0, oh)) AS oy FROM gx),
+px AS (
+  SELECT doc_id, f, ts, ow, oh,
+         sum((31 * doc_id + 7 * f + (ox * w) // ow + 2 * ((oy * h) // oh))
+             % 256)::BIGINT AS ysum
+  FROM gxy GROUP BY doc_id, f, ts, ow, oh)
+SELECT doc_id AS asset_id,
+       f::INT AS frame_idx,
+       ts::INT AS ts_ms,
+       ow::INT AS out_width,
+       oh::INT AS out_height,
+       ((1000 * ysum) // (ow * oh))::BIGINT AS mean_y_milli
 FROM px
 """

@@ -577,6 +577,82 @@ def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+THUMB_SCHEMA = (
+    "asset_id long, frame_idx int, ts_ms int, out_width int, "
+    "out_height int, mean_y_milli long"
+)
+
+
+def thumbnail_frames(
+    media: DataFrame, every_ms: int, width: int, height: int
+) -> DataFrame:
+    """Composed REAL-codec video pipeline: Y4M decode → fps-exact frame
+    sampling (the :func:`decode_video_frames` timestamp rule) →
+    exact-integer letterbox nearest-neighbor thumbnail of the LUMA plane
+    (the :func:`resize_images` fit arithmetic + :func:`nn_resample`
+    mapping) → integer thumbnail stats, one row per sampled frame.
+
+    ``mean_y_milli`` is ``(1000 · Σ resampled luma) // (ow·oh)`` —
+    because the resample mapping is the exact floor rule
+    ``src = (dst · src_dim) // out_dim``, the whole chain is
+    SQL-expressible and the ``multimodal_thumbs`` catalog row
+    oracle-checks it value-for-value. Non-Y4M payloads are dropped
+    (real-codec path; compressed payloads go through the stub sampler).
+    Upscaling is allowed — pure fit semantics, like :func:`resize_images`."""
+    if every_ms <= 0 or width <= 0 or height <= 0:
+        raise ValueError("every_ms and target dims must be positive")
+    W, H = int(width), int(height)
+
+    _OUT = {
+        "asset_id": "int64",
+        "frame_idx": "int32",
+        "ts_ms": "int32",
+        "out_width": "int32",
+        "out_height": "int32",
+        "mean_y_milli": "int64",
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vid = pdf[pdf["kind"] == "video"]
+            aid = vid["asset_id"].to_numpy()
+            payloads = vid["payload"].to_numpy(dtype="object")
+            out: dict[str, list] = {k: [] for k in _OUT}
+            for i in range(len(vid)):
+                dec = decode_video(bytes(payloads[i] or b""))
+                if dec is None:
+                    continue
+                w0, h0, num, den, _cs, y, _u, _v = dec
+                if W * h0 <= H * w0:
+                    ow, oh = W, (h0 * W) // w0
+                else:
+                    ow, oh = (w0 * H) // h0, H
+                if ow == 0 or oh == 0:
+                    # extreme aspect ratio floors the fitted dim to 0 —
+                    # no thumbnail to emit (and no 0-div in the mean)
+                    continue
+                for f in range(y.shape[0]):
+                    ts = (f * 1000 * den) // num
+                    if ts % every_ms:
+                        continue
+                    thumb = nn_resample(y[f], ow, oh)
+                    out["asset_id"].append(int(aid[i]))
+                    out["frame_idx"].append(f)
+                    out["ts_ms"].append(ts)
+                    out["out_width"].append(ow)
+                    out["out_height"].append(oh)
+                    out["mean_y_milli"].append(
+                        (1000 * int(thumb.sum(dtype=np.int64))) // (ow * oh)
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, THUMB_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = (
     "asset_id long, out_width int, out_height int, n_bytes long, "
     "checksum long"

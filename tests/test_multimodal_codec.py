@@ -502,3 +502,88 @@ def test_video_roundtrip_property(frames, w, h, num, den, chroma, seed):
 def test_video_decoder_never_crashes(blob, prefix):
     out = decode_video(prefix + blob)
     assert out is None or out[5].dtype == np.uint8
+
+
+def test_thumbnail_frames_composed_real_path(spark):
+    """decode → sample → letterbox NN luma thumbnail → stats. A 6×4
+    source into a 3×2 target is width-limited (3·4 ≤ 2·6) → 3×2 thumb
+    picking src cols (0,2,4) × rows (0,2); a 4×8 source is
+    height-limited → 1×2."""
+    from geospatial_web_scraper_spark.operators.multimodal import (
+        thumbnail_frames,
+    )
+
+    y1 = np.arange(24, dtype=np.uint8).reshape(1, 4, 6) * 10
+    y2 = np.full((2, 8, 4), 100, dtype=np.uint8)  # tall: h=8, w=4
+    rows = thumbnail_frames(
+        _media(
+            spark,
+            [
+                (1, "video", encode_video(2, 1, y1), None, None, None),
+                (2, "video", encode_video(2, 1, y2), None, None, None),
+                (3, "video", b"garbage", None, None, None),
+                (4, "image", encode_video(2, 1, y1), None, None, None),
+            ],
+        ),
+        every_ms=500,
+        width=3,
+        height=2,
+    ).collect()
+    got = {
+        (r.asset_id, r.frame_idx): (
+            r.out_width,
+            r.out_height,
+            r.mean_y_milli,
+        )
+        for r in rows
+    }
+    # asset 1: thumb = y1[0][[0,2]][:, [0,2,4]] = [[0,20,40],[120,140,160]]
+    exp1 = (1000 * (0 + 20 + 40 + 120 + 140 + 160)) // 6
+    assert got[(1, 0)] == (3, 2, exp1)
+    # asset 2: 3*8=24 > 2*4=8 → height-limited: ow=(4*2)//8=1, oh=2
+    assert got[(2, 0)] == (1, 2, 100_000)
+    assert got[(2, 1)] == (1, 2, 100_000)
+    assert set(got) == {(1, 0), (2, 0), (2, 1)}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    tw=st.integers(1, 16),
+    th=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_thumbnail_letterbox_matches_resample_mirror(w, h, tw, th, seed):
+    """The operator's thumbnail mean equals a direct python mirror of the
+    letterbox fit + floor-mapping resample — the same arithmetic the
+    multimodal_thumbs oracle re-derives in SQL."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    if tw * h <= th * w:
+        ow, oh = tw, (h * tw) // w
+    else:
+        ow, oh = (w * th) // h, th
+    thumb = nn_resample(y, ow, oh)
+    assert thumb.shape == (oh, ow)
+    sx = (np.arange(ow) * w) // ow
+    sy = (np.arange(oh) * h) // oh
+    exp = y[sy][:, sx]
+    assert thumb.tolist() == exp.tolist()
+
+
+def test_thumbnail_degenerate_fit_dropped(spark):
+    """A 1×32 source into a 4×4 target floors the fitted width to 0 —
+    the asset is dropped instead of dividing by zero."""
+    from geospatial_web_scraper_spark.operators.multimodal import (
+        thumbnail_frames,
+    )
+
+    y = np.zeros((1, 32, 1), dtype=np.uint8)  # h=32, w=1
+    rows = thumbnail_frames(
+        _media(spark, [(1, "video", encode_video(1, 1, y), None, None, None)]),
+        every_ms=1000,
+        width=4,
+        height=4,
+    ).collect()
+    assert rows == []
