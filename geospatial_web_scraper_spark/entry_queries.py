@@ -2684,6 +2684,46 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbnail_frames(media, every_ms=500, width=64, height=48)
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end (multimodal.decode_audio, r5c): every
+    audio asset carries a genuine RIFF/WAVE PCM16 stream
+    (synth_wav_payload) and decode_features runs a true chunk-walk
+    decode; the query projects the exactly-integer feature dims (rate,
+    channels, frames, min/max amplitude — the float means stay out of
+    the hash). The generator's sample arithmetic is duplicated in
+    ORACLES["multimodal_audio"] — change both together. Completes the
+    oracle-driven trio: netpbm images (multimodal_resize real path is
+    golden-pinned), Y4M video (multimodal_video/thumbs), PCM16 audio."""
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import synth_wav_payload
+
+    gen = F.pandas_udf(
+        lambda ids: ids.map(synth_wav_payload), BinaryType()
+    )
+    media = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("audio").alias("kind"),
+            gen(F.col("doc_id")).alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+    )
+    feats = decode_features(media)
+    return feats.select(
+        "asset_id",
+        F.element_at("feature", 1).cast("long").alias("rate"),
+        F.element_at("feature", 2).cast("long").alias("channels"),
+        F.element_at("feature", 3).cast("long").alias("frames"),
+        F.element_at("feature", 4).cast("long").alias("min_amp"),
+        F.element_at("feature", 5).cast("long").alias("max_amp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
@@ -2918,6 +2958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5c: the composed codec pipeline — decode → sample → letterbox
     # nearest-neighbor luma thumbnail → stats in one Arrow pass
     "multimodal_thumbs": q_multimodal_thumbs,
+    # r5c: real RIFF/WAVE PCM16 decode end-to-end (the audio leg of the
+    # oracle-driven codec trio)
+    "multimodal_audio": q_multimodal_audio,
 }
 
 
@@ -5421,4 +5464,32 @@ SELECT doc_id AS asset_id,
        oh::INT AS out_height,
        ((1000 * ysum) // (ow * oh))::BIGINT AS mean_y_milli
 FROM px
+"""
+
+# multimodal_audio — the WAV payload generator's arithmetic
+# (multimodal.synth_wav_payload: rate 8000·(1+id%3), channels 1+id%2,
+# frames 16+id%33, flat sample i = ((13·id + 5·i) mod 2048) − 1024)
+# re-derived in SQL over an unnested flat-sample grid (≤ 98 samples per
+# asset — trivial at oracle scale). The projected feature dims are
+# exactly integer-valued on the Spark side (rate/channels/frames from
+# the header, min/max over int16 samples), so the float→long cast is
+# lossless. Change q_multimodal_audio / synth_wav_payload and this
+# entry together. The %-operand (13·id + 5·i) is non-negative, so
+# Python % == DuckDB %.
+ORACLES["multimodal_audio"] = """
+WITH a AS (
+  SELECT doc_id,
+         (8000 * (1 + doc_id % 3))::BIGINT AS rate,
+         (1 + doc_id % 2)::BIGINT AS channels,
+         (16 + doc_id % 33)::BIGINT AS frames
+  FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT a.*, unnest(range(0, frames * channels)) AS i FROM a),
+m AS (
+  SELECT doc_id, rate, channels, frames,
+         min((13 * doc_id + 5 * i) % 2048 - 1024)::BIGINT AS mn,
+         max((13 * doc_id + 5 * i) % 2048 - 1024)::BIGINT AS mx
+  FROM s GROUP BY doc_id, rate, channels, frames)
+SELECT doc_id AS asset_id, rate, channels, frames,
+       mn AS min_amp, mx AS max_amp
+FROM m
 """

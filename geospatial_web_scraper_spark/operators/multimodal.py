@@ -355,6 +355,22 @@ def synth_y4m_payload(doc_id: int) -> bytes:
     return encode_video(num, 1, y, u, v)
 
 
+def synth_wav_payload(doc_id: int) -> bytes:
+    """Deterministic REAL PCM16 WAV stream for the ``multimodal_audio``
+    catalog query: ``rate = 8000·(1 + id%3)``, ``channels = 1 + id%2``,
+    ``frames = 16 + id%33``, flat sample ``i`` = ``((13·id + 5·i) mod
+    2048) − 1024`` (row-major over frames × channels). The
+    ORACLES["multimodal_audio"] SQL duplicates this arithmetic — change
+    both together."""
+    doc_id = int(doc_id)
+    rate = 8000 * (1 + doc_id % 3)
+    ch = 1 + doc_id % 2
+    frames = 16 + doc_id % 33
+    i = np.arange(frames * ch, dtype=np.int64)
+    samples = ((13 * doc_id + 5 * i) % 2048 - 1024).astype(np.int16)
+    return encode_audio(rate, samples.reshape(frames, ch))
+
+
 def _real_audio_feature(rate: int, channels: int, samples: np.ndarray) -> list[float]:
     """8-dim feature from REAL decoded PCM frames — integer sums with a
     single final divide (bit-deterministic), mirroring the image path:

@@ -587,3 +587,22 @@ def test_thumbnail_degenerate_fit_dropped(spark):
         height=4,
     ).collect()
     assert rows == []
+
+
+def test_synth_wav_matches_its_oracle_formula():
+    """The multimodal_audio generator's sample arithmetic IS the
+    ORACLES["multimodal_audio"] SQL — re-derived here in python."""
+    from geospatial_web_scraper_spark.operators.multimodal import (
+        synth_wav_payload,
+    )
+
+    for did in (1, 4, 7, 10, 13, 34):
+        dec = decode_audio(synth_wav_payload(did))
+        assert dec is not None
+        rate, ch, samples = dec
+        assert rate == 8000 * (1 + did % 3)
+        assert ch == 1 + did % 2
+        assert samples.shape == (16 + did % 33, ch)
+        i = np.arange(samples.size, dtype=np.int64)
+        exp = (13 * did + 5 * i) % 2048 - 1024
+        assert samples.reshape(-1).tolist() == exp.tolist()
