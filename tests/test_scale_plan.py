@@ -655,3 +655,15 @@ def test_multimodal_resize_is_single_arrow_pass_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_multimodal_video_family_single_arrow_pass_no_shuffle(spark):
+    """The real-codec video rows (decode_video_frames / thumbnail_frames
+    / the audio feature projection) must each be ONE Arrow pass behind
+    native filters/projections — no exchange, no join, no window: video
+    payload bytes never shuffle (r5c)."""
+    for name in ("multimodal_video", "multimodal_thumbs", "multimodal_audio"):
+        plan = _plan(entry_mod.queries()[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "windowspecdefinition" not in plan, (name, plan)
