@@ -2623,24 +2623,19 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, 640, 480)
 
 
-def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video codec end-to-end (operators/multimodal.py decode_video /
-    decode_video_frames, r5c): every video asset carries a genuine
-    YUV4MPEG2 stream (synth_y4m_payload — header, FRAME markers, planar
-    Y/U/V; even ids 4:4:4, odd ids 4:2:0) and the operator runs a true
-    decode → per-frame luma mean → fps-exact timestamp sampling pass.
-    The payload generator's arithmetic (dims/fps/frame-count/luma
-    formulas) is duplicated in ORACLES["multimodal_video"] — change both
-    together. every_ms=500 mixes full (2 fps), first+last (3 fps) and
-    every-other (4 fps) sampling across the corpus."""
+def _y4m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared media table for the real-video catalog rows: every asset
+    carries a genuine YUV4MPEG2 stream (synth_y4m_payload; even ids
+    4:4:4, odd ids 4:2:0) under the decode query's modulo-3 kind
+    assignment (doc_id % 3 == 2 → video). The generator's varying
+    moduli (4, 5, 7, 2) are coprime to that filter, so dims/fps/den/
+    frame-count all actually vary over the video population."""
     from pyspark.sql.types import BinaryType
 
-    from .operators.multimodal import decode_video_frames, synth_y4m_payload
+    from .operators.multimodal import synth_y4m_payload
 
-    gen = F.pandas_udf(
-        lambda ids: ids.map(synth_y4m_payload), BinaryType()
-    )
-    media = _docs(spark, sf_dir).select(
+    gen = F.pandas_udf(lambda ids: ids.map(synth_y4m_payload), BinaryType())
+    return _docs(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -2651,7 +2646,20 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return decode_video_frames(media, every_ms=500)
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end (operators/multimodal.py decode_video /
+    decode_video_frames, r5c): a true decode → per-frame luma mean →
+    fps-exact timestamp sampling pass over genuine Y4M payloads
+    (_y4m_media). The generator's arithmetic (dims/fps/frame-count/luma
+    formulas) is duplicated in ORACLES["multimodal_video"] — change both
+    together. every_ms=500 over the fps grid (2 + id%7 over den 1 + id%2)
+    mixes every-frame, every-other and first-frame-only sampling and
+    exercises the non-trivial floor in (f·1000·den)//num."""
+    from .operators.multimodal import decode_video_frames
+
+    return decode_video_frames(_y4m_media(spark, sf_dir), every_ms=500)
 
 
 def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2663,25 +2671,11 @@ def q_multimodal_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the resampled luma sum from the synth_y4m_payload pixel
     formula and the floor mapping ``src = (dst·src_dim)//out_dim`` —
     change q/oracle/generator together."""
-    from pyspark.sql.types import BinaryType
+    from .operators.multimodal import thumbnail_frames
 
-    from .operators.multimodal import synth_y4m_payload, thumbnail_frames
-
-    gen = F.pandas_udf(
-        lambda ids: ids.map(synth_y4m_payload), BinaryType()
+    return thumbnail_frames(
+        _y4m_media(spark, sf_dir), every_ms=500, width=64, height=48
     )
-    media = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("asset_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        gen(F.col("doc_id")).alias("payload"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
-    )
-    return thumbnail_frames(media, every_ms=500, width=64, height=48)
 
 
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5389,12 +5383,12 @@ ORACLES["curate_corpus_ngram"] = ORACLES["curate_corpus"].replace(
 )
 
 # multimodal_video — the Y4M payload generator's arithmetic
-# (multimodal.synth_y4m_payload: dims 8+4·(id%4) × 6+2·(id%3), fps
-# (id%3+2):1, 2+id%4 frames, luma pixel = (31·id + 7·f + x + 2·y) mod
+# (multimodal.synth_y4m_payload: dims 8+4·(id%4) × 6+2·(id%5), fps
+# (2+id%7):(1+id%2), 2+id%4 frames, luma pixel = (31·id + 7·f + x + 2·y) mod
 # 256) re-derived in SQL: per sampled frame the oracle brute-forces the
-# luma sum over an unnested x × y pixel grid (≤ 20×10 px × ≤5 frames —
+# luma sum over an unnested x × y pixel grid (≤ 20×14 px × ≤5 frames —
 # trivial at oracle scale) and applies the SAME exact-integer timestamp
-# ((f·1000)//num, den=1) and mean ((1000·Σ)//(w·h)) formulas, with the
+# ((f·1000·den)//num) and mean ((1000·Σ)//(w·h)) formulas, with the
 # query's every_ms=500 sampling predicate. Change q_multimodal_video /
 # synth_y4m_payload and this entry together. All operands are
 # non-negative, so Python %, // == DuckDB %, //.
@@ -5402,14 +5396,15 @@ ORACLES["multimodal_video"] = """
 WITH v AS (
   SELECT doc_id,
          (8 + 4 * (doc_id % 4))::BIGINT AS w,
-         (6 + 2 * (doc_id % 3))::BIGINT AS h,
-         (doc_id % 3 + 2)::BIGINT AS num,
+         (6 + 2 * (doc_id % 5))::BIGINT AS h,
+         (2 + doc_id % 7)::BIGINT AS num,
+         (1 + doc_id % 2)::BIGINT AS den,
          (2 + doc_id % 4)::BIGINT AS nf
   FROM documents WHERE doc_id % 3 = 2),
 fr AS (SELECT v.*, unnest(range(0, nf)) AS f FROM v),
 samp AS (
-  SELECT doc_id, w, h, f, (f * 1000) // num AS ts
-  FROM fr WHERE ((f * 1000) // num) % 500 = 0),
+  SELECT doc_id, w, h, f, (f * 1000 * den) // num AS ts
+  FROM fr WHERE ((f * 1000 * den) // num) % 500 = 0),
 xx AS (SELECT samp.*, unnest(range(0, w)) AS x FROM samp),
 xy AS (SELECT xx.*, unnest(range(0, h)) AS y FROM xx),
 px AS (
@@ -5437,14 +5432,15 @@ ORACLES["multimodal_thumbs"] = """
 WITH v AS (
   SELECT doc_id,
          (8 + 4 * (doc_id % 4))::BIGINT AS w,
-         (6 + 2 * (doc_id % 3))::BIGINT AS h,
-         (doc_id % 3 + 2)::BIGINT AS num,
+         (6 + 2 * (doc_id % 5))::BIGINT AS h,
+         (2 + doc_id % 7)::BIGINT AS num,
+         (1 + doc_id % 2)::BIGINT AS den,
          (2 + doc_id % 4)::BIGINT AS nf
   FROM documents WHERE doc_id % 3 = 2),
 fr AS (SELECT v.*, unnest(range(0, nf)) AS f FROM v),
 samp AS (
-  SELECT doc_id, w, h, f, (f * 1000) // num AS ts
-  FROM fr WHERE ((f * 1000) // num) % 500 = 0),
+  SELECT doc_id, w, h, f, (f * 1000 * den) // num AS ts
+  FROM fr WHERE ((f * 1000 * den) // num) % 500 = 0),
 d AS (
   SELECT samp.*,
          CASE WHEN 64 * h <= 48 * w THEN 64 ELSE (w * 48) // h END AS ow,
@@ -5467,7 +5463,7 @@ FROM px
 """
 
 # multimodal_audio — the WAV payload generator's arithmetic
-# (multimodal.synth_wav_payload: rate 8000·(1+id%3), channels 1+id%2,
+# (multimodal.synth_wav_payload: rate 8000·(1+id%5), channels 1+id%2,
 # frames 16+id%33, flat sample i = ((13·id + 5·i) mod 2048) − 1024)
 # re-derived in SQL over an unnested flat-sample grid (≤ 98 samples per
 # asset — trivial at oracle scale). The projected feature dims are
@@ -5479,7 +5475,7 @@ FROM px
 ORACLES["multimodal_audio"] = """
 WITH a AS (
   SELECT doc_id,
-         (8000 * (1 + doc_id % 3))::BIGINT AS rate,
+         (8000 * (1 + doc_id % 5))::BIGINT AS rate,
          (1 + doc_id % 2)::BIGINT AS channels,
          (16 + doc_id % 33)::BIGINT AS frames
   FROM documents WHERE doc_id % 3 = 1),

@@ -327,15 +327,20 @@ def encode_video(
 
 def synth_y4m_payload(doc_id: int) -> bytes:
     """Deterministic REAL Y4M stream for the ``multimodal_video`` catalog
-    query: ``w = 8 + 4·(id%4)``, ``h = 6 + 2·(id%3)``, ``fps =
-    (id%3+2):1``, ``2 + id%4`` frames, luma pixel ``(x, y)`` of frame
-    ``f`` = ``(31·id + 7·f + x + 2·y) mod 256``; even ids are 4:4:4,
-    odd ids 4:2:0 (constant chroma planes — the query output depends on
-    luma only). The ORACLES["multimodal_video"] SQL duplicates this
-    arithmetic — change both together."""
+    query: ``w = 8 + 4·(id%4)``, ``h = 6 + 2·(id%5)``, ``fps =
+    (2 + id%7):(1 + id%2)``, ``2 + id%4`` frames, luma pixel ``(x, y)``
+    of frame ``f`` = ``(31·id + 7·f + x + 2·y) mod 256``; even ids are
+    4:4:4, odd ids 4:2:0 (constant chroma planes — the query output
+    depends on luma only). Every varying modulus (4, 5, 7, 2) is coprime
+    to the kind filter's ``id % 3 == 2``, so EACH term actually varies
+    over the video population (the r5c review caught the original %3
+    formulas collapsing to constants there). The
+    ORACLES["multimodal_video"] / ["multimodal_thumbs"] SQL duplicates
+    this arithmetic — change all three together."""
     doc_id = int(doc_id)
-    w, h = 8 + 4 * (doc_id % 4), 6 + 2 * (doc_id % 3)
-    num, nf = doc_id % 3 + 2, 2 + doc_id % 4
+    w, h = 8 + 4 * (doc_id % 4), 6 + 2 * (doc_id % 5)
+    num, den = 2 + doc_id % 7, 1 + doc_id % 2
+    nf = 2 + doc_id % 4
     f = np.arange(nf, dtype=np.int64)[:, None, None]
     x = np.arange(w, dtype=np.int64)[None, None, :]
     yy = np.arange(h, dtype=np.int64)[None, :, None]
@@ -352,18 +357,20 @@ def synth_y4m_payload(doc_id: int) -> bytes:
         np.broadcast_to(((29 * doc_id + 2 * f) % 256).astype(np.uint8), (nf, ch, cw))
         .copy()
     )
-    return encode_video(num, 1, y, u, v)
+    return encode_video(num, den, y, u, v)
 
 
 def synth_wav_payload(doc_id: int) -> bytes:
     """Deterministic REAL PCM16 WAV stream for the ``multimodal_audio``
-    catalog query: ``rate = 8000·(1 + id%3)``, ``channels = 1 + id%2``,
+    catalog query: ``rate = 8000·(1 + id%5)``, ``channels = 1 + id%2``,
     ``frames = 16 + id%33``, flat sample ``i`` = ``((13·id + 5·i) mod
-    2048) − 1024`` (row-major over frames × channels). The
-    ORACLES["multimodal_audio"] SQL duplicates this arithmetic — change
-    both together."""
+    2048) − 1024`` (row-major over frames × channels). The rate modulus
+    is coprime to the kind filter's ``id % 3 == 1`` so the rate actually
+    varies over the audio population (r5c review: the original %3 made
+    it a constant 16000). The ORACLES["multimodal_audio"] SQL duplicates
+    this arithmetic — change both together."""
     doc_id = int(doc_id)
-    rate = 8000 * (1 + doc_id % 3)
+    rate = 8000 * (1 + doc_id % 5)
     ch = 1 + doc_id % 2
     frames = 16 + doc_id % 33
     i = np.arange(frames * ch, dtype=np.int64)
@@ -532,6 +539,24 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+def _iter_sampled_frames(aid: np.ndarray, payloads: np.ndarray, every_ms: int):
+    """Shared decode + timestamp-sampling walk for the real-codec video
+    operators: yields ``(asset_id, frame_idx, ts_ms, w, h, num, den,
+    luma_plane)`` for every frame whose exact-integer timestamp
+    ``(f · 1000 · den) // num`` is a multiple of ``every_ms``. Non-Y4M
+    payloads are skipped (the strict decoder returns ``None``)."""
+    for i in range(len(aid)):
+        dec = decode_video(bytes(payloads[i] or b""))
+        if dec is None:
+            continue
+        w, h, num, den, _cs, y, _u, _v = dec
+        for f in range(y.shape[0]):
+            ts = (f * 1000 * den) // num
+            if ts % every_ms:
+                continue
+            yield int(aid[i]), f, ts, w, h, num, den, y[f]
+
+
 def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL video frame sampling over Y4M payloads → one row per sampled
     frame: ``(asset_id, frame_idx, ts_ms, width, height, mean_y_milli)``.
@@ -563,27 +588,20 @@ def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vid = pdf[pdf["kind"] == "video"]
-            aid = vid["asset_id"].to_numpy()
-            payloads = vid["payload"].to_numpy(dtype="object")
             out: dict[str, list] = {k: [] for k in _OUT}
-            for i in range(len(vid)):
-                dec = decode_video(bytes(payloads[i] or b""))
-                if dec is None:
-                    continue
-                w, h, num, den, _cs, y, _u, _v = dec
-                size = w * h
-                for f in range(y.shape[0]):
-                    ts = (f * 1000 * den) // num
-                    if ts % every_ms:
-                        continue
-                    out["asset_id"].append(int(aid[i]))
-                    out["frame_idx"].append(f)
-                    out["ts_ms"].append(ts)
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["mean_y_milli"].append(
-                        (1000 * int(y[f].sum(dtype=np.int64))) // size
-                    )
+            for aid, f, ts, w, h, _num, _den, plane in _iter_sampled_frames(
+                vid["asset_id"].to_numpy(),
+                vid["payload"].to_numpy(dtype="object"),
+                every_ms,
+            ):
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(f)
+                out["ts_ms"].append(ts)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_y_milli"].append(
+                    (1000 * int(plane.sum(dtype=np.int64))) // (w * h)
+                )
             yield pd.DataFrame(
                 {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
             )
@@ -631,14 +649,12 @@ def thumbnail_frames(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vid = pdf[pdf["kind"] == "video"]
-            aid = vid["asset_id"].to_numpy()
-            payloads = vid["payload"].to_numpy(dtype="object")
             out: dict[str, list] = {k: [] for k in _OUT}
-            for i in range(len(vid)):
-                dec = decode_video(bytes(payloads[i] or b""))
-                if dec is None:
-                    continue
-                w0, h0, num, den, _cs, y, _u, _v = dec
+            for aid, f, ts, w0, h0, _num, _den, plane in _iter_sampled_frames(
+                vid["asset_id"].to_numpy(),
+                vid["payload"].to_numpy(dtype="object"),
+                every_ms,
+            ):
                 if W * h0 <= H * w0:
                     ow, oh = W, (h0 * W) // w0
                 else:
@@ -647,19 +663,15 @@ def thumbnail_frames(
                     # extreme aspect ratio floors the fitted dim to 0 —
                     # no thumbnail to emit (and no 0-div in the mean)
                     continue
-                for f in range(y.shape[0]):
-                    ts = (f * 1000 * den) // num
-                    if ts % every_ms:
-                        continue
-                    thumb = nn_resample(y[f], ow, oh)
-                    out["asset_id"].append(int(aid[i]))
-                    out["frame_idx"].append(f)
-                    out["ts_ms"].append(ts)
-                    out["out_width"].append(ow)
-                    out["out_height"].append(oh)
-                    out["mean_y_milli"].append(
-                        (1000 * int(thumb.sum(dtype=np.int64))) // (ow * oh)
-                    )
+                thumb = nn_resample(plane, ow, oh)
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(f)
+                out["ts_ms"].append(ts)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["mean_y_milli"].append(
+                    (1000 * int(thumb.sum(dtype=np.int64))) // (ow * oh)
+                )
             yield pd.DataFrame(
                 {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
             )

@@ -406,8 +406,8 @@ def test_synth_y4m_matches_its_oracle_formula():
         dec = decode_video(synth_y4m_payload(did))
         assert dec is not None
         w, h, num, den, cs, y, u, v = dec
-        assert (w, h) == (8 + 4 * (did % 4), 6 + 2 * (did % 3))
-        assert (num, den) == (did % 3 + 2, 1)
+        assert (w, h) == (8 + 4 * (did % 4), 6 + 2 * (did % 5))
+        assert (num, den) == (2 + did % 7, 1 + did % 2)
         assert y.shape[0] == 2 + did % 4
         assert cs == ("444" if did % 2 == 0 else "420jpeg")
         f = np.arange(y.shape[0])[:, None, None]
@@ -600,9 +600,40 @@ def test_synth_wav_matches_its_oracle_formula():
         dec = decode_audio(synth_wav_payload(did))
         assert dec is not None
         rate, ch, samples = dec
-        assert rate == 8000 * (1 + did % 3)
+        assert rate == 8000 * (1 + did % 5)
         assert ch == 1 + did % 2
         assert samples.shape == (16 + did % 33, ch)
         i = np.arange(samples.size, dtype=np.int64)
         exp = (13 * did + 5 * i) % 2048 - 1024
         assert samples.reshape(-1).tolist() == exp.tolist()
+
+
+def test_synth_formulas_vary_over_their_kind_population():
+    """r5c review regression guard: every varying term of the payload
+    generators must take >1 value over the ids its kind filter actually
+    selects (doc_id % 3 == 2 for video, == 1 for audio) — a modulus that
+    shares a factor with 3 collapses to a constant there and silently
+    un-exercises that leg of the oracle check."""
+    from geospatial_web_scraper_spark.operators.multimodal import (
+        synth_wav_payload,
+        synth_y4m_payload,
+    )
+
+    vids = [decode_video(synth_y4m_payload(i)) for i in range(2, 2 + 3 * 12, 3)]
+    assert all(v is not None for v in vids)
+    ws, hs, nums, dens, nfs = (
+        {v[0] for v in vids},
+        {v[1] for v in vids},
+        {v[2] for v in vids},
+        {v[3] for v in vids},
+        {v[5].shape[0] for v in vids},
+    )
+    assert min(len(ws), len(hs), len(nums), len(dens), len(nfs)) > 1, (
+        ws, hs, nums, dens, nfs,
+    )
+    auds = [decode_audio(synth_wav_payload(i)) for i in range(1, 1 + 3 * 12, 3)]
+    assert all(a is not None for a in auds)
+    rates = {a[0] for a in auds}
+    chans = {a[1] for a in auds}
+    frames = {a[2].shape[0] for a in auds}
+    assert min(len(rates), len(chans), len(frames)) > 1, (rates, chans, frames)
