@@ -1553,6 +1553,19 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency line dedup (operators/dedup.py
+    line_dedup): the same non-overlapping 12-token segments as
+    dedup_spans, but the survival rule is DOCUMENT frequency < 2 —
+    boilerplate present in two or more documents is dropped everywhere
+    (no first-wins survivor), while a segment repeated only within one
+    document survives. The frequency decision is a two-stage distinct
+    aggregate on md5(segment) feeding an equi-join, never a window over
+    the segment hash. Its oracle shares the segmentation CTE with
+    ORACLES["dedup_spans"] verbatim (assert-pinned below the oracle)."""
+    return dedup.line_dedup(_docs(spark, sf_dir))
+
+
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination (operators/dedup.py decontaminate):
     eval set = doc_id % 29 == 0, train = the rest; per train doc the count
@@ -2955,6 +2968,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5c: real RIFF/WAVE PCM16 decode end-to-end (the audio leg of the
     # oracle-driven codec trio)
     "multimodal_audio": q_multimodal_audio,
+    # r5c: CCNet-style frequency-rule boilerplate removal — the sibling
+    # of dedup_spans (first-wins) over the identical segmentation
+    "dedup_lines": q_dedup_lines,
 }
 
 
@@ -5489,3 +5505,43 @@ SELECT doc_id AS asset_id, rate, channels, frames,
        mn AS min_amp, mx AS max_amp
 FROM m
 """
+
+# dedup_lines — the CCNet frequency rule over the SAME 12-token
+# segmentation as dedup_spans. The segmentation CTE is shared verbatim
+# (assert-pinned below): change textstats.token_window_spans_expr, the
+# dedup_spans oracle and this fragment together. Drop rule: document
+# frequency >= 2 → every occurrence dropped (no first-wins survivor);
+# within-document repeats with df = 1 survive.
+_SEG_CTE_FRAGMENT = """ss AS (
+  SELECT doc_id,
+    CASE WHEN len(a) > 0
+         THEN list_transform(range(1, len(a) + 1, 12),
+                             s -> array_to_string(a[s : s + 11], ' '))
+         ELSE []::VARCHAR[] END AS sl
+  FROM toks),
+spans AS (
+  SELECT doc_id,
+    unnest(range(0, len(sl))) AS span_idx,
+    unnest(sl) AS span
+  FROM ss)"""
+
+ORACLES["dedup_lines"] = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM documents),
+{_SEG_CTE_FRAGMENT},
+freq AS (
+  SELECT md5(span) AS h, count(DISTINCT doc_id) AS df_docs
+  FROM spans GROUP BY md5(span)),
+k AS (
+  SELECT s.doc_id, s.span_idx, s.span, f.df_docs < 2 AS kept
+  FROM spans s JOIN freq f ON f.h = md5(s.span))
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+  sum(kept::INT)::BIGINT AS n_kept,
+  md5(coalesce(string_agg(span, ' ' ORDER BY span_idx)
+               FILTER (WHERE kept), '')) AS kept_hash
+FROM k GROUP BY doc_id
+"""
+
+# the two sibling rows must segment identically — a drift in either
+# oracle's slicing arithmetic breaks this import, not a test later
+assert _SEG_CTE_FRAGMENT in ORACLES["dedup_spans"], "dedup_spans segmentation drifted"
+assert _SEG_CTE_FRAGMENT in ORACLES["dedup_lines"], "dedup_lines segmentation drifted"

@@ -909,8 +909,20 @@ def span_dedup(
         (F.col(id_col) == F.col("_first")[id_col])
         & (F.col("span_idx") == F.col("_first")["span_idx"]),
     )
+    return _reassemble_survivors(flagged, id_col, "n_spans")
+
+
+def _reassemble_survivors(
+    flagged: DataFrame, id_col: str, total_alias: str
+) -> DataFrame:
+    """Shared tail of :func:`span_dedup` / :func:`line_dedup`: given the
+    exploded segments with a boolean ``_kept`` flag, reassemble each
+    document from its survivors — ``(id, <total_alias>, n_kept,
+    kept_hash)`` where ``kept_hash`` is the md5 of the surviving segments
+    joined in document order (the cleaned text's identity, without
+    re-emitting the text)."""
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_spans"),
+        F.count("*").alias(total_alias),
         F.sum(F.col("_kept").cast("long")).alias("n_kept"),
         F.md5(
             F.array_join(
@@ -929,6 +941,56 @@ def span_dedup(
             )
         ).alias("kept_hash"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    spans_expr: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """CCNet-style corpus-frequency line dedup (Wenzek et al., LREC'20
+    §4.1 hash every paragraph and drop the ones already seen corpus-wide;
+    the production variant strips high-frequency boilerplate — cookie
+    banners, nav chrome — from EVERY page that carries it): each
+    occurrence of a segment whose corpus DOCUMENT frequency reaches
+    ``min_df`` is dropped, including the first. This is the
+    frequency-rule sibling of :func:`span_dedup` (first-wins keeps one
+    global copy; here boilerplate keeps none) over the identical
+    non-overlapping 12-token segmentation
+    (``textstats.token_window_spans_expr``), so the two rows differ only
+    in the survival rule. Frequency counts documents, not occurrences: a
+    segment repeated within one document but nowhere else survives.
+
+    → one row per document with ≥1 segment:
+    ``(id_col, n_lines, n_kept, kept_hash)`` where ``kept_hash`` is the
+    md5 of the surviving segments joined in document order.
+
+    Scale shape (10^10 docs): the document-frequency table is
+    ``count(DISTINCT id)`` grouped by ``md5(segment)`` — Catalyst expands
+    distinct aggregation into a two-stage plan with map-side partial
+    aggregation on (hash, id), so a banner on 10^9 pages shuffles one row
+    per map task, not 10^9 rows. The df table (one row per DISTINCT
+    segment) hash-joins back onto the exploded segments — an equi-join,
+    with AQE's skew split covering hot segments on the probe side — and
+    only that probe join plus the per-document reassembly shuffle segment
+    text, each exactly once. No window over the segment hash anywhere.
+
+    Reference scope: beyond the Go crawler (no text curation there);
+    first-class LLM-pipeline operator per the build brief."""
+    if spans_expr is None:
+        spans_expr = token_window_spans_expr(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans_expr).alias("span_idx", "span")
+    ).withColumn("span_hash", F.md5("span"))
+    freq = exploded.groupBy("span_hash").agg(
+        F.countDistinct(F.col(id_col)).alias("_df_docs")
+    )
+    flagged = exploded.join(freq, "span_hash").withColumn(
+        "_kept", F.col("_df_docs") < F.lit(int(min_df))
+    )
+    return _reassemble_survivors(flagged, id_col, "n_lines")
 
 
 # ----------------------------------------------------------- decontamination

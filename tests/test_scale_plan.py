@@ -354,6 +354,19 @@ def test_containment_join_is_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_line_dedup_freq_is_aggregate_not_window(spark):
+    """dedup_lines' document-frequency decision must stay a (two-stage,
+    map-side-combining) distinct aggregate on the segment hash feeding an
+    EQUI-join — never a window over the hash (one task per hot segment)
+    and never a nested-loop/cartesian pair scan."""
+    df = entry_mod.queries()["dedup_lines"](spark, SF)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_incremental_verify_is_candidate_bounded(spark):
     """incremental_dedup's gate-3 verify must n-gram-explode the COMMITTED
     corpus only for band-collision candidate ids: the Generate that emits

@@ -993,6 +993,41 @@ def test_span_dedup_first_wins(spark):
     assert out[2]["kept_hash"] == hashlib.md5(b"").hexdigest()
 
 
+def test_line_dedup_frequency_rule(spark):
+    """CCNet frequency rule vs span_dedup's first-wins: a cross-document
+    segment is dropped EVERYWHERE (including its first occurrence), while
+    a segment repeated only WITHIN one document (df = 1) fully survives."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),  # "a b c" shared with doc 1 → dropped here too
+            (1, "a b c x y z"),  # "x y z" unique → kept
+            (2, "k k k k k k"),  # "k k k" twice IN ONE doc, df=1 → both kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            docs, spans_expr=dedup.token_window_spans_expr(F.col("text"), 3)
+        ).collect()
+    }
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (2, 1)
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 1)
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 2)
+    assert out[0]["kept_hash"] == hashlib.md5(b"d e f").hexdigest()
+    assert out[1]["kept_hash"] == hashlib.md5(b"x y z").hexdigest()
+    assert out[2]["kept_hash"] == hashlib.md5(b"k k k k k k").hexdigest()
+    # min_df=3 keeps everything in this corpus (max df is 2)
+    relaxed = dedup.line_dedup(
+        docs,
+        spans_expr=dedup.token_window_spans_expr(F.col("text"), 3),
+        min_df=3,
+    ).collect()
+    assert all(r["n_kept"] == r["n_lines"] for r in relaxed)
+
+
 def test_decontaminate_golden(spark):
     train = spark.createDataFrame(
         [
