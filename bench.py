@@ -330,6 +330,13 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             "minhash_neardup",
             lambda: dedup.minhash_neardup_pairs(docs, threshold=0.3).count(),
         )
+        # filter on kept_hash so the reassembly md5 isn't pruned by count()
+        timed(
+            "dedup_lines",
+            lambda: dedup.line_dedup(docs)
+            .where(F.length("kept_hash") == 32)
+            .count(),
+        )
         timed(
             "simhash_neardup",
             lambda: dedup.simhash_neardup_pairs(docs, max_hamming=6).count(),
