@@ -371,6 +371,15 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("ann_pq_adc", _pq_adc)
 
+        def _pca_power():
+            from geospatial_web_scraper_spark.operators.spectral import (
+                power_iteration_top_component,
+            )
+
+            return power_iteration_top_component(emb, iters=4).count()
+
+        timed("embedding_pca_power", _pca_power)
+
         # --- r3 LLM-data ops: corpus-trained bigram LM gate over the sf
         # documents, and fixed-point PageRank over a synthetic web graph
         # (hash-derived edges, ~10 out-links/node — generated distributed,

@@ -1566,6 +1566,21 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(_docs(spark, sf_dir))
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point power iteration for the top principal axis of the
+    embedding matrix (operators/spectral.py): 4 unrolled rounds of exact
+    BIGINT arithmetic — quantize floor(x·SX), per-row integer fold Gv,
+    per-dim map-side-combining sum GᵀGv, ∞-norm integer renormalize —
+    so Spark and the unrolled DuckDB oracle (_pca_oracle_sql, CTEs AS
+    MATERIALIZED) are bit-exact, the link_pagerank trick in embedding
+    space. SX/SV live in operators/spectral.py and are repr-embedded in
+    the oracle generator — change both together."""
+    from .operators.spectral import power_iteration_top_component
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return power_iteration_top_component(emb, iters=4)
+
+
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination (operators/dedup.py decontaminate):
     eval set = doc_id % 29 == 0, train = the rest; per train doc the count
@@ -2971,6 +2986,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5c: CCNet-style frequency-rule boilerplate removal — the sibling
     # of dedup_spans (first-wins) over the identical segmentation
     "dedup_lines": q_dedup_lines,
+    # r5c: exact-integer power iteration — the spectral family
+    # (link_pagerank's fixed-point trick applied to embedding space)
+    "embedding_pca_power": q_embedding_pca_power,
 }
 
 
@@ -5545,3 +5563,49 @@ FROM k GROUP BY doc_id
 # oracle's slicing arithmetic breaks this import, not a test later
 assert _SEG_CTE_FRAGMENT in ORACLES["dedup_spans"], "dedup_spans segmentation drifted"
 assert _SEG_CTE_FRAGMENT in ORACLES["dedup_lines"], "dedup_lines segmentation drifted"
+
+
+# embedding_pca_power — the spectral fixed-point iteration unrolled.
+# Every cross-row sum is BIGINT (order-independent), downscales are
+# trunc-toward-zero division (DuckDB // == Spark div == the operator's
+# _tdiv, probe-verified on negatives), so the chain is bit-exact. The
+# v/w CTEs cross-reference (each round's w feeds the next v AND the
+# final projection) — AS MATERIALIZED, same gotcha as the deferral and
+# pagerank chains. SX/SV are repr-embedded from operators/spectral.py.
+def _pca_oracle_sql(iters: int = 4) -> str:
+    from .operators.spectral import SV, SX
+
+    parts = [
+        f"""WITH qx AS MATERIALIZED (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS j,
+         -- CAST({SX} AS DOUBLE), NOT a {SX}.0 literal: DuckDB types that
+         -- DECIMAL(8,1) and the decimal multiply rounds differently from
+         -- the IEEE double product Spark computes (one-ulp floor flips,
+         -- measured 119/32000 elements at sf0.01)
+         CAST(floor(unnest(embedding) * CAST({SX} AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT j, {SV}::BIGINT AS vq FROM qx)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT qx.vec_id, sum(qx.q * v.vq) // {SX} AS sd
+  FROM qx JOIN v{t - 1} v USING (j) GROUP BY qx.vec_id),
+w{t} AS MATERIALIZED (
+  SELECT qx.j, sum(qx.q * s.sd)::BIGINT AS w
+  FROM qx JOIN s{t} s USING (vec_id) GROUP BY qx.j),
+m{t} AS MATERIALIZED (
+  SELECT greatest(max(abs(w)) // {SV}, 1) AS md FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT j, w // md AS vq FROM w{t}, m{t})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v.j AS dim_id, v.vq AS pc1_q, w.w AS w_raw
+FROM v{iters} v JOIN w{iters} w USING (j)"""
+    )
+
+
+ORACLES["embedding_pca_power"] = _pca_oracle_sql(4)

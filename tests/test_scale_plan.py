@@ -367,6 +367,24 @@ def test_line_dedup_freq_is_aggregate_not_window(spark):
     assert "HashAggregate" in plan, plan
 
 
+def test_power_iteration_round_is_dim_keyed_aggregate(spark):
+    """embedding_pca_power's per-round Gᵀ(Gv) must be a map-side-combining
+    HashAggregate over the dim keys — never a window, a cartesian, or any
+    join (the iterate is embedded as literals, the kmeans/pagerank
+    model-state pattern) — and the per-row Gv fold must not shuffle."""
+    from geospatial_web_scraper_spark.operators import spectral
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = spectral.quantize(emb)
+    plan = _plan(spectral._dim_products(qdf, [spectral.SV] * 64))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # exactly ONE exchange: the 64-key dim aggregation
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_incremental_verify_is_candidate_bounded(spark):
     """incremental_dedup's gate-3 verify must n-gram-explode the COMMITTED
     corpus only for band-collision candidate ids: the Generate that emits

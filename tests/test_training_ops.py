@@ -1260,3 +1260,38 @@ def test_containment_pairs_directional_and_df_capped(spark):
     assert (0, 1) in got and got[(0, 1)] >= 0.5, got
     assert (1, 0) not in got, got          # asymmetric: big ⊄ small
     assert all(s < 10 or d < 10 for (s, d) in got), got  # boiler capped out
+
+
+def test_power_iteration_matches_numpy_direction(spark):
+    """The fixed-point power iteration converges to numpy's dominant
+    eigenvector of GᵀG (up to the ~1e-6 quantization scales): cosine of
+    the unit directions > 0.999 after 8 rounds on a well-separated
+    spectrum, and |pc1_q| stays within the documented ~2·SV bound."""
+    import numpy as np
+
+    from geospatial_web_scraper_spark.operators import spectral
+
+    rng = np.random.RandomState(7)
+    # rank-ish-1 + noise: dominant direction well separated
+    u = rng.rand(96, 1)
+    v = rng.rand(1, 16) - 0.3
+    g = (0.5 * u @ v + 0.02 * rng.rand(96, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(g)],
+        "vec_id long, embedding array<float>",
+    )
+    out = spectral.power_iteration_top_component(df, iters=8).collect()
+    got = np.zeros(16)
+    for r in out:
+        got[r["dim_id"]] = r["pc1_q"]
+        assert abs(r["pc1_q"]) <= 2 * spectral.SV
+    want = np.linalg.eigh(g.T.astype(np.float64) @ g.astype(np.float64))[1][:, -1]
+    cos = abs(got @ want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.999, cos
+
+
+def test_spectral_tdiv_truncates_toward_zero():
+    from geospatial_web_scraper_spark.operators.spectral import _tdiv
+
+    # Python // floors; Spark div / DuckDB // truncate — _tdiv must too
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3 and _tdiv(-6, 2) == -3
