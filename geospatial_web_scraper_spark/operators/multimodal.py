@@ -193,6 +193,15 @@ def encode_audio(rate: int, samples: np.ndarray) -> bytes:
 _Y4M_420 = ("420", "420jpeg", "420mpeg2", "420paldv")
 
 
+def _y4m_int(val: bytes) -> int:
+    """Strict decimal per the yuv4mpeg grammar — bare ``int()`` also
+    accepts ``+``/``_``/whitespace, which would let malformed headers
+    false-positive past the never-false-positive contract."""
+    if not val or any(c < 0x30 or c > 0x39 for c in val):
+        raise ValueError(val)
+    return int(val)
+
+
 def decode_video(
     payload: bytes,
 ) -> tuple[int, int, int, int, str, np.ndarray, np.ndarray | None, np.ndarray | None] | None:
@@ -223,12 +232,12 @@ def decode_video(
         tag, val = tok[:1], tok[1:]
         try:
             if tag == b"W":
-                w = int(val)
+                w = _y4m_int(val)
             elif tag == b"H":
-                h = int(val)
+                h = _y4m_int(val)
             elif tag == b"F":
                 n_b, d_b = val.split(b":")
-                num, den = int(n_b), int(d_b)
+                num, den = _y4m_int(n_b), _y4m_int(d_b)
             elif tag == b"C":
                 cs = val.decode("ascii")
             elif tag in (b"I", b"A", b"X"):
@@ -298,6 +307,10 @@ def encode_video(
     if (u is None) != (v is None):
         raise ValueError("u and v must both be present or both absent")
     frames, h, w = y.shape
+    # a frame-less / zero-dim stream would encode to a header the strict
+    # decoder rejects, silently breaking the inverse contract — fail here
+    if frames < 1 or h < 1 or w < 1:
+        raise ValueError(f"cannot encode an empty clip (shape {y.shape})")
     if u is None:
         cs = "mono"
     elif u.shape == y.shape:

@@ -107,7 +107,13 @@ def power_iteration_top_component(
     output is simply the exact ``iters``-round iterate (still
     deterministic and oracle-checked bit-for-bit)."""
     spark = df.sparkSession
-    d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    head = df.select(F.size(vec_col).alias("d")).first()
+    if head is None:
+        raise ValueError(
+            "power_iteration_top_component: input DataFrame is empty — "
+            "no embedding rows to derive a dimensionality from"
+        )
+    d = head["d"]
     qdf = quantize(df, vec_col).localCheckpoint()
     vq = [SV] * d
     w = [0] * d

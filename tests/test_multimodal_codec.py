@@ -392,11 +392,22 @@ def test_y4m_tolerates_frame_params_and_defaults_to_420():
         lambda p: p.replace(b" W6 H4", b" W5 H3", 1).replace(
             b"Cmono", b"C420", 1
         ),  # odd dims under 4:2:0
+        lambda p: p.replace(b" W6", b" W+6", 1),  # non-canonical int (sign)
+        lambda p: p.replace(b" F30:1", b" F3_0:1", 1),  # int() '_' separator
     ],
 )
 def test_y4m_rejects_malformed(mutate):
     payload, _, _, _ = _y4m()
     assert decode_video(mutate(payload)) is None
+
+
+def test_encode_video_rejects_empty_clip():
+    """A frame-less (or zero-dim) clip would encode to a header-only
+    stream the strict decoder returns None for — encode must fail loud
+    instead of silently breaking the decode(encode(.)) inverse."""
+    for shape in [(0, 4, 4), (2, 0, 4), (2, 4, 0)]:
+        with pytest.raises(ValueError, match="empty clip"):
+            encode_video(30, 1, np.zeros(shape, np.uint8))
 
 
 def test_synth_y4m_matches_its_oracle_formula():

@@ -1290,6 +1290,18 @@ def test_power_iteration_matches_numpy_direction(spark):
     assert cos > 0.999, cos
 
 
+def test_power_iteration_rejects_empty_input(spark):
+    """An empty embeddings shard must fail loud naming the cause, not
+    TypeError on first() returning None (r5 review)."""
+    import pytest as _pytest
+
+    from geospatial_web_scraper_spark.operators import spectral
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        spectral.power_iteration_top_component(df, iters=1)
+
+
 def test_spectral_tdiv_truncates_toward_zero():
     from geospatial_web_scraper_spark.operators.spectral import _tdiv
 
