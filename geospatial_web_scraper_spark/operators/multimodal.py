@@ -570,6 +570,36 @@ def _iter_sampled_frames(aid: np.ndarray, payloads: np.ndarray, every_ms: int):
             yield int(aid[i]), f, ts, w, h, num, den, y[f]
 
 
+def _sampled_frame_batches(out_dtypes: dict[str, str], every_ms: int, emit):
+    """Shared mapInPandas assembler for the real-codec frame walks
+    (:func:`decode_video_frames` / :func:`thumbnail_frames`): the kind
+    filter, the :func:`_iter_sampled_frames` walk and the typed-column
+    assembly live ONCE; ``emit`` maps one sampled luma frame
+    ``(asset_id, frame_idx, ts_ms, width, height, plane)`` to a row
+    tuple in ``out_dtypes`` order, or ``None`` to drop the frame."""
+    cols = list(out_dtypes)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vid = pdf[pdf["kind"] == "video"]
+            out: dict[str, list] = {k: [] for k in cols}
+            for aid, f, ts, w, h, _num, _den, plane in _iter_sampled_frames(
+                vid["asset_id"].to_numpy(),
+                vid["payload"].to_numpy(dtype="object"),
+                every_ms,
+            ):
+                row = emit(aid, f, ts, w, h, plane)
+                if row is None:
+                    continue
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {k: pd.Series(out[k], dtype=t) for k, t in out_dtypes.items()}
+            )
+
+    return batches
+
+
 def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL video frame sampling over Y4M payloads → one row per sampled
     frame: ``(asset_id, frame_idx, ts_ms, width, height, mean_y_milli)``.
@@ -598,29 +628,11 @@ def decode_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "mean_y_milli": "int64",
     }
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            vid = pdf[pdf["kind"] == "video"]
-            out: dict[str, list] = {k: [] for k in _OUT}
-            for aid, f, ts, w, h, _num, _den, plane in _iter_sampled_frames(
-                vid["asset_id"].to_numpy(),
-                vid["payload"].to_numpy(dtype="object"),
-                every_ms,
-            ):
-                out["asset_id"].append(aid)
-                out["frame_idx"].append(f)
-                out["ts_ms"].append(ts)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_y_milli"].append(
-                    (1000 * int(plane.sum(dtype=np.int64))) // (w * h)
-                )
-            yield pd.DataFrame(
-                {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
-            )
+    def emit(aid, f, ts, w, h, plane):
+        return (aid, f, ts, w, h, (1000 * int(plane.sum(dtype=np.int64))) // (w * h))
 
     return media.filter(F.col("kind") == "video").mapInPandas(
-        batches, VIDEO_FRAME_SCHEMA
+        _sampled_frame_batches(_OUT, every_ms, emit), VIDEO_FRAME_SCHEMA
     )
 
 
@@ -659,38 +671,20 @@ def thumbnail_frames(
         "mean_y_milli": "int64",
     }
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            vid = pdf[pdf["kind"] == "video"]
-            out: dict[str, list] = {k: [] for k in _OUT}
-            for aid, f, ts, w0, h0, _num, _den, plane in _iter_sampled_frames(
-                vid["asset_id"].to_numpy(),
-                vid["payload"].to_numpy(dtype="object"),
-                every_ms,
-            ):
-                if W * h0 <= H * w0:
-                    ow, oh = W, (h0 * W) // w0
-                else:
-                    ow, oh = (w0 * H) // h0, H
-                if ow == 0 or oh == 0:
-                    # extreme aspect ratio floors the fitted dim to 0 —
-                    # no thumbnail to emit (and no 0-div in the mean)
-                    continue
-                thumb = nn_resample(plane, ow, oh)
-                out["asset_id"].append(aid)
-                out["frame_idx"].append(f)
-                out["ts_ms"].append(ts)
-                out["out_width"].append(ow)
-                out["out_height"].append(oh)
-                out["mean_y_milli"].append(
-                    (1000 * int(thumb.sum(dtype=np.int64))) // (ow * oh)
-                )
-            yield pd.DataFrame(
-                {k: pd.Series(out[k], dtype=t) for k, t in _OUT.items()}
-            )
+    def emit(aid, f, ts, w0, h0, plane):
+        if W * h0 <= H * w0:
+            ow, oh = W, (h0 * W) // w0
+        else:
+            ow, oh = (w0 * H) // h0, H
+        if ow == 0 or oh == 0:
+            # extreme aspect ratio floors the fitted dim to 0 —
+            # no thumbnail to emit (and no 0-div in the mean)
+            return None
+        thumb = nn_resample(plane, ow, oh)
+        return (aid, f, ts, ow, oh, (1000 * int(thumb.sum(dtype=np.int64))) // (ow * oh))
 
     return media.filter(F.col("kind") == "video").mapInPandas(
-        batches, THUMB_SCHEMA
+        _sampled_frame_batches(_OUT, every_ms, emit), THUMB_SCHEMA
     )
 
 
