@@ -396,7 +396,7 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             lambda: bigram_lm_scores(docs).groupBy("bucket").count().collect(),
         )
 
-        def _pagerank():
+        def _bench_graph():
             n = int(os.environ.get("BENCH_GRAPH_NODES", "200000"))
             deg = 10
             nodes = spark.range(0, n, 1, cores * 2).select(
@@ -406,11 +406,29 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
                 (F.col("id") % n).alias("src"),
                 F.pmod(F.xxhash64("id"), F.lit(n)).alias("dst"),
             )
+            return nodes, edges
+
+        def _pagerank():
+            nodes, edges = _bench_graph()
             pagerank_fixed_point(nodes, edges, iters=3).agg(
                 F.sum("rank_fp")
             ).collect()
 
         timed("link_pagerank", _pagerank)
+
+        # r5e: HITS over the same synthetic graph — two equi-join shuffles
+        # per iteration vs pagerank's one, same fixed-point discipline
+        from geospatial_web_scraper_spark.operators.graph import (
+            hits_fixed_point,
+        )
+
+        def _hits():
+            nodes, edges = _bench_graph()
+            hits_fixed_point(nodes, edges, iters=3).agg(
+                F.sum("auth_fp")
+            ).collect()
+
+        timed("link_hits", _hits)
 
         # --- r4: the remaining heavy LLM-data paths (VERDICT r3 ask #6) ----
         # directional containment over winnowed fingerprints (df-capped

@@ -34,7 +34,7 @@ from .functions.urls import (
 )
 from .operators import dedup, pq, similarity, sketch, textstats
 from .operators.curate import curate_corpus
-from .operators.graph import pagerank_fixed_point
+from .operators.graph import hits_fixed_point, pagerank_fixed_point
 from .operators.lm import bigram_lm_scores
 from .operators.profile import group_quantiles, heavy_hitters
 from .operators.sessions import sessionize
@@ -1581,6 +1581,25 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_component(emb, iters=4)
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the SAME page→page link graph as
+    ``link_pagerank`` (operators/graph.py hits_fixed_point): the
+    complementary crawl-scheduling signal — hub scores rank directory/
+    sitemap-like pages whose recrawl surfaces new URLs, authority scores
+    rank fetch-early targets. Exact-integer iteration with the ∞-norm
+    rescale (HITS_SCALE units), so the unrolled DuckDB oracle
+    (_hits_oracle_sql) reproduces every digit."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return hits_fixed_point(nodes, e)
+
+
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set n-gram decontamination (operators/dedup.py decontaminate):
     eval set = doc_id % 29 == 0, train = the rest; per train doc the count
@@ -2989,6 +3008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5c: exact-integer power iteration — the spectral family
     # (link_pagerank's fixed-point trick applied to embedding space)
     "embedding_pca_power": q_embedding_pca_power,
+    # r5e: HITS hubs/authorities — the complementary link signal to
+    # link_pagerank, same exact-integer discipline (∞-norm rescale)
+    "link_hits": q_link_hits,
 }
 
 
@@ -4228,6 +4250,53 @@ ORACLES["host_pagerank"] = "\n".join(
         "FROM r5 r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v",
     ]
 )
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """link_hits: the exact-integer HITS iteration unrolled (same edge
+    derivation as link_pagerank's oracle). Each round's authority CTE
+    feeds that round's hub CTE which feeds the NEXT round's authority —
+    AS MATERIALIZED throughout (the chain-inlining gotcha). The scale
+    constant is repr-embedded from operators/graph.HITS_SCALE; every
+    value is a nonnegative BIGINT so DuckDB ``//`` == Spark ``div``."""
+    from .operators.graph import HITS_SCALE as S
+
+    parts = [
+        f"WITH {PRE},",
+        "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
+        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
+        f"h0 AS MATERIALIZED (SELECT i AS v, {S}::BIGINT AS h FROM pgu),",
+    ]
+    for t in range(iters):
+        parts += [
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS v, sum(h.h)::BIGINT AS s"
+            f" FROM e JOIN h{t} h ON h.v = e.src GROUP BY 1),",
+            f"am{t} AS MATERIALIZED (SELECT greatest(coalesce(max(s), 0), 1)"
+            f"::BIGINT AS m FROM ar{t}),",
+            f"a{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
+            f" (coalesce(ar.s, 0) * {S} // (SELECT m FROM am{t}))::BIGINT AS a"
+            f" FROM pgu p LEFT JOIN ar{t} ar ON ar.v = p.i),",
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS v, sum(a.a)::BIGINT AS s"
+            f" FROM e JOIN a{t + 1} a ON a.v = e.dst GROUP BY 1),",
+            f"hm{t} AS MATERIALIZED (SELECT greatest(coalesce(max(s), 0), 1)"
+            f"::BIGINT AS m FROM hr{t}),",
+            f"h{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
+            f" (coalesce(hr.s, 0) * {S} // (SELECT m FROM hm{t}))::BIGINT AS h"
+            f" FROM pgu p LEFT JOIN hr{t} hr ON hr.v = p.i),",
+        ]
+    parts.append(
+        "od AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),\n"
+        "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY 1)\n"
+        "SELECT h.v AS node_id, coalesce(od.od, 0)::BIGINT AS out_deg,\n"
+        "  coalesce(ind.ind, 0)::BIGINT AS in_deg,\n"
+        "  h.h AS hub_fp, a.a AS auth_fp\n"
+        f"FROM h{iters} h JOIN a{iters} a ON a.v = h.v\n"
+        "LEFT JOIN od ON od.src = h.v LEFT JOIN ind ON ind.dst = h.v"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_hits"] = _hits_oracle_sql()
+
 
 # crawl_crawldelay_trace: the deferral oracle with the per-host budget
 # CASE derived from the frozen robots bodies (corpus.robots_txt_of_host)

@@ -47,6 +47,14 @@ from pyspark.sql import functions as F
 
 SCALE = 10**12
 
+#: HITS fixed-point unit — smaller than PageRank's SCALE because the
+#: rescale multiplies a raw in-link sum (≤ max_indeg · HITS_SCALE) by the
+#: scale again before the floor divide; HITS_SCALE² · max_indeg must stay
+#: under 2^63, which 1e6 satisfies for any max_indeg < ~9.2e6 (pre-collapse
+#: heavier graphs, e.g. to hosts, first — same guidance as weighted
+#: PageRank's w bound above).
+HITS_SCALE = 10**6
+
 
 def pagerank_fixed_point(
     nodes: DataFrame,
@@ -159,5 +167,120 @@ def pagerank_fixed_point(
             F.col("od").alias("out_deg"),
             F.coalesce(F.col("ind"), F.lit(0)).cast("long").alias("in_deg"),
             F.col("r").alias("rank_fp"),
+        )
+    )
+
+
+def hits_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over ``edges`` (BIGINT
+    endpoints, deduplicated here) for the node set ``nodes`` — the
+    complementary link signal to :func:`pagerank_fixed_point`: a good
+    *hub* links to many good authorities (a directory/sitemap page worth
+    recrawling often because it surfaces new URLs), a good *authority* is
+    linked from many good hubs (a page worth fetching early).
+
+    Same reproducibility contract as PageRank above, with the classic
+    L2 normalization replaced by the ∞-norm rescale the fixed-point power
+    iteration uses (operators/spectral.py): after each update the score
+    vector is rescaled to max = ``HITS_SCALE`` via one integer multiply +
+    floor divide — max() and integer sums are order-independent, so the
+    result is bit-exact under any partitioning and the DuckDB oracle
+    reproduces every digit. Rescaling changes no ordering (it is a
+    positive scalar multiple, exactly like the L2 norm it replaces).
+
+    Iteration (scale S = ``HITS_SCALE``)::
+
+        h_0(v)   = S
+        a_t(v)   = (Σ_{u→v} h_{t-1}(u)) · S div max_v Σ_{u→v} h_{t-1}(u)
+        h_t(u)   = (Σ_{u→v} a_t(v))     · S div max_u Σ_{u→v} a_t(v)
+
+    Returns one row per node: ``(node_id, out_deg, in_deg, hub_fp,
+    auth_fp)``, all BIGINT, scores in [0, S]. Scale shape: per iteration
+    TWO shuffle equi-joins (edges ⋈ scores on src, then on dst — both
+    map-side partially aggregated) and two scalar max() collects; the
+    deduplicated edge table is checkpointed once and reused. Each raw
+    in-/out-sum table is checkpointed the moment it is aggregated —
+    it fans out to its max() collect, the rescale join AND the next
+    half-iteration, and left lazy every consumer re-runs the edge join
+    (the projection-collapse recompute gotcha; measured 27 s → the
+    pagerank-proportional time on the 2M-edge bench graph). The state is
+    checkpointed once per iteration so the plan stays O(1) deep."""
+    spark = nodes.sparkSession
+    if nodes.isEmpty():
+        return nodes.select(
+            F.col(node_col).cast("long").alias("node_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("in_deg"),
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    S = HITS_SCALE
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        nodes.select(F.col(node_col).cast("long").alias("v"))
+        .withColumn("h", F.lit(S).cast("long"))
+        .withColumn("a", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+
+    # max(1, ...) below guards the all-zero vector (edge-less graph)
+    for _ in range(iters):
+        araw = (
+            e.join(state.select("v", "h"), e["src"] == F.col("v"))
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+            .select(F.col("dst").alias("v"), "s")
+            .localCheckpoint()
+        )
+        am = max(int(araw.agg(F.max("s")).collect()[0][0] or 0), 1)
+        state = state.join(araw, state["v"] == araw["v"], "left").select(
+            state["v"],
+            "h",
+            F.expr(f"coalesce(s, 0L) * {S}L div {am}L").alias("a"),
+        )
+        hraw = (
+            e.join(state.select("v", "a"), e["dst"] == F.col("v"))
+            .groupBy("src")
+            .agg(F.sum("a").alias("s"))
+            .select(F.col("src").alias("v"), "s")
+            .localCheckpoint()
+        )
+        hm = max(int(hraw.agg(F.max("s")).collect()[0][0] or 0), 1)
+        state = (
+            state.join(hraw, state["v"] == hraw["v"], "left")
+            .select(
+                state["v"],
+                F.expr(f"coalesce(s, 0L) * {S}L div {hm}L").alias("h"),
+                "a",
+            )
+            .localCheckpoint()
+        )
+
+    odeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ideg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    return (
+        state.join(odeg, state["v"] == odeg["src"], "left")
+        .join(ideg, state["v"] == ideg["dst"], "left")
+        .select(
+            F.col("v").alias("node_id"),
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("ind"), F.lit(0)).cast("long").alias("in_deg"),
+            F.col("h").alias("hub_fp"),
+            F.col("a").alias("auth_fp"),
         )
     )

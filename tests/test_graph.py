@@ -1,10 +1,16 @@
-"""Fixed-point PageRank (operators/graph.py): exactness against a pure-
-Python reference iteration, dangling-node handling, and mass conservation."""
+"""Fixed-point PageRank and HITS (operators/graph.py): exactness against
+pure-Python reference iterations, dangling-node handling, and mass
+conservation."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from geospatial_web_scraper_spark.operators.graph import SCALE, pagerank_fixed_point
+from geospatial_web_scraper_spark.operators.graph import (
+    HITS_SCALE,
+    SCALE,
+    hits_fixed_point,
+    pagerank_fixed_point,
+)
 
 
 def _py_pagerank(n_nodes, edges, iters=5):
@@ -117,6 +123,78 @@ def test_weighted_matches_python_reference(spark):
     assert got[0]["out_deg"] == 4 and got[0]["in_deg"] == 7
     # the 3:1 split must rank node 1 above node 2
     assert got[1]["rank_fp"] > got[2]["rank_fp"]
+
+
+def _py_hits(n_nodes, edges, iters=5):
+    """The HITS spec, straight-line: same integer ops, any sum order."""
+    e = sorted(set(edges))
+    h = {v: HITS_SCALE for v in range(n_nodes)}
+    a = {v: 0 for v in range(n_nodes)}
+    for _ in range(iters):
+        ar = {}
+        for s, d in e:
+            ar[d] = ar.get(d, 0) + h[s]
+        am = max(max(ar.values(), default=0), 1)
+        a = {v: ar.get(v, 0) * HITS_SCALE // am for v in range(n_nodes)}
+        hr = {}
+        for s, d in e:
+            hr[s] = hr.get(s, 0) + a[d]
+        hm = max(max(hr.values(), default=0), 1)
+        h = {v: hr.get(v, 0) * HITS_SCALE // hm for v in range(n_nodes)}
+    return h, a
+
+
+@pytest.mark.parametrize(
+    "n_nodes,edges",
+    [
+        # bipartite hubs->authorities: 0,1 each link 2,3; 1 also links 4
+        (5, [(0, 2), (0, 3), (1, 2), (1, 3), (1, 4)]),
+        # chain + self-loop + isolated node 4
+        (5, [(0, 1), (1, 2), (2, 3), (3, 3)]),
+        # duplicate edge must dedup; disconnected component
+        (5, [(0, 1), (0, 1), (1, 0), (2, 3)]),
+        # no edges at all: rescale guard (max -> 1), all scores 0
+        (3, []),
+    ],
+)
+def test_hits_matches_python_reference(spark, n_nodes, edges):
+    want_h, want_a = _py_hits(n_nodes, edges)
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    got = {r["node_id"]: r for r in hits_fixed_point(nodes, e).collect()}
+    ind, od = {}, {}
+    for s, d in set(edges):
+        od[s] = od.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    assert set(got) == set(range(n_nodes))
+    for v in range(n_nodes):
+        assert got[v]["hub_fp"] == want_h[v], (v, got[v], want_h[v])
+        assert got[v]["auth_fp"] == want_a[v], (v, got[v], want_a[v])
+        assert got[v]["out_deg"] == od.get(v, 0)
+        assert got[v]["in_deg"] == ind.get(v, 0)
+
+
+def test_hits_hub_and_authority_semantics(spark):
+    """The defining asymmetry: a pure hub (outlinks only) gets hub score
+    but zero authority; a pure authority the reverse; scores stay in
+    [0, HITS_SCALE] with the max attained."""
+    # 0 and 1 are hubs over {2, 3}; 1 also reaches 4 -> 1 is the top hub;
+    # 2 and 3 are co-cited by both hubs -> top authorities
+    edges = [(0, 2), (0, 3), (1, 2), (1, 3), (1, 4)]
+    nodes = spark.range(5).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node_id"]: r for r in hits_fixed_point(nodes, e).collect()}
+    assert got[1]["hub_fp"] == HITS_SCALE  # max rescale attained
+    assert got[1]["hub_fp"] > got[0]["hub_fp"] > 0
+    assert got[0]["auth_fp"] == 0 and got[1]["auth_fp"] == 0
+    assert got[2]["auth_fp"] == got[3]["auth_fp"] == HITS_SCALE
+    assert 0 < got[4]["auth_fp"] < HITS_SCALE  # single-hub citation
+    assert got[2]["hub_fp"] == 0  # pure authorities never hub
+    assert all(
+        0 <= r[k] <= HITS_SCALE for r in got.values() for k in ("hub_fp", "auth_fp")
+    )
 
 
 def test_weight_one_equals_unweighted(spark):

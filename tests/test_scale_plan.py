@@ -264,6 +264,18 @@ def test_pagerank_joins_are_equi(spark):
     assert "windowspecdefinition" not in plan, plan
 
 
+def test_hits_joins_are_equi(spark):
+    """Every HITS iteration must reduce via equi-joins + hash aggregation
+    (edges ⋈ scores on src then dst, map-side partial sums) — no
+    cartesian/theta join, no global-order window: the state is O(nodes)
+    and the only per-iteration driver values are the two rescale maxima."""
+    df = entry_mod.queries()["link_hits"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
 def test_lm_perplexity_rank_is_partition_local(spark):
     """The tertile cut must use the two-pass global-seq pattern: any
     window in the plan is keyed by _pid, never a bare global ORDER BY
