@@ -197,6 +197,33 @@ def test_hits_hub_and_authority_semantics(spark):
     )
 
 
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_graph_parity_both_operators(spark, seed):
+    """Seeded random digraphs (duplicate edges, self-loops, dangling and
+    isolated nodes all arise naturally): both fixed-point operators must
+    match their straight-line Python references EXACTLY — the
+    order-independence claim, exercised off the hand-built cases."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(60, 120))
+    ]
+    nodes = spark.range(n).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want_pr, _, _ = _py_pagerank(n, edges)
+    got_pr = {
+        r["node_id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(nodes, e).collect()
+    }
+    assert got_pr == want_pr
+    want_h, want_a = _py_hits(n, edges)
+    got = {r["node_id"]: r for r in hits_fixed_point(nodes, e).collect()}
+    assert {v: r["hub_fp"] for v, r in got.items()} == want_h
+    assert {v: r["auth_fp"] for v, r in got.items()} == want_a
+
+
 def test_weight_one_equals_unweighted(spark):
     edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
     nodes = spark.range(3).select(F.col("id").alias("node_id"))
