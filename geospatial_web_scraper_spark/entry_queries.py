@@ -1851,6 +1851,23 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_sketch(_doc_tokens(spark, sf_dir), "source", "w", k=KMV_K)
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size as an HLL register sketch
+    (operators/sketch.py hll_sketch) — the CONSTANT-size sibling of the
+    KMV row above (128 ints per group regardless of cardinality, the
+    shape a 10^10-URL frontier audit actually ships between executors).
+    The trailing-zero rho is exact integer arithmetic (bit_count, no
+    log2) and the estimator's float constants are repr-embedded in the
+    oracle (sketch.hll_constants), so n_buckets/v_zero/max_rho/z_int AND
+    the estimate reproduce digit-for-digit in DuckDB. The registers
+    array itself is dropped here (z_int + max_rho + v_zero pin it; the
+    array and the register-wise-max merge are pinned by
+    tests/test_sketch.py)."""
+    return sketch.hll_sketch(_doc_tokens(spark, sf_dir), "source", "w").drop(
+        "registers"
+    )
+
+
 def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 topical filter (operators/relevance.py): score every document
     against a fixed domain-term set — the classical pre-embedding
@@ -3011,6 +3028,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5e: HITS hubs/authorities — the complementary link signal to
     # link_pagerank, same exact-integer discipline (∞-norm rescale)
     "link_hits": q_link_hits,
+    # r5f: constant-size HLL register sketch beside the KMV row —
+    # trailing-zero rho in exact bit_count arithmetic, estimator floats
+    # repr-embedded both engines (sketch.hll_constants)
+    "hll_cardinality": q_hll_cardinality,
 }
 
 
@@ -4701,6 +4722,49 @@ FROM s JOIN tot USING (source)
 
 
 ORACLES["cardinality_sketch"] = _kmv_oracle_sql(KMV_K)
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB mirror of q_hll_cardinality. The rho CASE is the verbatim
+    SQL of sketch._hll_rho (trailing zeros via bit_count — exact integer
+    both engines); bucket/payload split is ``h & (m-1)`` / ``h >> p``;
+    the indicator sum z_int adds ``2^(HLL_RHO_MAX - M)`` per present
+    bucket plus ``2^HLL_RHO_MAX`` per empty one — exactly the dense-
+    register aggregate on the Spark side. The estimator's C and the
+    linear-counting table come from sketch.hll_constants (repr-embedded,
+    CAST AS DOUBLE — never bare decimals, the DuckDB DECIMAL trap) —
+    change the formula in operators/sketch.py and here together."""
+    m, p, rmax = sketch.HLL_M, sketch.HLL_P, sketch.HLL_RHO_MAX
+    _, c, lin = sketch.hll_constants(m)
+    c_sql = f"CAST('{c!r}' AS DOUBLE)"
+    lin_sql = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in lin) + "]"
+    rho = (
+        f"CASE WHEN (h >> {p}) = 0 THEN {rmax} "
+        f"ELSE 1 + bit_count(((h >> {p}) & -(h >> {p})) - 1) END"
+    )
+    return f"""
+WITH d AS (SELECT source, list_transform({_sql_toks('text')}, x -> lower(x)) AS a
+           FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+tot AS MATERIALIZED (SELECT source, count(*)::BIGINT AS n_rows FROM tok GROUP BY 1),
+h AS (SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+regs AS (SELECT source, h & {m - 1} AS bucket, max({rho}) AS m FROM h
+         GROUP BY 1, 2),
+agg AS (SELECT source, count(*)::BIGINT AS n_buckets, max(m)::INT AS max_rho,
+          (sum(1::BIGINT << ({rmax} - m))
+           + ({m} - count(*)) * (1::BIGINT << {rmax}))::BIGINT AS z_int
+        FROM regs GROUP BY 1)
+SELECT agg.source, tot.n_rows, agg.n_buckets,
+  ({m} - agg.n_buckets)::BIGINT AS v_zero, agg.max_rho, agg.z_int,
+  round(CASE WHEN agg.n_buckets < {m}
+              AND {c_sql} / agg.z_int::DOUBLE <= CAST('{2.5 * m!r}' AS DOUBLE)
+         THEN {lin_sql}[{m} - agg.n_buckets]
+         ELSE {c_sql} / agg.z_int::DOUBLE END, 1) AS est_distinct
+FROM agg JOIN tot USING (source)
+"""
+
+
+ORACLES["hll_cardinality"] = _hll_oracle_sql()
 
 # BM25: the oracle generator lives next to the operator
 # (operators/relevance.py) so the derived constants k1+1 / k1*(1-b) / k1*b

@@ -323,3 +323,205 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(F.col("_v").alias(value_col), "est")
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog-style register sketch — constant-size cardinality estimation
+# --------------------------------------------------------------------------
+
+#: register count m = 2^p. 128 registers → 1.04/√128 ≈ 9.2% standard
+#: error in 128 ints per group — the constant-size alternative to KMV
+#: above (whose size grows with k). 128 also keeps the linear-counting
+#: table under the repo's 256-literal Janino budget (see pq._lut_col).
+HLL_P = 7
+HLL_M = 1 << HLL_P
+#: md5-60bit hash → p bucket bits + 53 payload bits
+_HLL_WBITS = 60 - HLL_P
+#: rho of an all-zero payload (max possible register value)
+HLL_RHO_MAX = _HLL_WBITS + 1
+
+
+def hll_constants(m: int = HLL_M) -> tuple[float, float, list[float]]:
+    """``(alpha_m, C, linear_table)`` — the three float constants of the
+    estimator (Flajolet et al. 2007 §4), computed ONCE here and
+    repr-embedded in the DuckDB oracle (entry_queries._hll_oracle_sql)
+    so both engines divide the identical doubles — the same doctrine as
+    relevance.bm25_constants. ``C = alpha_m · m² · 2^HLL_RHO_MAX`` is the
+    raw-estimate numerator over the integer statistic ``z_int`` (below);
+    ``linear_table[v-1] = m·ln(m/v)`` is the small-range linear-counting
+    correction, tabulated so no engine evaluates a transcendental at
+    query time (ln differs across libm builds in the last ulp)."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * m * m * float(1 << HLL_RHO_MAX)
+    lin = [m * math.log(m / v) for v in range(1, m + 1)]
+    return alpha, c, lin
+
+
+def _hll_rho(w):
+    """rho statistic of the 53-bit payload ``w``: 1 + (trailing zero
+    bits), or HLL_RHO_MAX when w = 0. Trailing zeros give the identical
+    P(rho ≥ k) = 2^-(k-1) geometric law as Flajolet's leading zeros but
+    stay EXACT integer arithmetic in every engine: the lowest set bit is
+    ``w & -w`` (a power of two) and its position is ``bit_count((w&-w)-1)``
+    — no log2, no float. Mirrored verbatim in the DuckDB oracle."""
+    return (
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(
+            F.lit(1) + F.bit_count((w.bitwiseAND(-w)) - F.lit(1))
+        )
+        .cast("int")
+    )
+
+
+def _hll_estimate(df: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Append ``(n_buckets, v_zero, max_rho, z_int, est_distinct)`` to a
+    frame holding a dense ``registers ARRAY<INT>`` column.
+
+    ``z_int = Σ_b 2^(HLL_RHO_MAX − M_b)`` is the indicator sum in exact
+    integer units of 2^-HLL_RHO_MAX: every term is a BIGINT power of two
+    (empty buckets contribute 2^HLL_RHO_MAX), the sum is ≤ m·2^54 < 2^62,
+    and the order-independent integer total makes the raw estimate
+    ``C / z_int`` ONE division of two exactly-agreed values — the same
+    two-exact-ints trick as the KMV estimate above. The small-range
+    branch (v_zero > 0 and raw ≤ 2.5m) reads the tabulated linear-count
+    double; both the branch condition and the table are bit-identical
+    across engines, so ``est_distinct`` reproduces digit-for-digit."""
+    _, c, lin = hll_constants(m)
+    z = F.expr(
+        "aggregate(registers, cast(0 as long), "
+        f"(acc, x) -> acc + shiftleft(cast(1 as long), {HLL_RHO_MAX} - x))"
+    )
+    out = df.select(
+        "*",
+        F.expr("aggregate(registers, cast(0 as long), "
+               "(acc, x) -> acc + if(x > 0, 1L, 0L))").alias("n_buckets"),
+        F.expr("aggregate(registers, cast(0 as long), "
+               "(acc, x) -> acc + if(x = 0, 1L, 0L))").alias("v_zero"),
+        F.expr("aggregate(registers, 0, (acc, x) -> greatest(acc, x))")
+        .cast("int")
+        .alias("max_rho"),
+        z.alias("z_int"),
+    )
+    raw = F.lit(c) / F.col("z_int").cast("double")
+    lin_arr = F.array(*[F.lit(x) for x in lin])
+    est = F.round(
+        F.when(
+            (F.col("v_zero") > 0) & (raw <= F.lit(2.5 * m)),
+            F.element_at(lin_arr, F.col("v_zero").cast("int")),
+        ).otherwise(raw),
+        1,
+    )
+    return out.withColumn("est_distinct", est)
+
+
+def hll_sketch(
+    df: DataFrame, group_col: str, value_col, m: int = HLL_M
+) -> DataFrame:
+    """Per-``group_col`` HLL register sketch of ``value_col``.
+
+    Returns one row per group::
+
+        (group, n_rows BIGINT,         -- total value occurrences (exact)
+         registers ARRAY<INT>,         -- m registers, dense, 0 = empty
+         n_buckets BIGINT, v_zero BIGINT, max_rho INT,
+         z_int BIGINT,                 -- exact indicator sum (see above)
+         est_distinct DOUBLE)
+
+    Scale shape: one ``(group, hash)`` distinct (map-side combining hash
+    aggregate), one ``(group, bucket) → max(rho)`` hash aggregate (at
+    most m·groups output rows), then an m-entry collect per group — the
+    whole reduction is register-sized, never value-sized, and unlike the
+    KMV top-k needs no salted two-phase pass (max() combines map-side).
+    Sketches from disjoint shards merge losslessly via :func:`hll_merge`
+    (register-wise max)."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.select(
+        F.col(group_col).alias("_g"), _md5_hash64_expr(val).alias("_h")
+    )
+    totals = hashed.groupBy("_g").agg(F.count("*").alias("n_rows"))
+    w = F.shiftright(F.col("_h"), HLL_P)
+    regs = (
+        hashed.distinct()
+        .select(
+            "_g",
+            F.col("_h").bitwiseAND(F.lit(m - 1)).cast("int").alias("_b"),
+            _hll_rho(w).alias("_r"),
+        )
+        .groupBy("_g", "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    dense = regs.groupBy("_g").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_m"))).alias("_map")
+    )
+    sk = dense.select(
+        "_g",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda b: F.coalesce(F.element_at(F.col("_map"), b), F.lit(0)),
+        )
+        .cast("array<int>")
+        .alias("registers"),
+    )
+    return (
+        _hll_estimate(sk, m)
+        .join(totals, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            "registers",
+            "n_buckets",
+            "v_zero",
+            "max_rho",
+            "z_int",
+            "est_distinct",
+        )
+    )
+
+
+def hll_merge(sketches: DataFrame, group_col: str, m: int = HLL_M) -> DataFrame:
+    """Merge per-shard sketches (rows of ``(group, n_rows, registers)``)
+    into one sketch per group: register-wise MAX — the lossless HLL merge
+    — then the shared estimator. Exactly equals :func:`hll_sketch` over
+    the concatenated shards (max of per-shard maxima == global max;
+    pinned by tests/test_sketch.py)."""
+    exploded = sketches.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode("registers").alias("_b", "_r"),
+    )
+    dense = (
+        exploded.groupBy("_g", "_b")
+        .agg(F.max("_r").alias("_m"))
+        .groupBy("_g")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_m")))
+            .alias("_map")
+        )
+    )
+    sk = dense.select(
+        "_g",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda b: F.coalesce(F.element_at(F.col("_map"), b), F.lit(0)),
+        )
+        .cast("array<int>")
+        .alias("registers"),
+    )
+    totals = sketches.groupBy(F.col(group_col).alias("_g")).agg(
+        F.sum("n_rows").alias("n_rows")
+    )
+    return (
+        _hll_estimate(sk, m)
+        .join(totals, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            "registers",
+            "n_buckets",
+            "v_zero",
+            "max_rho",
+            "z_int",
+            "est_distinct",
+        )
+    )

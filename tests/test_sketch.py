@@ -7,6 +7,9 @@ from pyspark.sql import functions as F
 
 from geospatial_web_scraper_spark.operators.sketch import (
     HASH_SPACE,
+    hll_constants,
+    hll_merge,
+    hll_sketch,
     kmv_merge,
     kmv_sketch,
 )
@@ -141,3 +144,88 @@ def test_cms_merge_equals_whole(spark):
     b = {r["term"]: r["est"]
          for r in cms_estimate(merged, q, "term", width=64, depth=3).collect()}
     assert a == b
+
+
+# ----------------------------------------------------------------- HLL
+
+
+def _hll_py_registers(values, m=128):
+    """Straight-line Python mirror of hll_sketch's register build."""
+    regs = [0] * m
+    for v in set(values):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        b, w = h & (m - 1), h >> 7
+        rho = 54 if w == 0 else 1 + ((w & -w) - 1).bit_count()
+        regs[b] = max(regs[b], rho)
+    return regs
+
+
+def test_hll_registers_match_python_mirror(spark):
+    """The dense register array is exactly the straight-line Python fold
+    over md5-60bit hashes — no RNG, no float, engine-portable."""
+    vals = [f"tok{i}" for i in range(500)]
+    rows = [("g", v) for v in vals] + [("g", vals[0])]  # dup folds away
+    row = hll_sketch(_df(spark, rows), "g", "v").collect()[0]
+    regs = _hll_py_registers(vals)
+    assert list(row["registers"]) == regs
+    assert row["n_rows"] == len(vals) + 1
+    assert row["n_buckets"] == sum(1 for r in regs if r > 0)
+    assert row["v_zero"] == sum(1 for r in regs if r == 0)
+    assert row["max_rho"] == max(regs)
+    assert row["z_int"] == sum(1 << (54 - r) for r in regs)
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=128 gives 1.04/sqrt(128) ≈ 9.2% standard error; 5000 distinct
+    values must land within 3σ (±30%)."""
+    n_true = 5000
+    rows = [("g", f"value-{i}") for i in range(n_true)]
+    row = hll_sketch(_df(spark, rows), "g", "v").collect()[0]
+    est = row["est_distinct"]
+    assert 0.7 * n_true < est < 1.3 * n_true, est
+    # and the estimate is the closed form over the held statistic
+    _, c, lin = hll_constants()
+    raw = c / float(row["z_int"])
+    expected = lin[row["v_zero"] - 1] if (row["v_zero"] > 0 and raw <= 320.0) else raw
+    assert est == round(expected, 1)
+
+
+def test_hll_small_set_linear_counting(spark):
+    """A small group takes the tabulated linear-counting branch (v_zero
+    high, raw estimate under 2.5m) and lands near the exact count."""
+    n_true = 30
+    rows = [("g", f"x{i}") for i in range(n_true)]
+    row = hll_sketch(_df(spark, rows), "g", "v").collect()[0]
+    assert row["v_zero"] > 0
+    _, c, lin = hll_constants()
+    assert c / float(row["z_int"]) <= 320.0  # the branch actually fires
+    assert row["est_distinct"] == round(lin[row["v_zero"] - 1], 1)
+    assert 0.75 * n_true < row["est_distinct"] < 1.25 * n_true
+
+
+def test_hll_merge_equals_whole(spark):
+    """Register-wise max over per-shard sketches == the sketch of the
+    concatenated shards, digit-for-digit (including the registers and
+    the estimate) — the lossless roll-up a 100 TB audit relies on."""
+    rows = [("g", f"v{i}") for i in range(3000)] + [
+        ("h", f"w{i}") for i in range(200)
+    ]
+    whole = _df(spark, rows)
+    shard_a = whole.where(F.abs(F.xxhash64("v")) % 3 == 0)
+    shard_b = whole.where(F.abs(F.xxhash64("v")) % 3 == 1)
+    shard_c = whole.where(F.abs(F.xxhash64("v")) % 3 == 2)
+    merged = hll_merge(
+        hll_sketch(shard_a, "g", "v")
+        .unionByName(hll_sketch(shard_b, "g", "v"))
+        .unionByName(hll_sketch(shard_c, "g", "v")),
+        "g",
+    )
+    direct = hll_sketch(whole, "g", "v")
+    m = {r["g"]: r for r in merged.collect()}
+    d = {r["g"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for g in d:
+        assert list(m[g]["registers"]) == list(d[g]["registers"])
+        for col in ("n_rows", "n_buckets", "v_zero", "max_rho", "z_int",
+                    "est_distinct"):
+            assert m[g][col] == d[g][col], (g, col)
