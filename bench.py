@@ -649,6 +649,24 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("cms_token_counts", _cms)
 
+        # --- r5f: the constant-size HLL register sketch beside KMV —
+        # per-source vocabulary estimate; the count() on est_distinct is
+        # not prunable (the filter reads the computed estimate)
+        from geospatial_web_scraper_spark.operators.sketch import hll_sketch
+
+        def _hll():
+            toks = docs.select(
+                "source",
+                F.explode(
+                    textstats.tokens_expr(F.lower(F.col("text")))
+                ).alias("term"),
+            )
+            hll_sketch(toks, "source", "term").where(
+                "est_distinct >= 0"
+            ).collect()
+
+        timed("hll_cardinality", _hll)
+
         # --- r5c: the REAL video codec at bench scale — synth Y4M streams
         # for every video-kind doc (~sf·200k assets), then the composed
         # decode → frame-sample → letterbox luma thumbnail pass; the agg

@@ -1292,6 +1292,52 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact brute force, per query —
+    the EVALUATION leg of the ANN family, oracle-checked instead of only
+    benched (BENCH's recall@10 numbers get a value-checked witness). 50
+    query vectors, 8 deterministic centroids, n_probe=2: ``truth`` is
+    ann_bruteforce_topk (raw-score rank, vec_id tiebreak), ``approx`` is
+    ann_ivf_topk, and the per-query hit count is a plain (query_id,
+    vec_id) equi-join — all integers after the set intersection, so
+    recall6 is one exact division. The denominator is the TRUTH row
+    count (= min(k, reachable corpus)), robust to small groups."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(
+        (F.col("vec_id") < 50)
+        & (similarity.dot_expr(F.col("embedding"), F.col("embedding")) > 0)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = similarity.ann_bruteforce_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ann_ivf_topk(
+        emb, cent, queries, k=10, n_probe=2
+    ).select("query_id", "vec_id")
+    n_truth = truth.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    n_hits = (
+        truth.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        n_truth.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        )
+        .withColumn(
+            "recall6",
+            F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+        )
+    )
+
+
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end (the compressed-scan memory path,
     operators/pq.py): train a deterministic init-only codebook (``iters=0``
@@ -3032,6 +3078,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trailing-zero rho in exact bit_count arithmetic, estimator floats
     # repr-embedded both engines (sketch.hll_constants)
     "hll_cardinality": q_hll_cardinality,
+    # r5f: recall@10 of IVF vs exact brute force — the ANN family's
+    # evaluation leg, value-checked (its oracle composes the proven
+    # brute-force and IVF fragments; membership-only compare, so the
+    # floats cancel into integer hit counts)
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 
@@ -4765,6 +4816,69 @@ FROM agg JOIN tot USING (source)
 
 
 ORACLES["hll_cardinality"] = _hll_oracle_sql()
+
+# ann_recall_eval: truth = the ann_cosine_topk oracle shape (raw-score
+# rank, vec_id tiebreak, zero-norm corpus dropped) at k=10 over 50
+# queries; approx = the ann_ivf_topk oracle's casg/qasg/s CTEs verbatim
+# (8 centroids, n_probe=2) at k=10. Only vec_id MEMBERSHIP crosses into
+# the output, so every float cancels into integer hit counts — change
+# q_ann_recall_eval and this entry together.
+ORACLES["ann_recall_eval"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id < 50 AND list_dot_product(v, v) > 0),
+ts AS (SELECT q.query_id, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS score
+       FROM e, q WHERE list_dot_product(e.v, e.v) > 0),
+truth AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM ts) WHERE rank <= 10),
+casg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        CASE WHEN list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0
+             THEN list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+             ELSE NULL END DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c
+    WHERE list_dot_product(e.v, e.v) > 0 AND list_dot_product(c.cv, c.cv) > 0)
+  WHERE rn = 1),
+qasg AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(c.cv, c.cv) > 0
+             THEN list_dot_product(q.qv, c.cv)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+             ELSE NULL END DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+    WHERE list_dot_product(c.cv, c.cv) > 0)
+  WHERE rn <= 2),
+s AS (
+  SELECT qa.query_id, c.vec_id,
+    CASE WHEN list_dot_product(c.v, c.v) > 0 AND list_dot_product(qa.qv, qa.qv) > 0
+         THEN list_dot_product(c.v, qa.qv)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qa.qv, qa.qv)))
+         ELSE NULL END AS score
+  FROM casg c JOIN qasg qa ON c.cid = qa.cid),
+approx AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM s WHERE score IS NOT NULL) WHERE rank <= 10),
+nt AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM truth GROUP BY 1),
+nh AS (SELECT t.query_id, count(*)::BIGINT AS n_hits
+       FROM truth t JOIN approx a USING (query_id, vec_id) GROUP BY 1)
+SELECT nt.query_id, nt.n_truth, coalesce(nh.n_hits, 0)::BIGINT AS n_hits,
+  round(coalesce(nh.n_hits, 0)::DOUBLE / nt.n_truth, 6) AS recall6
+FROM nt LEFT JOIN nh USING (query_id)
+"""
 
 # BM25: the oracle generator lives next to the operator
 # (operators/relevance.py) so the derived constants k1+1 / k1*(1-b) / k1*b

@@ -1307,3 +1307,31 @@ def test_spectral_tdiv_truncates_toward_zero():
 
     # Python // floors; Spark div / DuckDB // truncate — _tdiv must too
     assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3 and _tdiv(-6, 2) == -3
+
+
+def test_ann_recall_eval_full_probe_is_one(spark):
+    """The recall@k evaluation row (entry_queries.q_ann_recall_eval):
+    per-query hit counts are bounded by the truth size, and re-running
+    the same composition with n_probe = n_cells (probe everything) gives
+    recall exactly 1.0 for every query — IVF over all cells IS brute
+    force over the assigned (nonzero-norm) corpus."""
+    from geospatial_web_scraper_spark.entry_queries import q_ann_recall_eval
+
+    rows = q_ann_recall_eval(spark, SF).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_truth"] <= 10
+        assert r["recall6"] == round(r["n_hits"] / r["n_truth"], 6)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.ann_bruteforce_topk(emb, queries, k=10)
+    full = similarity.ann_ivf_topk(emb, cent, queries, k=10, n_probe=8)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert t == a
