@@ -34,7 +34,11 @@ from .functions.urls import (
 )
 from .operators import dedup, pq, similarity, sketch, textstats
 from .operators.curate import curate_corpus
-from .operators.graph import hits_fixed_point, pagerank_fixed_point
+from .operators.graph import (
+    hits_fixed_point,
+    pagerank_fixed_point,
+    triangle_counts,
+)
 from .operators.lm import bigram_lm_scores
 from .operators.profile import group_quantiles, heavy_hitters
 from .operators.sessions import sessionize
@@ -1290,6 +1294,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the SAME page→page link graph
+    as ``link_pagerank``/``link_hits`` (operators/graph.py
+    triangle_counts): the local-clustering signal that separates
+    interlinked page neighborhoods from star-shaped navigation hubs.
+    Degree-oriented wedge join (O(E^1.5) total work, per-node fan-out
+    ≤ O(√E)); pure integer counting, so every row is digit-exact against
+    the oracle (which shares the pagerank oracle's default edge
+    derivation verbatim)."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return triangle_counts(e)
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3078,6 +3101,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trailing-zero rho in exact bit_count arithmetic, estimator floats
     # repr-embedded both engines (sketch.hll_constants)
     "hll_cardinality": q_hll_cardinality,
+    # r5f: exact per-node triangle counts — the local-clustering
+    # signal beside PageRank/HITS; degree-oriented wedge equi-join,
+    # integer counting (oracle shares the pagerank edge CTE verbatim)
+    "link_triangles": q_link_triangles,
     # r5f: recall@10 of IVF vs exact brute force — the ANN family's
     # evaluation leg, value-checked (its oracle composes the proven
     # brute-force and IVF fragments; membership-only compare, so the
@@ -4368,6 +4395,42 @@ def _hits_oracle_sql(iters: int = 5) -> str:
 
 
 ORACLES["link_hits"] = _hits_oracle_sql()
+
+# link_triangles: the edge CTE is the pagerank oracle's default edge
+# derivation verbatim (same as link_hits); the und/deg/ore/wedge/tri
+# chain mirrors graph.triangle_counts step for step — degree-oriented
+# low→high edges, wedge join on the shared low endpoint with the SAME
+# (degree, id) order between the two high endpoints, one equi-join
+# closure. Pure integer counting: digit-exact by construction.
+ORACLES["link_triangles"] = f"""
+WITH {PRE},
+e AS (SELECT DISTINCT pe.src AS src, d.i AS dst
+      FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM
+          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+ore AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS s,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS t,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                    THEN db.d ELSE da.d END AS td
+        FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+wedge AS (SELECT e1.s AS ta, e1.t AS b, e2.t AS c
+          FROM ore e1 JOIN ore e2 ON e1.s = e2.s
+          WHERE (e1.td < e2.td) OR (e1.td = e2.td AND e1.t < e2.t)),
+tri AS (SELECT w.ta, w.b, w.c
+        FROM wedge w JOIN ore e ON e.s = w.b AND e.t = w.c),
+per AS (SELECT n, count(*)::BIGINT AS n_triangles FROM
+          (SELECT ta AS n FROM tri UNION ALL SELECT b AS n FROM tri
+           UNION ALL SELECT c AS n FROM tri)
+        GROUP BY 1)
+SELECT deg.n AS node_id, deg.d AS degree,
+  coalesce(per.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg LEFT JOIN per ON per.n = deg.n
+"""
 
 
 # crawl_crawldelay_trace: the deferral oracle with the per-host budget

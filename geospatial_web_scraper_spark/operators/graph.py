@@ -284,3 +284,90 @@ def hits_fixed_point(
             F.col("a").alias("auth_fp"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over the UNDIRECTED view of
+    ``edges (src, dst)`` — the local-clustering signal that separates
+    genuinely interlinked page neighborhoods from star-shaped link farms
+    (a hub with 10^4 outlinks and zero triangles is navigation, not
+    community). Beyond-the-reference graph analytics beside PageRank and
+    HITS above; all counting is integer, so the result is bit-exact in
+    any engine and under any shuffle order.
+
+    Returns ``(node_id, degree BIGINT, n_triangles BIGINT)`` — one row
+    per node incident to at least one (deduplicated, non-loop) edge;
+    each triangle increments all three corners.
+
+    Scale shape (Suri & Vassilvitskii 2011, "Counting triangles and the
+    curse of the last reducer"): edges are ORIENTED low→high by
+    ``(degree, id)`` before the wedge self-join, so a node's wedge
+    fan-out is its ORIENTED out-degree — bounded by O(√E) on any graph —
+    and the total wedge count is O(E^1.5) instead of Σ deg² (a 10^6-way
+    star produces zero wedges instead of 10^12). Both the wedge build
+    and the closure check are plain equi-joins (never a theta join or a
+    window); the per-corner count is one map-side-combining groupBy over
+    exploded triangle corners."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    keep = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ore = j.select(
+        F.when(keep, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(keep, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(keep, F.col("db")).otherwise(F.col("da")).alias("td"),
+    )
+    e1 = ore.select(
+        F.col("s"), F.col("t").alias("b"), F.col("td").alias("tdb")
+    )
+    e2 = ore.select(
+        F.col("s"), F.col("t").alias("c"), F.col("td").alias("tdc")
+    )
+    wedge = (
+        e1.join(e2, "s")
+        .where(
+            (F.col("tdb") < F.col("tdc"))
+            | ((F.col("tdb") == F.col("tdc")) & (F.col("b") < F.col("c")))
+        )
+        .select(F.col("s").alias("ta"), "b", "c")
+    )
+    # closure: the (b, c) pair is oriented by the SAME (degree, id) order
+    # as every edge in `ore`, so one equi-semi-join decides it
+    tri = wedge.join(
+        ore.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"],
+        "leftsemi",
+    )
+    per = (
+        tri.select(
+            F.explode(F.array(F.col("ta"), F.col("b"), F.col("c"))).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per, "n", "left")
+        .select(
+            F.col("n").alias("node_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -234,3 +234,76 @@ def test_weight_one_equals_unweighted(spark):
     we = {r["node_id"]: r["rank_fp"]
           for r in pagerank_fixed_point(nodes, ew, weight_col="w").collect()}
     assert un == we
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _py_triangles(edges):
+    """Brute-force spec: undirected dedup, loops dropped, per-node
+    membership counts over all closed vertex triples."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = {v: 0 for v in nodes}
+    import itertools
+
+    for x, y, z in itertools.combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            counts[x] += 1
+            counts[y] += 1
+            counts[z] += 1
+    deg = {v: len(adj[v]) for v in nodes}
+    return {v: (deg[v], counts[v]) for v in nodes}
+
+
+def _tri_run(spark, edges):
+    from geospatial_web_scraper_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node_id"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(e).collect()
+    }
+
+
+def test_triangles_k4_plus_pendant(spark):
+    """K4: every node sits in 3 of the 4 triangles; a pendant hangs at
+    zero; loops and duplicate/reversed edges fold away."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges = k4 + [(0, 0), (3, 4), (4, 3), (1, 2)]  # loop, pendant, dup
+    got = _tri_run(spark, edges)
+    assert got == {
+        0: (3, 3),
+        1: (3, 3),
+        2: (3, 3),
+        3: (4, 3),
+        4: (1, 0),
+    }
+
+
+def test_triangles_star_has_none(spark):
+    """A pure star (the link-farm shape the orientation defuses) has
+    degree but no triangles anywhere."""
+    edges = [(0, i) for i in range(1, 30)]
+    got = _tri_run(spark, edges)
+    assert got[0] == (29, 0)
+    assert all(got[i] == (1, 0) for i in range(1, 30))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_triangles_random_graph_matches_bruteforce(spark, seed):
+    """Erdős–Rényi-ish digraph with dups/loops: the oriented wedge join
+    equals the O(n³) Python spec node-for-node."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(260)
+    ]
+    got = _tri_run(spark, edges)
+    assert got == _py_triangles(edges)

@@ -710,3 +710,17 @@ def test_multimodal_video_family_single_arrow_pass_no_shuffle(spark):
         assert "Exchange" not in plan, (name, plan)
         assert "Join" not in plan, (name, plan)
         assert "windowspecdefinition" not in plan, (name, plan)
+
+
+def test_triangle_counts_joins_are_equi(spark):
+    """link_triangles' wedge build and closure must be plain equi-joins
+    (the oriented self-join on the shared low endpoint, the (b, c)
+    closure semi-join) — never a cartesian/theta join or a window: the
+    degree orientation bounds per-node fan-out at O(√E), and a window
+    over wedges would serialize the hottest node onto one task."""
+    df = entry_mod.queries()["link_triangles"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "LeftSemi" in plan, plan
