@@ -32,7 +32,7 @@ from .functions.urls import (
     url_host,
     url_path,
 )
-from .operators import dedup, pq, similarity, sketch, textstats
+from .operators import dedup, pq, rendezvous, similarity, sketch, textstats
 from .operators.curate import curate_corpus
 from .operators.graph import (
     hits_fixed_point,
@@ -1293,6 +1293,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_frontier_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment of every frontier URL at 16 AND
+    17 shards (operators/rendezvous.py): the resize story a 10^10-URL
+    frontier needs — adding a shard moves only the keys the NEW shard
+    wins (an expected 1/17 here), nothing relocates between survivors
+    (property-pinned by tests/test_rendezvous.py; this row value-checks
+    the full assignment). Zero-shuffle map-only projection; the md5
+    weight makes both argmaxes digit-exact in DuckDB."""
+    pages = corpus.corpus_df(spark, N).select("page_id", "url")
+    out = rendezvous.rendezvous_assign(pages, "url", 16, "shard16")
+    out = out.withColumn(
+        "shard17", rendezvous.rendezvous_shard_expr(F.col("url"), 17)
+    )
+    return out.select(
+        "page_id",
+        "shard16",
+        "shard17",
+        (F.col("shard16") != F.col("shard17")).alias("moved"),
     )
 
 
@@ -3101,6 +3122,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trailing-zero rho in exact bit_count arithmetic, estimator floats
     # repr-embedded both engines (sketch.hll_constants)
     "hll_cardinality": q_hll_cardinality,
+    # r5f: rendezvous frontier sharding at 16 vs 17 shards — the
+    # add-a-shard stability witness (moved ⟹ moved to the new shard);
+    # zero-shuffle map-only argmax, md5 weights exact in DuckDB
+    "frontier_shards": q_frontier_shards,
     # r5f: exact per-node triangle counts — the local-clustering
     # signal beside PageRank/HITS; degree-oriented wedge equi-join,
     # integer counting (oracle shares the pagerank edge CTE verbatim)
@@ -4402,6 +4427,29 @@ ORACLES["link_hits"] = _hits_oracle_sql()
 # low→high edges, wedge join on the shared low endpoint with the SAME
 # (degree, id) order between the two high endpoints, one equi-join
 # closure. Pure integer counting: digit-exact by construction.
+# frontier_shards: the HRW argmax replayed via the proven rank-CTE
+# shape (row_number over h DESC, s DESC — the same tie order as Spark's
+# array_max over struct(h, sid)); one hash relation at 17 shards serves
+# both assignments (the 16-shard argmax is the s < 16 restriction).
+ORACLES["frontier_shards"] = f"""
+WITH {PRE},
+sh AS (SELECT unnest(range(17))::INT AS s),
+h AS (SELECT p.i AS page_id, sh.s,
+        ('0x' || substr(md5(sh.s || ':' || p.url), 1, 15))::BIGINT AS h
+      FROM pgu p CROSS JOIN sh),
+r16 AS (SELECT page_id, s AS shard16 FROM (
+          SELECT page_id, s,
+            row_number() OVER (PARTITION BY page_id ORDER BY h DESC, s DESC) AS rn
+          FROM h WHERE s < 16) WHERE rn = 1),
+r17 AS (SELECT page_id, s AS shard17 FROM (
+          SELECT page_id, s,
+            row_number() OVER (PARTITION BY page_id ORDER BY h DESC, s DESC) AS rn
+          FROM h) WHERE rn = 1)
+SELECT r16.page_id, r16.shard16, r17.shard17,
+  (r16.shard16 <> r17.shard17) AS moved
+FROM r16 JOIN r17 USING (page_id)
+"""
+
 ORACLES["link_triangles"] = f"""
 WITH {PRE},
 e AS (SELECT DISTINCT pe.src AS src, d.i AS dst

@@ -724,3 +724,15 @@ def test_triangle_counts_joins_are_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_frontier_shards_is_map_only(spark):
+    """frontier_shards must be a pure projection over the corpus
+    generator — the whole double assignment (16 and 17 shards) runs as
+    native array_max expressions with NO shuffle: an Exchange here would
+    mean the sharding primitive itself repartitions the frontier it is
+    supposed to be partitioning."""
+    df = entry_mod.queries()["frontier_shards"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "pythonUDF" not in plan.lower(), plan
