@@ -430,6 +430,50 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("link_hits", _hits)
 
+        # r5f: exact triangle counts over the same 200k-node/2M-edge
+        # graph — the degree-oriented wedge join's wall-time witness
+        # (fan-out bounded by oriented out-degree, not raw degree)
+        from geospatial_web_scraper_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        def _triangles():
+            # half the pagerank graph: the wedge join does ~10× the work
+            # of one pagerank iteration at equal size
+            n = int(os.environ.get("BENCH_TRI_NODES", "100000"))
+            deg = 10
+            edges = spark.range(0, n * deg, 1, cores * 2).select(
+                (F.col("id") % n).alias("src"),
+                F.pmod(F.xxhash64("id"), F.lit(n)).alias("dst"),
+            )
+            triangle_counts(edges).agg(
+                F.sum("n_triangles"), F.sum("degree")
+            ).collect()
+
+        timed("link_triangles", _triangles)
+
+        # r5f: rendezvous sharding throughput — 1M URLs × 16 shards of
+        # pure codegen md5 argmax, zero shuffle until the count
+        from geospatial_web_scraper_spark.operators.rendezvous import (
+            rendezvous_assign,
+        )
+
+        def _shards():
+            n_urls = int(os.environ.get("BENCH_SHARD_URLS", "1000000"))
+            urls = spark.range(0, n_urls, 1, cores * 2).select(
+                F.concat(
+                    F.lit("https://h"),
+                    (F.col("id") % 50000).cast("string"),
+                    F.lit(".example/p/"),
+                    F.col("id").cast("string"),
+                ).alias("url")
+            )
+            rendezvous_assign(urls, "url", 16).groupBy(
+                "shard"
+            ).count().collect()
+
+        timed("frontier_shards", _shards)
+
         # --- r4: the remaining heavy LLM-data paths (VERDICT r3 ask #6) ----
         # directional containment over winnowed fingerprints (df-capped
         # pair join), SemDeDup around the catalog's 8 deterministic
