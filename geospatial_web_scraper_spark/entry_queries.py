@@ -1296,6 +1296,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: seed stride for the personalized-PageRank row — every 23rd page, the
+#: corpus's seed modulus (corpus moduli: 23 → seeds)
+PPR_SEED_MOD = 23
+
+
+def q_link_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank):
+    teleport restricted to the corpus's seed pages (page_id % 23 == 0) —
+    the focused-crawl recrawl priority ("importance as seen from MY seed
+    list"). Same BIGINT 1e-12 fixed-point discipline as link_pagerank,
+    so the unrolled DuckDB oracle (_ppr_oracle_sql) matches every digit;
+    seeds==all ≡ plain PageRank and unreachable ⟹ rank exactly 0 are
+    pinned in tests/test_graph.py."""
+    from .operators.graph import personalized_pagerank
+
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    seeds = nodes.filter(F.col("node_id") % PPR_SEED_MOD == 0)
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return personalized_pagerank(nodes, e, seeds)
+
+
 def q_frontier_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard assignment of every frontier URL at 16 AND
     17 shards (operators/rendezvous.py): the resize story a 10^10-URL
@@ -3122,6 +3149,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trailing-zero rho in exact bit_count arithmetic, estimator floats
     # repr-embedded both engines (sketch.hll_constants)
     "hll_cardinality": q_hll_cardinality,
+    # r5f: seed-teleport personalized PageRank — the focused-crawl
+    # priority beside the global link_pagerank (same fixed-point units)
+    "link_pagerank_seeded": q_link_pagerank_seeded,
     # r5f: rendezvous frontier sharding at 16 vs 17 shards — the
     # add-a-shard stability witness (moved ⟹ moved to the new shard);
     # zero-shuffle map-only argmax, md5 weights exact in DuckDB
@@ -4427,6 +4457,63 @@ ORACLES["link_hits"] = _hits_oracle_sql()
 # low→high edges, wedge join on the shared low endpoint with the SAME
 # (degree, id) order between the two high endpoints, one equi-join
 # closure. Pure integer counting: digit-exact by construction.
+def _ppr_oracle_sql(n: int, iters: int = 5, seed_mod: int = PPR_SEED_MOD) -> str:
+    """link_pagerank_seeded: the personalized fixed-point iteration
+    unrolled (same edge CTE + rank-chain discipline as _pagerank_ctes —
+    every per-round CTE AS MATERIALIZED, the chain gotcha). The base and
+    r0 constants divide by |seeds| (= count of i % seed_mod == 0 under
+    n), and BOTH the teleport and the dangling share carry the
+    [v ∈ seeds] indicator — change operators/graph.py
+    personalized_pagerank and this generator together."""
+    s = 10**12
+    n_seeds = len(range(0, n, seed_mod))
+    base = (15 * s // 100) // n_seeds
+    r0seed = s // n_seeds
+    parts = [
+        f"WITH {PRE},",
+        "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
+        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od"
+        " FROM e GROUP BY 1),",
+        f"r0 AS MATERIALIZED (SELECT i AS v,"
+        f" (CASE WHEN i % {seed_mod} = 0 THEN {r0seed} ELSE 0 END)::BIGINT"
+        f" AS r FROM pgu),",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0)::BIGINT AS dm"
+            f" FROM r{t} r LEFT JOIN deg ON deg.src = r.v"
+            f" WHERE deg.src IS NULL),"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS v,"
+            f" sum(r.r // deg.od)::BIGINT AS c"
+            f" FROM e JOIN r{t} r ON r.v = e.src JOIN deg ON deg.src = e.src"
+            f" GROUP BY 1),"
+        )
+        parts.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
+            f" ((CASE WHEN p.i % {seed_mod} = 0 THEN {base} ELSE 0 END)"
+            f" + (85 * (coalesce(c.c, 0)"
+            f" + CASE WHEN p.i % {seed_mod} = 0"
+            f" THEN (SELECT dm FROM d{t}) // {n_seeds} ELSE 0 END)) // 100"
+            f" )::BIGINT AS r"
+            f" FROM pgu p LEFT JOIN c{t} c ON c.v = p.i),"
+        )
+    parts.append(
+        "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY 1)\n"
+        f"SELECT r.v AS node_id, (r.v % {seed_mod} = 0) AS is_seed,\n"
+        "  coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
+        "  coalesce(ind.ind, 0)::BIGINT AS in_deg, r.r AS rank_fp\n"
+        f"FROM r{iters} r LEFT JOIN deg ON deg.src = r.v"
+        f" LEFT JOIN ind ON ind.dst = r.v"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_pagerank_seeded"] = _ppr_oracle_sql(N)
+
+
 # frontier_shards: the HRW argmax replayed via the proven rank-CTE
 # shape (row_number over h DESC, s DESC — the same tie order as Spark's
 # array_max over struct(h, sid)); one hash relation at 17 shards serves

@@ -371,3 +371,115 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 5,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank (Haveliwala 2002): the
+    teleport vector is uniform over ``seeds`` instead of all nodes — the
+    crawl reading is "importance as seen from MY seed list", the natural
+    recrawl priority for a focused crawler whose budget should stay near
+    its topic rather than drift to globally-popular hubs.
+
+    Same integer fixed-point discipline as :func:`pagerank_fixed_point`
+    (BIGINT 1e-12 units, floor division only — bit-exact under any
+    shuffle order and in any engine)::
+
+        r_0(v)     = S div |seeds|            if v ∈ seeds else 0
+        r_{t+1}(v) = [v ∈ seeds]·(15·S div 100) div |seeds|
+                   + 85·(Σ_{u→v} r_t(u) div od(u)
+                         + [v ∈ seeds]·(dang_t div |seeds|)) div 100
+
+    (dangling mass teleports to the seeds too — the personalization
+    vector, not the uniform one). Two exact consequences are pinned in
+    tests/test_graph.py: seeds == all nodes reproduces
+    ``pagerank_fixed_point`` digit-for-digit (the formulas coincide at
+    |seeds| = N), and a node unreachable from every seed holds rank
+    EXACTLY 0 through every iteration — not merely a small rank.
+
+    Returns ``(node_id, is_seed, out_deg, in_deg, rank_fp)``. Scale
+    shape identical to the plain operator: per iteration ONE equi-join
+    shuffle + a scalar dangling aggregate; the seed flag rides in the
+    O(nodes) rank state, never re-joined."""
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint()
+
+    base = (15 * SCALE // 100) // n_seeds
+    node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
+    seed_ids = seeds.select(
+        F.col(node_col).cast("long").alias("v"), F.lit(True).alias("is_seed")
+    ).distinct()
+    ranks = (
+        node_ids.join(seed_ids, "v", "left")
+        .join(deg, node_ids["v"] == deg["src"], "left")
+        .select(
+            "v",
+            F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("od"),
+            F.when(F.coalesce(F.col("is_seed"), F.lit(False)),
+                   F.lit(SCALE // n_seeds))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+        .localCheckpoint()
+    )
+
+    for _ in range(iters):
+        dang = (
+            ranks.filter(F.col("od") == 0).agg(F.sum("r").alias("s")).collect()
+        )[0]["s"] or 0
+        contrib = (
+            e.join(ranks.filter(F.col("od") > 0), e["src"] == ranks["v"])
+            .select("dst", F.expr("r div od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                "is_seed",
+                "od",
+                F.expr(
+                    f"(case when is_seed then {base}L else 0L end)"
+                    f" + 85 * (coalesce(c, 0L)"
+                    f" + (case when is_seed then {dang // n_seeds}L"
+                    f" else 0L end)) div 100"
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    return (
+        ranks.join(indeg, ranks["v"] == indeg["dst"], "left")
+        .select(
+            F.col("v").alias("node_id"),
+            "is_seed",
+            F.col("od").alias("out_deg"),
+            F.coalesce(F.col("ind"), F.lit(0)).cast("long").alias("in_deg"),
+            F.col("r").alias("rank_fp"),
+        )
+    )

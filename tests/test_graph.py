@@ -307,3 +307,105 @@ def test_triangles_random_graph_matches_bruteforce(spark, seed):
     ]
     got = _tri_run(spark, edges)
     assert got == _py_triangles(edges)
+
+
+# ------------------------------------------------------- personalized PR
+
+
+def _py_ppr(n_nodes, edges, seeds, iters=5):
+    """The personalized spec, straight-line: teleport AND dangling mass
+    go uniformly to the seed set only."""
+    e = sorted(set(edges))
+    od = {}
+    for s, _ in e:
+        od[s] = od.get(s, 0) + 1
+    k = len(seeds)
+    r = {v: (SCALE // k if v in seeds else 0) for v in range(n_nodes)}
+    base = (15 * SCALE // 100) // k
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n_nodes) if od.get(v, 0) == 0)
+        contrib = {}
+        for s, d in e:
+            contrib[d] = contrib.get(d, 0) + r[s] // od[s]
+        r = {
+            v: (base if v in seeds else 0)
+            + (
+                85
+                * (contrib.get(v, 0) + (dang // k if v in seeds else 0))
+            )
+            // 100
+            for v in range(n_nodes)
+        }
+    return r
+
+
+def _ppr_run(spark, n_nodes, edges, seeds):
+    from geospatial_web_scraper_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node_id long")
+    return personalized_pagerank(nodes, e, sdf)
+
+
+@pytest.mark.parametrize(
+    "n_nodes,edges,seeds",
+    [
+        (6, [(0, 1), (1, 2), (2, 0), (3, 4), (0, 2), (5, 0)], {0}),
+        (8, [(i, (i * 3 + 1) % 8) for i in range(8)] + [(2, 5)], {1, 4}),
+        (5, [], {0, 3}),
+    ],
+)
+def test_ppr_matches_python_reference(spark, n_nodes, edges, seeds):
+    got = {
+        r["node_id"]: r["rank_fp"]
+        for r in _ppr_run(spark, n_nodes, edges, seeds).collect()
+    }
+    assert got == _py_ppr(n_nodes, edges, seeds)
+
+
+def test_ppr_all_seeds_equals_plain_pagerank(spark):
+    """seeds == every node makes the formulas coincide (|seeds| = N):
+    digit-for-digit equality with pagerank_fixed_point."""
+    edges = [(i, (i * 5 + 2) % 12) for i in range(12)] + [(3, 7), (7, 3)]
+    ppr = {
+        r["node_id"]: r["rank_fp"]
+        for r in _ppr_run(spark, 12, edges, set(range(12))).collect()
+    }
+    nodes = spark.range(12).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    plain = {
+        r["node_id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(nodes, e).collect()
+    }
+    assert ppr == plain
+
+
+def test_ppr_unreachable_is_exactly_zero(spark):
+    """A node with no path from any seed holds rank EXACTLY 0 — integer
+    zero, not a small float — while reachable non-seeds earn mass."""
+    # seed 0 → 1 → 2; component {3, 4} is seedless
+    rows = _ppr_run(
+        spark, 5, [(0, 1), (1, 2), (3, 4), (4, 3)], {0}
+    ).collect()
+    got = {r["node_id"]: r for r in rows}
+    assert got[3]["rank_fp"] == 0 and got[4]["rank_fp"] == 0
+    assert got[1]["rank_fp"] > 0 and got[2]["rank_fp"] > 0
+    assert got[0]["is_seed"] and not got[3]["is_seed"]
+
+
+def test_ppr_empty_seeds_raises(spark):
+    import pytest as _pytest
+
+    from geospatial_web_scraper_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.range(3).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(nodes, e, nodes.limit(0))

@@ -736,3 +736,14 @@ def test_frontier_shards_is_map_only(spark):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "pythonUDF" not in plan.lower(), plan
+
+
+def test_ppr_joins_are_equi(spark):
+    """link_pagerank_seeded iterates with the same plan discipline as the
+    plain operator: equi-joins + hash aggregation only, the seed flag
+    riding in the O(nodes) state — no cartesian join, no window."""
+    df = entry_mod.queries()["link_pagerank_seeded"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
