@@ -1329,18 +1329,18 @@ def q_frontier_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier needs — adding a shard moves only the keys the NEW shard
     wins (an expected 1/17 here), nothing relocates between survivors
     (property-pinned by tests/test_rendezvous.py; this row value-checks
-    the full assignment). Zero-shuffle map-only projection; the md5
-    weight makes both argmaxes digit-exact in DuckDB."""
+    the full assignment). Zero-shuffle map-only projection; ONE 17-entry
+    weight array per row serves both argmaxes (rendezvous_reshard_expr —
+    the 16-shard winner is the argmax over sid < 16 of the same array,
+    no double hashing); the md5 weight makes both digit-exact in
+    DuckDB."""
     pages = corpus.corpus_df(spark, N).select("page_id", "url")
-    out = rendezvous.rendezvous_assign(pages, "url", 16, "shard16")
-    out = out.withColumn(
-        "shard17", rendezvous.rendezvous_shard_expr(F.col("url"), 17)
-    )
-    return out.select(
+    pair = rendezvous.rendezvous_reshard_expr(F.col("url"), 16, 17)
+    return pages.select(
         "page_id",
-        "shard16",
-        "shard17",
-        (F.col("shard16") != F.col("shard17")).alias("moved"),
+        pair["old"].alias("shard16"),
+        pair["new"].alias("shard17"),
+        pair["moved"].alias("moved"),
     )
 
 
@@ -4306,6 +4306,8 @@ def _pagerank_ctes(
     nodes_rel: str = "pgu",
     node_col: str = "i",
     weighted: bool = False,
+    tele_pred: str | None = None,
+    n_tele: int | None = None,
 ) -> str:
     """The fixed-point PageRank iteration as a reusable CTE fragment
     (assumes the corpus prelude is already in scope; yields ``r{iters}``
@@ -4315,12 +4317,20 @@ def _pagerank_ctes(
     is referenced twice by the next (contrib AND dangling mass) — AS
     MATERIALIZED, or DuckDB's default CTE inlining goes exponential in
     iters (same gotcha as the deferral chains). Shared by the standalone
-    ``link_pagerank`` oracle, the ``crawl_pagerank_priority`` trace, and
+    ``link_pagerank`` oracle, the ``crawl_pagerank_priority`` trace,
     (with ``edges_sql``/``nodes_rel`` overridden) the host-graph
-    ``host_pagerank`` oracle; the defaults produce byte-identical SQL to
-    the pre-parameterized form."""
+    ``host_pagerank`` oracle, and (with ``tele_pred``/``n_tele``) the
+    PERSONALIZED ``link_pagerank_seeded`` oracle; the defaults produce
+    byte-identical SQL to the pre-parameterized form.
+
+    ``tele_pred`` is a boolean-SQL template over ``{col}`` (the node
+    column, substituted bare in r0 and as ``p.<col>`` in the rank CTEs);
+    when given, r0 mass, the teleport base, and the dangling share all
+    carry the indicator and divide by ``n_tele`` (= |seeds|) instead of
+    n — mirroring operators/graph.py personalized_pagerank."""
     s = 10**12
-    base = (15 * s // 100) // n
+    k = n if tele_pred is None else n_tele
+    base = (15 * s // 100) // k
     e_sql = (
         edges_sql
         if edges_sql is not None
@@ -4333,10 +4343,18 @@ def _pagerank_ctes(
         else "SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1"
     )
     share = "r.r * e.w // deg.od" if weighted else "r.r // deg.od"
+    if tele_pred is None:
+        r0_sql = f"SELECT {node_col} AS v, {s // k}::BIGINT AS r FROM {nodes_rel}"
+    else:
+        pred0 = tele_pred.format(col=node_col)
+        r0_sql = (
+            f"SELECT {node_col} AS v, (CASE WHEN {pred0} THEN {s // k}"
+            f" ELSE 0 END)::BIGINT AS r FROM {nodes_rel}"
+        )
     parts = [
         f"e AS MATERIALIZED ({e_sql}),",
         f"deg AS MATERIALIZED ({deg_sql}),",
-        f"r0 AS MATERIALIZED (SELECT {node_col} AS v, {s // n}::BIGINT AS r FROM {nodes_rel}),",
+        f"r0 AS MATERIALIZED ({r0_sql}),",
     ]
     for t in range(iters):
         parts.append(
@@ -4347,9 +4365,22 @@ def _pagerank_ctes(
             f"c{t} AS MATERIALIZED (SELECT e.dst AS v, sum({share})::BIGINT AS c"
             f" FROM e JOIN r{t} r ON r.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),"
         )
+        if tele_pred is None:
+            rank_expr = (
+                f"({base} + (85 * (coalesce(c.c, 0)"
+                f" + (SELECT dm FROM d{t}) // {k})) // 100)::BIGINT"
+            )
+        else:
+            predp = tele_pred.format(col=f"p.{node_col}")
+            rank_expr = (
+                f"((CASE WHEN {predp} THEN {base} ELSE 0 END)"
+                f" + (85 * (coalesce(c.c, 0)"
+                f" + CASE WHEN {predp} THEN (SELECT dm FROM d{t}) // {k}"
+                f" ELSE 0 END)) // 100)::BIGINT"
+            )
         parts.append(
             f"r{t + 1} AS MATERIALIZED (SELECT p.{node_col} AS v,"
-            f" ({base} + (85 * (coalesce(c.c, 0) + (SELECT dm FROM d{t}) // {n})) // 100)::BIGINT AS r"
+            f" {rank_expr} AS r"
             f" FROM {nodes_rel} p LEFT JOIN c{t} c ON c.v = p.{node_col}),"
         )
     return "\n".join(parts)
@@ -4458,48 +4489,22 @@ ORACLES["link_hits"] = _hits_oracle_sql()
 # (degree, id) order between the two high endpoints, one equi-join
 # closure. Pure integer counting: digit-exact by construction.
 def _ppr_oracle_sql(n: int, iters: int = 5, seed_mod: int = PPR_SEED_MOD) -> str:
-    """link_pagerank_seeded: the personalized fixed-point iteration
-    unrolled (same edge CTE + rank-chain discipline as _pagerank_ctes —
-    every per-round CTE AS MATERIALIZED, the chain gotcha). The base and
-    r0 constants divide by |seeds| (= count of i % seed_mod == 0 under
-    n), and BOTH the teleport and the dangling share carry the
-    [v ∈ seeds] indicator — change operators/graph.py
-    personalized_pagerank and this generator together."""
-    s = 10**12
+    """link_pagerank_seeded: the SHARED fixed-point fragment
+    (_pagerank_ctes) with its teleport restricted to the seed predicate
+    ``i % seed_mod = 0`` and the |seeds|-derived denominator — the same
+    generator that serves link_pagerank / host_pagerank /
+    crawl_pagerank_priority, so there is exactly ONE copy of the
+    SCALE/15-85 iteration to keep in sync with operators/graph.py."""
     n_seeds = len(range(0, n, seed_mod))
-    base = (15 * s // 100) // n_seeds
-    r0seed = s // n_seeds
     parts = [
         f"WITH {PRE},",
-        "e AS MATERIALIZED (SELECT DISTINCT pe.src AS src, d.i AS dst"
-        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),",
-        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od"
-        " FROM e GROUP BY 1),",
-        f"r0 AS MATERIALIZED (SELECT i AS v,"
-        f" (CASE WHEN i % {seed_mod} = 0 THEN {r0seed} ELSE 0 END)::BIGINT"
-        f" AS r FROM pgu),",
+        _pagerank_ctes(
+            n,
+            iters,
+            tele_pred=f"({{col}} % {seed_mod} = 0)",
+            n_tele=n_seeds,
+        ),
     ]
-    for t in range(iters):
-        parts.append(
-            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0)::BIGINT AS dm"
-            f" FROM r{t} r LEFT JOIN deg ON deg.src = r.v"
-            f" WHERE deg.src IS NULL),"
-        )
-        parts.append(
-            f"c{t} AS MATERIALIZED (SELECT e.dst AS v,"
-            f" sum(r.r // deg.od)::BIGINT AS c"
-            f" FROM e JOIN r{t} r ON r.v = e.src JOIN deg ON deg.src = e.src"
-            f" GROUP BY 1),"
-        )
-        parts.append(
-            f"r{t + 1} AS MATERIALIZED (SELECT p.i AS v,"
-            f" ((CASE WHEN p.i % {seed_mod} = 0 THEN {base} ELSE 0 END)"
-            f" + (85 * (coalesce(c.c, 0)"
-            f" + CASE WHEN p.i % {seed_mod} = 0"
-            f" THEN (SELECT dm FROM d{t}) // {n_seeds} ELSE 0 END)) // 100"
-            f" )::BIGINT AS r"
-            f" FROM pgu p LEFT JOIN c{t} c ON c.v = p.i),"
-        )
     parts.append(
         "ind AS (SELECT dst, count(*)::BIGINT AS ind FROM e GROUP BY 1)\n"
         f"SELECT r.v AS node_id, (r.v % {seed_mod} = 0) AS is_seed,\n"

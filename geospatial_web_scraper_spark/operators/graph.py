@@ -408,11 +408,12 @@ def personalized_pagerank(
     Returns ``(node_id, is_seed, out_deg, in_deg, rank_fp)``. Scale
     shape identical to the plain operator: per iteration ONE equi-join
     shuffle + a scalar dangling aggregate; the seed flag rides in the
-    O(nodes) rank state, never re-joined."""
-    n_seeds = seeds.count()
-    if n_seeds == 0:
-        raise ValueError("personalized_pagerank: empty seed set")
+    O(nodes) rank state, never re-joined.
 
+    ``seeds`` is normalized before |seeds| is taken: duplicate seed rows
+    and seed ids absent from ``nodes`` are dropped FIRST, so the teleport
+    denominator always equals the number of nodes that actually receive
+    mass (a duplicate row would otherwise silently shrink every rank)."""
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -423,11 +424,21 @@ def personalized_pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint()
 
-    base = (15 * SCALE // 100) // n_seeds
     node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
-    seed_ids = seeds.select(
-        F.col(node_col).cast("long").alias("v"), F.lit(True).alias("is_seed")
-    ).distinct()
+    seed_ids = (
+        seeds.select(F.col(node_col).cast("long").alias("v"))
+        .distinct()
+        .join(node_ids.distinct(), "v", "leftsemi")
+        .select("v", F.lit(True).alias("is_seed"))
+        .localCheckpoint()
+    )
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: empty seed set (after dedup and"
+            " restriction to `nodes`)"
+        )
+    base = (15 * SCALE // 100) // n_seeds
     ranks = (
         node_ids.join(seed_ids, "v", "left")
         .join(deg, node_ids["v"] == deg["src"], "left")

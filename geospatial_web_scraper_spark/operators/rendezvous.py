@@ -36,11 +36,9 @@ from pyspark.sql import functions as F
 from .dedup import _md5_hash64_expr
 
 
-def rendezvous_shard_expr(key: Column, n_shards: int) -> Column:
-    """Column: the winning shard id in ``[0, n_shards)`` for ``key``."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    arr = F.transform(
+def _weight_array(key: Column, n_shards: int) -> Column:
+    """``ARRAY<STRUCT<h, sid>>`` of the per-shard md5 weights for key."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(n_shards - 1)),
         lambda s: F.struct(
             _md5_hash64_expr(
@@ -49,7 +47,43 @@ def rendezvous_shard_expr(key: Column, n_shards: int) -> Column:
             s.alias("sid"),
         ),
     )
-    return F.array_max(arr)["sid"].cast("int")
+
+
+def rendezvous_shard_expr(key: Column, n_shards: int) -> Column:
+    """Column: the winning shard id in ``[0, n_shards)`` for ``key``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return F.array_max(_weight_array(key, n_shards))["sid"].cast("int")
+
+
+def rendezvous_reshard_expr(key: Column, n_old: int, n_new: int) -> Column:
+    """``STRUCT<old INT, new INT, moved BOOLEAN>`` — the key's shard at
+    ``n_old`` AND at ``n_new`` shards from ONE weight array: the old
+    assignment is the argmax restricted to ``sid < n_old``, so the
+    ``n_old`` weights are hashed once instead of twice (the md5 array is
+    bound via the ``transform(array(x), a -> ...)[0]`` trick — HOF input
+    arguments are evaluated once, only lambda-BODY subtrees lack CSE;
+    the two argmaxes inside the body scan the bound in-memory array,
+    no re-hash). ``moved`` is the resize witness: by the HRW argmax
+    property it implies ``new >= n_old`` (an added shard only ever
+    steals keys for itself)."""
+    if not 1 <= n_old < n_new:
+        raise ValueError(
+            f"need 1 <= n_old < n_new, got {n_old}, {n_new}"
+        )
+    return F.transform(
+        F.array(_weight_array(key, n_new)),
+        lambda a: F.struct(
+            F.array_max(F.filter(a, lambda x: x["sid"] < n_old))["sid"]
+            .cast("int")
+            .alias("old"),
+            F.array_max(a)["sid"].cast("int").alias("new"),
+            (
+                F.array_max(F.filter(a, lambda x: x["sid"] < n_old))["sid"]
+                != F.array_max(a)["sid"]
+            ).alias("moved"),
+        ),
+    )[0]
 
 
 def rendezvous_assign(

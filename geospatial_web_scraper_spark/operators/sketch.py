@@ -375,6 +375,24 @@ def _hll_rho(w):
     )
 
 
+def _dense_registers(regs: DataFrame, m: int) -> DataFrame:
+    """``(_g, _b, _m)`` max-register rows → ``(_g, registers ARRAY<INT>)``
+    dense (missing buckets 0) — shared by build and merge so the two can
+    never diverge on densification."""
+    dense = regs.groupBy("_g").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_m"))).alias("_map")
+    )
+    return dense.select(
+        "_g",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda b: F.coalesce(F.element_at(F.col("_map"), b), F.lit(0)),
+        )
+        .cast("array<int>")
+        .alias("registers"),
+    )
+
+
 def _hll_estimate(df: DataFrame, m: int = HLL_M) -> DataFrame:
     """Append ``(n_buckets, v_zero, max_rho, z_int, est_distinct)`` to a
     frame holding a dense ``registers ARRAY<INT>`` column.
@@ -452,20 +470,8 @@ def hll_sketch(
         .groupBy("_g", "_b")
         .agg(F.max("_r").alias("_m"))
     )
-    dense = regs.groupBy("_g").agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_m"))).alias("_map")
-    )
-    sk = dense.select(
-        "_g",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda b: F.coalesce(F.element_at(F.col("_map"), b), F.lit(0)),
-        )
-        .cast("array<int>")
-        .alias("registers"),
-    )
     return (
-        _hll_estimate(sk, m)
+        _hll_estimate(_dense_registers(regs, m), m)
         .join(totals, "_g")
         .select(
             F.col("_g").alias(group_col),
@@ -486,33 +492,19 @@ def hll_merge(sketches: DataFrame, group_col: str, m: int = HLL_M) -> DataFrame:
     — then the shared estimator. Exactly equals :func:`hll_sketch` over
     the concatenated shards (max of per-shard maxima == global max;
     pinned by tests/test_sketch.py)."""
-    exploded = sketches.select(
-        F.col(group_col).alias("_g"),
-        F.posexplode("registers").alias("_b", "_r"),
-    )
-    dense = (
-        exploded.groupBy("_g", "_b")
+    regs = (
+        sketches.select(
+            F.col(group_col).alias("_g"),
+            F.posexplode("registers").alias("_b", "_r"),
+        )
+        .groupBy("_g", "_b")
         .agg(F.max("_r").alias("_m"))
-        .groupBy("_g")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("_b", "_m")))
-            .alias("_map")
-        )
-    )
-    sk = dense.select(
-        "_g",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda b: F.coalesce(F.element_at(F.col("_map"), b), F.lit(0)),
-        )
-        .cast("array<int>")
-        .alias("registers"),
     )
     totals = sketches.groupBy(F.col(group_col).alias("_g")).agg(
         F.sum("n_rows").alias("n_rows")
     )
     return (
-        _hll_estimate(sk, m)
+        _hll_estimate(_dense_registers(regs, m), m)
         .join(totals, "_g")
         .select(
             F.col("_g").alias(group_col),

@@ -409,3 +409,25 @@ def test_ppr_empty_seeds_raises(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pytest.raises(ValueError):
         personalized_pagerank(nodes, e, nodes.limit(0))
+
+
+def test_ppr_seed_normalization(spark):
+    """Duplicate seed rows and seed ids absent from `nodes` must not
+    shrink the teleport denominator: the normalized call equals the
+    clean-seed call digit-for-digit (review r5f)."""
+    from geospatial_web_scraper_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    nodes = spark.range(4).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    clean = spark.createDataFrame([(0,), (2,)], "node_id long")
+    dirty = spark.createDataFrame(
+        [(0,), (0,), (2,), (99,)], "node_id long"
+    )  # dup + foreign
+    a = {r["node_id"]: tuple(r) for r in
+         personalized_pagerank(nodes, e, clean).collect()}
+    b = {r["node_id"]: tuple(r) for r in
+         personalized_pagerank(nodes, e, dirty).collect()}
+    assert a == b

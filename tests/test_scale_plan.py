@@ -735,7 +735,9 @@ def test_frontier_shards_is_map_only(spark):
     df = entry_mod.queries()["frontier_shards"](spark, SF)
     plan = _plan(df)
     assert "Exchange" not in plan, plan
-    assert "pythonUDF" not in plan.lower(), plan
+    assert "pythonudf" not in plan.lower(), plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
 
 
 def test_ppr_joins_are_equi(spark):
