@@ -416,6 +416,22 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("link_pagerank", _pagerank)
 
+        # r5f: seed-teleport personalized PageRank over the same graph —
+        # same one-equi-join-per-iteration shape plus the broadcast seed
+        # membership join; the focused-crawl priority witness
+        from geospatial_web_scraper_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        def _pagerank_seeded():
+            nodes, edges = _bench_graph()
+            seeds = nodes.where(F.col("node_id") % 23 == 0)
+            personalized_pagerank(nodes, edges, seeds, iters=3).agg(
+                F.sum("rank_fp")
+            ).collect()
+
+        timed("link_pagerank_seeded", _pagerank_seeded)
+
         # r5e: HITS over the same synthetic graph — two equi-join shuffles
         # per iteration vs pagerank's one, same fixed-point discipline
         from geospatial_web_scraper_spark.operators.graph import (

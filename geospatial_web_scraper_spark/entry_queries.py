@@ -1409,6 +1409,25 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stage recall of the MinHash-LSH banding against exact
+    gram-set Jaccard truth, per integer similarity percentile — the dedup
+    twin of ``ann_recall_eval`` (operators/dedup.py lsh_recall_eval).
+    Truth pairs come from the gram inverted-index equi-join over a
+    BOUNDED eval sample (doc_id < 400 — exact all-pairs truth is
+    O(sample²), so you audit a sample, never the corpus); candidates are
+    the unchanged production band-collision join. Buckets and the truth
+    floor are exact-integer arithmetic (``floor(n_inter·100/u)``,
+    ``n_inter·100 ≥ u``), so both engines agree digit-for-digit; the
+    corpus is bimodal (boilerplate overlap ≤6%, near-dup rewrites ≥95%),
+    landing on the two flat ends of the 16-hash/4-band collision S-curve
+    1-(1-s⁴)⁴ — recall 0 at the noise floor, exactly 1.0 for
+    identical-signature pairs. The oracle composes the SAME
+    `_minhash_cand_ctes` prefix the minhash_neardup oracle runs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return dedup.lsh_recall_eval(docs, pct_floor=1)
+
+
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end (the compressed-scan memory path,
     operators/pq.py): train a deterministic init-only codebook (``iters=0``
@@ -3165,18 +3184,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # brute-force and IVF fragments; membership-only compare, so the
     # floats cancel into integer hit counts)
     "ann_recall_eval": q_ann_recall_eval,
+    # r5g: candidate-stage recall of the MinHash-LSH banding vs exact
+    # gram-Jaccard truth per similarity percentile — the dedup family's
+    # evaluation leg (truth via inverted-index equi-join on a bounded
+    # eval sample; integer buckets, so digit-exact)
+    "dedup_recall_eval": q_dedup_recall_eval,
 }
 
 
-def _minhash_pairs_sql(src: str = "documents", threshold: float = 0.3) -> str:
-    """The full MinHash+LSH near-dup oracle (signatures → bands → collision
-    candidates → exact n-gram Jaccard verify) over any (doc_id, text) source
-    relation — parameterized so the composed curation oracle can run the
-    identical pipeline over its exact-dedup survivors. The affine-family
-    coefficients are the same literals `dedup.minhash_coefficients` embeds
-    on the Spark side (change the formula in BOTH places)."""
-    return f"""
-WITH d AS (SELECT doc_id, text FROM {src}),
+def _minhash_cand_ctes(src: str = "documents") -> str:
+    """The shared MinHash-LSH CTE prefix (shingles → signatures → bands →
+    collision candidate pairs) used verbatim by `_minhash_pairs_sql` AND
+    the `dedup_recall_eval` oracle — exposes `grams` (per-doc shingle
+    lists) and `cand` (distinct id_a < id_b band collisions). The
+    affine-family coefficients are the same literals
+    `dedup.minhash_coefficients` embeds on the Spark side (change the
+    formula in BOTH places)."""
+    return f"""d AS (SELECT doc_id, text FROM {src}),
 toks AS (SELECT doc_id, {_sql_toks('text')} AS a FROM d),
 grams AS (
   SELECT doc_id,
@@ -3202,7 +3226,17 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id),
+   AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_pairs_sql(src: str = "documents", threshold: float = 0.3) -> str:
+    """The full MinHash+LSH near-dup oracle (signatures → bands → collision
+    candidates → exact n-gram Jaccard verify) over any (doc_id, text) source
+    relation — parameterized so the composed curation oracle can run the
+    identical pipeline over its exact-dedup survivors. Prefix CTEs come
+    from :func:`_minhash_cand_ctes` (shared with `dedup_recall_eval`)."""
+    return f"""
+WITH {_minhash_cand_ctes(src)},
 gset AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM grams),
 sizes AS (SELECT doc_id, count(*) AS sz FROM gset GROUP BY 1),
 inter AS (
@@ -6059,3 +6093,38 @@ FROM v{iters} v JOIN w{iters} w USING (j)"""
 
 
 ORACLES["embedding_pca_power"] = _pca_oracle_sql(4)
+
+
+# dedup_recall_eval: truth = exact gram-set Jaccard over every pair sharing
+# ≥1 shingle (inverted-index join — exact for any floor ≥ 1% since J > 0
+# requires a shared gram), caught = membership in the SAME band-collision
+# `cand` CTE the minhash_neardup oracle uses (_minhash_cand_ctes, composed
+# verbatim). Buckets/floor are integer arithmetic (floor(n_inter·100/u),
+# n_inter·100 ≥ u) so no float threshold can disagree across engines;
+# change q_dedup_recall_eval / dedup.lsh_recall_eval and this together.
+ORACLES["dedup_recall_eval"] = f"""
+WITH {_minhash_cand_ctes("(SELECT doc_id, text FROM documents WHERE doc_id < 400) evd")},
+gset AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gset GROUP BY 1),
+pinter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, count(*) AS n_inter
+  FROM gset ga JOIN gset gb ON gb.s = ga.s AND gb.doc_id > ga.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS u
+  FROM pinter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 100 >= (sa.sz + sb.sz - n_inter) * 1),
+flagged AS (
+  SELECT t.n_inter, t.u,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t
+  LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT floor(n_inter * 100 / u)::BIGINT AS pct_bucket,
+       count(*)::BIGINT AS n_truth,
+       sum(hit)::BIGINT AS n_caught,
+       round(sum(hit)::BIGINT / count(*), 6) AS recall6
+FROM flagged
+GROUP BY 1
+"""

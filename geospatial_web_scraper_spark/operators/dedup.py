@@ -253,6 +253,83 @@ def minhash_neardup_pairs(
     )
 
 
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    pct_floor: int = 1,
+) -> DataFrame:
+    """Candidate-stage recall of the MinHash-LSH banding vs EXACT gram-set
+    Jaccard ground truth → ``(pct_bucket, n_truth, n_caught, recall6)``,
+    one row per integer similarity percentile bucket (``floor(100·J)``).
+    The dedup twin of ``ann_recall_eval``: before you trust an LSH config
+    (k hashes, b bands) to dedup a corpus, measure where its collision
+    S-curve ``1-(1-s^(k/b))^b`` actually lands on YOUR data — truth pairs
+    the banding misses are duplicates that survive dedup.
+
+    Truth is computed INDEPENDENTLY of the candidate set: every pair
+    sharing ≥1 shingle via the gram inverted-index equi-join (exact for
+    any ``pct_floor`` ≥ 1, since J > 0 requires a shared gram — never a
+    cartesian), bucketed by exact-integer arithmetic
+    (``n_inter·100 ≥ u·pct_floor`` / ``floor(n_inter·100/u)``, no float
+    thresholds to disagree across engines). ``n_caught`` counts truth
+    pairs present in :func:`minhash_lsh_candidates`' band-collision
+    output.
+
+    Scale shape: exact all-pairs truth is O(sample²) worst case — run
+    this on a BOUNDED eval sample (the catalog row caps ``doc_id``), the
+    way you'd audit a production dedup config; the candidate side is the
+    unchanged production LSH join. Exact-duplicate pairs (identical gram
+    sets ⇒ identical signatures ⇒ identical bands) are caught with
+    probability 1, so the top bucket's recall is exactly 1.0 — pinned in
+    tests/test_dedup_recall.py."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, bands, ngram)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_expr(F.col(text_col), ngram))
+        ).alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "g")
+    gb = grams.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        ga.join(gb, (ga["g"] == gb["g"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("u", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * 100 >= F.col("u") * pct_floor)
+        .withColumn("pct_bucket", F.floor(F.col("n_inter") * 100 / F.col("u")))
+    )
+    flagged = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).withColumn("hit", F.coalesce("hit", F.lit(0)))
+    return (
+        flagged.groupBy("pct_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum("hit").cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall6",
+            F.round(F.col("n_caught") / F.col("n_truth"), 6),
+        )
+    )
+
+
 # ----------------------------------------------------------- containment
 def containment_pairs(
     df: DataFrame,
