@@ -366,6 +366,20 @@ def test_containment_join_is_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_recall_eval_joins_are_equi_not_cartesian(spark):
+    """dedup_recall_eval's truth side must stay a gram inverted-index
+    EQUI-join (pairs materialize only where a shingle is shared) and its
+    caught side the banded EQUI self-join — never a nested-loop/cartesian
+    all-pairs scan, even though the semantics are 'all pairs above a
+    floor'. No window operator: buckets aggregate via hash agg."""
+    df = entry_mod.queries()["dedup_recall_eval"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_line_dedup_freq_is_aggregate_not_window(spark):
     """dedup_lines' document-frequency decision must stay a (two-stage,
     map-side-combining) distinct aggregate on the segment hash feeding an
