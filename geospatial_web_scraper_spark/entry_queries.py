@@ -713,6 +713,58 @@ def _corpus_rank_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def _corpus_ppr_rank_table(spark: SparkSession) -> DataFrame:
+    """(url, rank_fp): PERSONALIZED PageRank over the corpus link graph —
+    teleport restricted to the seed pages (page_id % PPR_SEED_MOD == 0),
+    the exact table q_link_pagerank_seeded checks — re-keyed for the
+    scheduler's rank join."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    seeds = nodes.filter(F.col("node_id") % PPR_SEED_MOD == 0)
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    from .operators.graph import personalized_pagerank
+
+    return (
+        personalized_pagerank(nodes, e, seeds)
+        .join(urlmap, F.col("node_id") == F.col("page_id"))
+        .select("url", "rank_fp")
+    )
+
+
+def q_crawl_ppr_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCUSED-crawl recrawl priority end-to-end (r5g): the seed-teleport
+    personalized PageRank (link_pagerank_seeded's exact rank table) feeds
+    the salted priority dequeue, so the budget stays near the seed list's
+    neighborhood instead of drifting to globally-popular hubs — the
+    composition a topic-focused crawler actually runs. Identical engine
+    shape to crawl_pagerank_priority (uncapped fast path, url tiebreak);
+    the composed oracle swaps ONLY the teleport predicate inside the
+    SHARED _pagerank_ctes fragment (tele_pred/n_tele), so the trace chain
+    and the rank-join arithmetic stay one copy."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=None,
+        defer_overflow=False,
+        tiebreak="url",
+        rank_table=_corpus_ppr_rank_table(spark),
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-weighted recrawl priority end-to-end (VERDICT r3 ask #7):
     the link_pagerank signal feeds the salted priority dequeue — dequeue
@@ -3189,6 +3241,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # evaluation leg (truth via inverted-index equi-join on a bounded
     # eval sample; integer buckets, so digit-exact)
     "dedup_recall_eval": q_dedup_recall_eval,
+    # r5g: the focused-crawl composition — seed-teleport personalized
+    # PageRank as the dequeue priority (same engine shape as
+    # crawl_pagerank_priority; the oracle swaps only tele_pred/n_tele
+    # inside the one shared pagerank CTE fragment)
+    "crawl_ppr_priority": q_crawl_ppr_priority,
 }
 
 
@@ -4796,15 +4853,27 @@ FROM rk WHERE rank <= 3
 
 
 def _pagerank_priority_trace_sql(
-    n: int, budget: int, iters: int = 5, max_depth: int = 4
+    n: int,
+    budget: int,
+    iters: int = 5,
+    max_depth: int = 4,
+    tele_pred: str | None = None,
+    n_tele: int | None = None,
 ) -> str:
     """crawl_pagerank_priority: the pagerank CTE fragment (verbatim the
     link_pagerank iteration) mapped to (url, rank_fp), then the unrolled
     priority-trace chain with p = static priority + coalesce(rank_fp, 0).
     Both terms are exact in a double (rank_fp < 2^41 in 1e-12 units, the
     static term an integer-valued double ≤ ~150), so the sum carries no
-    rounding and Spark/DuckDB order identically."""
-    parts = [f"WITH {PRE},", _pagerank_ctes(n, iters)]
+    rounding and Spark/DuckDB order identically. With ``tele_pred`` /
+    ``n_tele`` (passed through to _pagerank_ctes) the SAME trace chain
+    runs over the PERSONALIZED rank table — the crawl_ppr_priority
+    oracle; the defaults produce byte-identical SQL to the
+    pre-parameterized form."""
+    parts = [
+        f"WITH {PRE},",
+        _pagerank_ctes(n, iters, tele_pred=tele_pred, n_tele=n_tele),
+    ]
     parts.append(
         f"""
 ranks AS MATERIALIZED (
@@ -4851,6 +4920,17 @@ rec{r} AS (
 
 
 ORACLES["crawl_pagerank_priority"] = _pagerank_priority_trace_sql(N, 120)
+
+# crawl_ppr_priority: the SAME composed trace oracle with the teleport
+# restricted to the seed pages — tele_pred/n_tele flow through to the one
+# shared _pagerank_ctes copy (mirrors _ppr_oracle_sql's parameters; keep
+# the predicate and seed count in sync with q_link_pagerank_seeded).
+ORACLES["crawl_ppr_priority"] = _pagerank_priority_trace_sql(
+    N,
+    120,
+    tele_pred=f"({{col}} % {PPR_SEED_MOD} = 0)",
+    n_tele=len(range(0, N, PPR_SEED_MOD)),
+)
 
 
 # robots_parse: window-SQL mirror of parse_robots_txt over byte-identical
