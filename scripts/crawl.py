@@ -62,7 +62,9 @@ def main() -> None:
     ap.add_argument("--rank-table", help="parquet (url, rank_fp) — PageRank "
                     "recrawl signal added to the priority (scheduler=priority "
                     "only); produce it with graph.pagerank_fixed_point over a "
-                    "previous crawl's extracted edges")
+                    "previous crawl's extracted edges, or with "
+                    "graph.personalized_pagerank (seed-teleport) for a "
+                    "focused crawl that stays near its seed list")
     ap.add_argument("--trap-templates", help="parquet (host, template) crawl-"
                     "trap denylist (scheduler=priority only); produce it with "
                     "traps.trap_report over a previous crawl's trace and "
