@@ -1173,6 +1173,34 @@ def q_curate_corpus_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
 
+def q_curate_corpus_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus with the MODEL-BASED quality gate threaded in
+    (quality_gate='classifier', r5g) — the CCNet/DCLM-style pipeline
+    where a trained linear classifier, not a heuristic score, decides
+    stage-1 survival. The gate is classifier.classifier_keep_expr: the
+    same hashed-n-gram integer micro-unit fold the quality_classifier
+    row value-checks, as ONE scan-local boolean expression — zero
+    shuffle, zero join, so the composed plan shape is byte-identical to
+    curate_corpus's. Its oracle swaps the quality_score fragment for the
+    quality_classifier fragment verbatim (kept flag instead of the q
+    threshold) and keeps every other stage identical — assert-pinned
+    beside ORACLES['curate_corpus_classifier']."""
+    from .operators.classifier import synthetic_weights
+
+    out = curate_corpus(
+        # same spread-and-materialize note as q_curate_corpus
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(),
+        languages=("en",),
+        neardup_threshold=0.5,
+        quality_gate="classifier",
+        classifier_weights=synthetic_weights(64),
+        classifier_threshold=0.0,
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
     gram hash so DuckDB reproduces every fingerprint value."""
@@ -3246,6 +3274,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # crawl_pagerank_priority; the oracle swaps only tele_pred/n_tele
     # inside the one shared pagerank CTE fragment)
     "crawl_ppr_priority": q_crawl_ppr_priority,
+    # r5g: the model-based-quality curation variant — the classifier gate
+    # as one scan-local expression inside the composed pipeline (oracle =
+    # verbatim quality-fragment swap, assert-pinned)
+    "curate_corpus_classifier": q_curate_corpus_classifier,
 }
 
 
@@ -5978,6 +6010,22 @@ FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
 assert ORACLES["lang_id"] in ORACLES["curate_corpus"]
 ORACLES["curate_corpus_ngram"] = ORACLES["curate_corpus"].replace(
     ORACLES["lang_id"], ORACLES["lang_id_ngram"], 1
+)
+
+# curate_corpus_classifier — the SAME composed curation oracle with the
+# heuristic quality fragment (q >= 0.3) swapped verbatim for the
+# quality_classifier fragment gated on its integer-exact `kept` flag
+# (every other stage byte-identical; the asserts pin the verbatim
+# composition so a refactor of either fragment can't silently decouple
+# them — same invariant style as curate_corpus_ngram's lang swap).
+_QS_JOIN = (
+    f"""JOIN ({ORACLES["quality_score"]}) qs ON qs.doc_id = d.doc_id AND qs.q >= 0.3"""
+)
+assert _QS_JOIN in ORACLES["curate_corpus"]
+ORACLES["curate_corpus_classifier"] = ORACLES["curate_corpus"].replace(
+    _QS_JOIN,
+    f"""JOIN ({ORACLES["quality_classifier"]}) qs ON qs.doc_id = d.doc_id AND qs.kept""",
+    1,
 )
 
 # multimodal_video — the Y4M payload generator's arithmetic

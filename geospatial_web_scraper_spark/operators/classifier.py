@@ -43,6 +43,7 @@ from .textstats import tokens_expr, word_ngrams_expr
 __all__ = [
     "MICRO",
     "NATIVE_BUCKET_BUDGET",
+    "classifier_keep_expr",
     "feature_bucket_expr",
     "quality_classifier",
     "synthetic_weights",
@@ -77,6 +78,72 @@ def synthetic_weights(n_buckets: int) -> list[float]:
 
 def _micro_weights(weights: list[float]) -> list[int]:
     return [int(round(w * MICRO)) for w in weights]
+
+
+def _native_sum_expr(feats: Column, w_micro: list[int]) -> Column:
+    """The in-order integer micro-unit fold over a feature array — ONE
+    whole-stage-codegen expression. Shared by quality_classifier's native
+    dispatch and :func:`classifier_keep_expr`, so there is exactly one
+    copy of the fold to keep in sync with the Arrow kernel and the SQL
+    oracle. The weight array is bound ONCE per row via the transform-wrap
+    trick: subtrees inside a higher-order-function lambda get no CSE, so
+    a bare ``element_at(warr, …)`` would rebuild the n_buckets-literal
+    array per FEATURE (measured 1.8× the whole fold at 64 buckets); as a
+    lambda variable it is constructed once. element_at is 1-based."""
+    n_buckets = len(w_micro)
+    warr = F.array(*[F.lit(w).cast("long") for w in w_micro])
+    return F.transform(
+        F.array(warr),
+        lambda wa: F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(
+                wa, (feature_bucket_expr(t, n_buckets) + 1).cast("int")
+            ),
+        ),
+    )[0]
+
+
+def classifier_keep_expr(
+    text: Column,
+    weights: list[float],
+    threshold: float = 0.0,
+    use_bigrams: bool = True,
+) -> Column:
+    """The model-based quality gate as ONE scan-local boolean expression
+    over the text column — zero shuffle, zero join, so a curation
+    pipeline can fold it into its stage-1 WHERE exactly like the
+    heuristic gates (operators/curate.py quality_gate='classifier').
+    Identical keep decisions to ``quality_classifier(...)["kept"]``
+    (integer-exact ``sum_micro >= round(threshold·1e6)·n_features``,
+    zero-feature docs dropped) — parity pinned in tests/test_classifier.py.
+    Native codegen path only: above :data:`NATIVE_BUCKET_BUDGET` buckets
+    use :func:`quality_classifier` (Arrow dispatch) and join its ``kept``
+    column instead."""
+    n_buckets = len(weights)
+    if n_buckets < 1:
+        raise ValueError("weights must be non-empty")
+    if n_buckets > NATIVE_BUCKET_BUDGET:
+        raise ValueError(
+            f"classifier_keep_expr is the native-codegen path: {n_buckets}"
+            f" buckets exceeds NATIVE_BUCKET_BUDGET={NATIVE_BUCKET_BUDGET}"
+            " (the Janino literal-compile cliff); use quality_classifier"
+        )
+    w_micro = _micro_weights(weights)
+    thr_micro = int(round(threshold * MICRO))
+    low = F.lower(text)
+    toks = tokens_expr(low)
+    ntok = F.size(toks)
+    if use_bigrams:
+        feats = F.concat(toks, word_ngrams_expr(low, 2))
+        nfeat = F.when(ntok > 0, ntok * 2 - 1).otherwise(F.lit(0))
+    else:
+        feats = toks
+        nfeat = ntok
+    return F.when(
+        nfeat > 0, _native_sum_expr(feats, w_micro) >= F.lit(thr_micro) * nfeat
+    ).otherwise(F.lit(False))
 
 
 def quality_classifier(
@@ -128,24 +195,9 @@ def quality_classifier(
     d = docs.select(F.col(id_col), feats.alias("_f"), nfeat.alias("_n"))
 
     if n_buckets <= NATIVE_BUCKET_BUDGET:
-        warr = F.array(*[F.lit(w).cast("long") for w in w_micro])
-        # bind the weight array ONCE per row via the transform-wrap trick:
-        # subtrees inside a higher-order-function lambda get no CSE, so a
-        # bare `element_at(warr, …)` would rebuild the n_buckets-literal
-        # array per FEATURE (measured 1.8x the whole fold at 64 buckets);
-        # as a lambda variable it is constructed once. element_at is
-        # 1-based.
-        summ = F.transform(
-            F.array(warr),
-            lambda wa: F.aggregate(
-                F.col("_f"),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc
-                + F.element_at(
-                    wa, (feature_bucket_expr(t, n_buckets) + 1).cast("int")
-                ),
-            ),
-        )[0]
+        # the transform-wrap fold, shared with classifier_keep_expr —
+        # one copy of the weight-binding trick (see _native_sum_expr)
+        summ = _native_sum_expr(F.col("_f"), w_micro)
         d = d.select(
             id_col, F.col("_n").alias("n_features"), summ.alias("_sum")
         )

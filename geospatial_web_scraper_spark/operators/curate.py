@@ -41,6 +41,9 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     max_contam_frac: float = 0.0,
     lang_gate: str = "vote",
+    quality_gate: str = "score",
+    classifier_weights: list[float] | None = None,
+    classifier_threshold: float = 0.0,
 ) -> DataFrame:
     """→ the curated subset of ``docs`` (original columns), surviving all
     gates. Deterministic: every keep/drop decision is min-id-wins.
@@ -55,16 +58,35 @@ def curate_corpus(
     frozen stopword vote — the catalog/oracle default) or ``"ngram"``
     (``langid.langid_ngram_expr``, the hashed char-trigram NB kernel —
     r5; fires on sub-word evidence the exact-token vote misses, same
-    scan-local no-shuffle shape)."""
+    scan-local no-shuffle shape). ``quality_gate`` picks the stage-1
+    quality filter: ``"score"`` (the heuristic ``quality_score_expr >=
+    min_quality`` — the default) or ``"classifier"`` (r5g: the hashed
+    n-gram linear model as ONE scan-local boolean expression,
+    ``classifier.classifier_keep_expr`` with ``classifier_weights`` /
+    ``classifier_threshold`` — the CCNet/DCLM-style model-based filter;
+    ``min_quality`` is ignored in this mode and the gate stays
+    zero-shuffle, exactly like the heuristic)."""
     if lang_gate == "ngram":
         from .langid import langid_ngram_expr as _lang_expr
     elif lang_gate == "vote":
         _lang_expr = lang_id_expr
     else:
         raise ValueError(f"lang_gate must be 'vote' or 'ngram', got {lang_gate!r}")
-    stage1 = _lang_expr(F.col(text_col)).isin(*languages) & (
-        quality_score_expr(F.col(text_col)) >= min_quality
-    )
+    if quality_gate == "classifier":
+        if classifier_weights is None:
+            raise ValueError("quality_gate='classifier' needs classifier_weights")
+        from .classifier import classifier_keep_expr
+
+        _quality_pred = classifier_keep_expr(
+            F.col(text_col), classifier_weights, classifier_threshold
+        )
+    elif quality_gate == "score":
+        _quality_pred = quality_score_expr(F.col(text_col)) >= min_quality
+    else:
+        raise ValueError(
+            f"quality_gate must be 'score' or 'classifier', got {quality_gate!r}"
+        )
+    stage1 = _lang_expr(F.col(text_col)).isin(*languages) & _quality_pred
     if max_top2gram_frac is not None:
         # rounded like the audit query so gate and oracle agree at ties
         stage1 = stage1 & (

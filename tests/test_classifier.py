@@ -69,6 +69,41 @@ def test_arrow_path_matches_native(spark, monkeypatch):
     assert arrow == native
 
 
+def test_keep_expr_matches_operator_kept(spark):
+    # classifier_keep_expr (the scan-local curate gate) must make the
+    # IDENTICAL keep decision as quality_classifier's kept column, at
+    # several thresholds including a negative one — same fold, same
+    # integer-exact compare, pinned so they can't drift apart.
+    from geospatial_web_scraper_spark.operators.classifier import (
+        classifier_keep_expr,
+    )
+
+    w = synthetic_weights(64)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for thr in (0.0, 0.25, -0.4):
+        via_expr = {
+            r["doc_id"]: r["k"]
+            for r in df.select(
+                "doc_id",
+                classifier_keep_expr(F.col("text"), w, thr).alias("k"),
+            ).collect()
+        }
+        via_op = {
+            r["doc_id"]: r["kept"]
+            for r in quality_classifier(df, w, threshold=thr).collect()
+        }
+        assert via_expr == via_op, thr
+
+
+def test_keep_expr_refuses_arrow_scale_models(spark):
+    from geospatial_web_scraper_spark.operators.classifier import (
+        classifier_keep_expr,
+    )
+
+    with pytest.raises(ValueError, match="NATIVE_BUCKET_BUDGET"):
+        classifier_keep_expr(F.col("text"), synthetic_weights(300))
+
+
 def test_threshold_gate_is_integer_exact(spark):
     # threshold above every mean weight -> nothing kept except NULL-safe
     w = synthetic_weights(64)

@@ -73,6 +73,23 @@ def test_truth_floor_is_integer_exact(spark):
     assert dropped.count() == 0
 
 
+def test_eval_consistent_with_production_pairs(spark):
+    # Every pair the PRODUCTION pipeline emits at threshold t is a truth
+    # pair at bucket >= floor(100*t) that the candidate stage caught — so
+    # summed over those buckets, n_caught >= the production pair count.
+    # Ties the eval to minhash_neardup_pairs instead of only to itself.
+    rows = []
+    for i in range(8):
+        text = BASE + f" tail {i % 3} mark {i % 2}"
+        rows.append((i, text))
+    df = _docs(spark, rows)
+    prod = dedup.minhash_neardup_pairs(df, threshold=0.5).count()
+    ev = dedup.lsh_recall_eval(df).collect()
+    caught_high = sum(r["n_caught"] for r in ev if r["pct_bucket"] >= 50)
+    assert prod > 0  # the corpus must exercise the property
+    assert caught_high >= prod
+
+
 def test_catalog_row_matches_oracle_shape(spark):
     from geospatial_web_scraper_spark.entry_queries import (
         QUERIES,
