@@ -35,11 +35,13 @@ from .functions.urls import (
 from .operators import dedup, pq, rendezvous, similarity, sketch, textstats
 from .operators.curate import curate_corpus
 from .operators.graph import (
+    bfs_distances,
     hits_fixed_point,
+    opic_fixed_point,
     pagerank_fixed_point,
     triangle_counts,
 )
-from .operators.lm import bigram_lm_scores
+from .operators.lm import bigram_lm_scores, pmi_collocations
 from .operators.profile import group_quantiles, heavy_hitters
 from .operators.sessions import sessionize
 from .operators.relevance import bm25_oracle_sql, bm25_scores
@@ -1401,6 +1403,69 @@ def q_link_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
     )
     return personalized_pagerank(nodes, e, seeds)
+
+
+#: BFS round cap for the catalog's link-distance query — comfortably above
+#: the N=300 corpus's seed eccentricity (measured 4; extra rounds are no-ops
+#: on BOTH engines, so the cap only matters as a runaway guard)
+BFS_ROUNDS = 8
+
+#: synchronous OPIC rounds for the catalog query (same count as PageRank's
+#: conventional 5 — enough for the history estimate to order the graph)
+OPIC_ROUNDS = 5
+
+
+def q_link_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from the SAME seed set as
+    link_pagerank_seeded (page_id % PPR_SEED_MOD == 0) over the SAME
+    page→page link graph (operators/graph.py bfs_distances): the true
+    link distance a crawl analyst compares against the crawl's
+    discovered depth (first-wins depth ≥ link distance — invariant #8's
+    other half). Frontier-only relaxation, exact BIGINT levels, -1 for
+    pages unreachable within BFS_ROUNDS hops; the oracle unrolls the
+    identical fixed round count."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    seeds = nodes.filter(F.col("node_id") % PPR_SEED_MOD == 0)
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return bfs_distances(nodes, e, seeds, rounds=BFS_ROUNDS)
+
+
+def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous OPIC (Abiteboul et al. 2003; operators/graph.py
+    opic_fixed_point) over the crawl link graph — the on-line importance
+    estimator a crawler maintains WHILE crawling, vs. link_pagerank's
+    batch fixed point over the finished snapshot. Integer cash/history
+    in 1e-12 units, floor division only — the unrolled DuckDB oracle
+    matches every digit."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return opic_fixed_point(nodes, e, rounds=OPIC_ROUNDS)
+
+
+#: PMI pair-count floor for the catalog query — the standard hapax guard
+PMI_MIN_COUNT = 5
+
+
+def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over the documents table (operators/lm.py
+    pmi_collocations): adjacent token pairs co-occurring ≥ PMI_MIN_COUNT
+    times, scored ln c12 − ln c1 − ln c2 + 2·ln Tu − ln Tb on exact
+    BIGINT counts — the tokenizer/vocab audit that runs beside BPE
+    training and the LM gate. One fixed-order log expression per pair
+    (nothing float is summed across rows), rounded to 6 decimals."""
+    return pmi_collocations(_docs(spark, sf_dir), min_count=PMI_MIN_COUNT)
 
 
 def q_frontier_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3278,6 +3343,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # as one scan-local expression inside the composed pipeline (oracle =
     # verbatim quality-fragment swap, assert-pinned)
     "curate_corpus_classifier": q_curate_corpus_classifier,
+    # r5h: multi-source BFS link distance from the PPR seed set — the
+    # frontier-expansion primitive (exact levels; frontier-only
+    # relaxation, one equi-join + one anti-join per round)
+    "link_distance": q_link_distance,
+    # r5h: synchronous OPIC — the on-line (crawl-time) importance
+    # estimator, distinct from the batch PageRank fixed point: no
+    # damping, and the banked HISTORY column is the estimate
+    "opic_importance": q_opic_importance,
+    # r5h: PMI collocations — the tokenizer/vocab audit; exact BIGINT
+    # counts, one fixed-order log expression per pair, no cross-row
+    # float aggregation anywhere
+    "ngram_pmi": q_ngram_pmi,
 }
 
 
@@ -4422,6 +4499,15 @@ FROM per GROUP BY source
 """
 
 
+#: the page-graph oracles' default edge derivation (pagerank / HITS /
+#: triangles / PPR all embed this string; the r5h link_distance and
+#: opic_importance oracles reference it directly)
+_PAGE_EDGES_SQL = (
+    "SELECT DISTINCT pe.src AS src, d.i AS dst"
+    " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst"
+)
+
+
 def _pagerank_ctes(
     n: int,
     iters: int = 5,
@@ -4454,12 +4540,7 @@ def _pagerank_ctes(
     s = 10**12
     k = n if tele_pred is None else n_tele
     base = (15 * s // 100) // k
-    e_sql = (
-        edges_sql
-        if edges_sql is not None
-        else "SELECT DISTINCT pe.src AS src, d.i AS dst"
-        " FROM plain_edges pe JOIN pgu d ON d.url = pe.dst"
-    )
+    e_sql = edges_sql if edges_sql is not None else _PAGE_EDGES_SQL
     deg_sql = (
         "SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1"
         if weighted
@@ -6255,4 +6336,119 @@ SELECT floor(n_inter * 100 / u)::BIGINT AS pct_bucket,
        round(sum(hit)::BIGINT / count(*), 6) AS recall6
 FROM flagged
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# r5h graph additions: BFS link distance + synchronous OPIC
+# ---------------------------------------------------------------------------
+
+def _bfs_oracle_sql(rounds: int) -> str:
+    """link_distance: the synchronous BFS unrolled — per round one
+    frontier⋈edges join and one NOT EXISTS anti-join against the
+    cumulative distance table, exactly the Spark iteration
+    (operators/graph.py bfs_distances). Levels are bare integers (no
+    arithmetic), so parity is trivial; rounds past convergence produce
+    empty frontiers on both sides. Every CTE is AS MATERIALIZED — f{t}
+    references d{t-1} which references f{t-1} and d{t-2}: the usual
+    inlining-explosion gotcha (CLAUDE.md invariant: the chain CTEs)."""
+    parts = [
+        f"WITH {PRE},",
+        f"e AS MATERIALIZED ({_PAGE_EDGES_SQL}),",
+        f"d0 AS MATERIALIZED (SELECT i AS v, 0::BIGINT AS d FROM pgu"
+        f" WHERE i % {PPR_SEED_MOD} = 0),",
+    ]
+    for t in range(1, rounds + 1):
+        f_prev = "d0" if t == 1 else f"f{t - 1}"
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS v,"
+            f" {t}::BIGINT AS d"
+            f" FROM e JOIN {f_prev} f ON f.v = e.src"
+            f" WHERE NOT EXISTS (SELECT 1 FROM d{t - 1} x WHERE x.v = e.dst)),"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT * FROM d{t - 1}"
+            f" UNION ALL SELECT * FROM f{t}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")  # last CTE closes the WITH list
+    parts.append(
+        f"SELECT p.i AS node_id, coalesce(dd.d, -1)::BIGINT AS dist\n"
+        f"FROM pgu p LEFT JOIN d{rounds} dd ON dd.v = p.i"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_distance"] = _bfs_oracle_sql(BFS_ROUNDS)
+
+
+def _opic_oracle_sql(n: int, rounds: int) -> str:
+    """opic_importance: the synchronous OPIC cash/history iteration
+    unrolled (operators/graph.py opic_fixed_point) — integer floor
+    division only, so every digit matches. Mirrors the Spark state
+    update exactly: dang over sinks, share = c // od along edges, new
+    cash = contributions + dang // n, history += OLD cash; hist_fp =
+    h_T + c_T. Rank CTEs AS MATERIALIZED (each s{t} feeds the dangling
+    scalar AND the contribution join of round t — the chain gotcha)."""
+    s = 10**12
+    parts = [
+        f"WITH {PRE},",
+        f"e AS MATERIALIZED ({_PAGE_EDGES_SQL}),",
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od"
+        " FROM e GROUP BY 1),",
+        f"s0 AS MATERIALIZED (SELECT i AS v, {s // n}::BIGINT AS c,"
+        f" 0::BIGINT AS h FROM pgu),",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"dg{t} AS MATERIALIZED (SELECT coalesce(sum(s.c), 0)::BIGINT"
+            f" AS dm FROM s{t} s LEFT JOIN deg ON deg.src = s.v"
+            f" WHERE deg.src IS NULL),"
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT e.dst AS v,"
+            f" sum(s.c // deg.od)::BIGINT AS g"
+            f" FROM e JOIN s{t} s ON s.v = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY 1),"
+        )
+        parts.append(
+            f"s{t + 1} AS MATERIALIZED (SELECT p.v,"
+            f" (coalesce(g.g, 0) + (SELECT dm FROM dg{t}) // {n})::BIGINT"
+            f" AS c, (p.h + p.c)::BIGINT AS h"
+            f" FROM s{t} p LEFT JOIN g{t} g ON g.v = p.v),"
+        )
+    parts.append(
+        f"fin AS (SELECT * FROM s{rounds})\n"
+        "SELECT fin.v AS node_id, coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
+        "  fin.c AS cash_fp, (fin.h + fin.c)::BIGINT AS hist_fp\n"
+        "FROM fin LEFT JOIN deg ON deg.src = fin.v"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["opic_importance"] = _opic_oracle_sql(N, OPIC_ROUNDS)
+
+# ngram_pmi: exact BIGINT unigram/bigram counts (the same tokenization +
+# bigram derivation as the lm_perplexity oracle), hapax-guarded BEFORE the
+# count joins, and ONE fixed-order log expression per surviving pair —
+# ((((ln c12 − ln c1) − ln c2) + 2·ln Tu) − ln Tb), identical
+# left-to-right association on both engines; nothing float is ever summed
+# across rows, so there is no aggregation-order hazard at all.
+ORACLES["ngram_pmi"] = f"""
+WITH d AS (SELECT doc_id, list_transform({_sql_toks('text')}, x -> lower(x)) AS a
+           FROM documents),
+tok AS (SELECT unnest(a) AS w FROM d),
+uni AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cu FROM tok GROUP BY 1),
+bg AS MATERIALIZED (
+  SELECT a[i] AS w1, a[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+bgc AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+tt AS (SELECT (SELECT sum(cu)::BIGINT FROM uni) AS tu,
+              (SELECT sum(cb)::BIGINT FROM bgc) AS tb)
+SELECT c.w1, c.w2, c.cb AS n_pair,
+  round(ln(c.cb::DOUBLE) - ln(u1.cu::DOUBLE) - ln(u2.cu::DOUBLE)
+        + 2.0 * ln(tt.tu::DOUBLE) - ln(tt.tb::DOUBLE), 6) AS pmi6
+FROM bgc c
+JOIN uni u1 ON u1.w = c.w1
+JOIN uni u2 ON u2.w = c.w2, tt
+WHERE c.cb >= {PMI_MIN_COUNT}
 """

@@ -494,3 +494,183 @@ def personalized_pagerank(
             F.col("r").alias("rank_fp"),
         )
     )
+
+
+def bfs_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 8,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance from ``seeds`` over the link graph —
+    the "true link distance" a crawl analyst compares against the crawl's
+    *discovered* depth (first-wins crawl depth ≥ link distance, with
+    equality only when the frontier never cuts a shallow path; the crawl
+    traces record the former, this operator computes the latter). Also
+    the standard frontier-expansion primitive the graph family was
+    missing next to PageRank/HITS/triangles/components.
+
+    Synchronous level-at-a-time expansion, frontier-only relaxation:
+    round t joins ONLY the level-(t-1) frontier against the edge table
+    (one equi-join shuffle), anti-joins the cumulative distance table to
+    keep first (= shortest) labels, and stops early when the frontier
+    empties — each edge is relaxed at most once per endpoint level, the
+    textbook O(E) BFS work bound, vs. the O(rounds·E) of re-expanding
+    every reached node per round. Distances are exact BIGINTs (a level
+    counter, no arithmetic at all), so any engine reproduces them; the
+    DuckDB oracle unrolls the same fixed round count with the same
+    anti-join (extra rounds past convergence are no-ops on both sides,
+    so early stopping never breaks parity).
+
+    Returns one row per node: ``(node_id, dist)`` with ``dist`` = -1 for
+    nodes unreachable from every seed within ``rounds`` hops (a sentinel,
+    not NULL — the catalog's result comparison sorts row tuples, and the
+    whole catalog keeps NULL out of result columns for that reason). Seeds are
+    normalized first (dedup + restrict to ``nodes``) like
+    personalized_pagerank. Scale shape: per round one equi-join + one
+    anti-join on node ids (never on text); frontier and distance tables
+    are localCheckpoint-ed so the plan stays O(1) deep; the per-round
+    emptiness check is one scalar count (same class as the crawl
+    engine's per-round counters)."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
+    frontier = (
+        seeds.select(F.col(node_col).cast("long").alias("v"))
+        .distinct()
+        .join(node_ids.distinct(), "v", "leftsemi")
+        .select("v", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    dist = frontier
+
+    for t in range(1, rounds + 1):
+        if frontier.count() == 0:
+            break
+        cand = (
+            e.join(frontier, e["src"] == frontier["v"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        frontier = (
+            cand.join(dist, "v", "left_anti")
+            .select("v", F.lit(t).cast("long").alias("d"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier).localCheckpoint()
+
+    return node_ids.join(dist, "v", "left").select(
+        F.col("v").alias("node_id"),
+        F.coalesce(F.col("d"), F.lit(-1)).cast("long").alias("dist"),
+    )
+
+
+def opic_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = 5,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003): THE crawl-time importance estimator. Where
+    PageRank is a batch fixed point over a frozen snapshot, OPIC is the
+    estimator a crawler updates *while crawling*: every page holds
+    ``cash``; when processed it distributes its cash equally over its
+    outlinks and banks the amount in its ``history``; importance is the
+    banked total (history + in-hand cash) — it converges to the
+    undamped principal eigenvector without ever storing the graph's
+    transition matrix. This is the synchronous (batch-round) variant —
+    every round ALL pages distribute simultaneously, matching the
+    engine's round-synchronous crawl loop; dangling cash is re-spread
+    uniformly (the paper's virtual page, collapsed to one round)::
+
+        c_0(v)     = S div N                    (S = 1e12, BIGINT units)
+        h_0(v)     = 0
+        dang_t     = Σ c_t(u) over sinks (outdeg 0)
+        c_{t+1}(v) = Σ_{u→v} c_t(u) div od(u)  +  dang_t div N
+        h_{t+1}(v) = h_t(v) + c_t(v)
+
+    Same integer fixed-point discipline as :func:`pagerank_fixed_point`
+    (floor division only — bit-exact under any shuffle order, digit-for-
+    digit reproducible in the DuckDB oracle); distinct algorithm and
+    distinct output: no damping, and the HISTORY column is the estimate
+    (cash alone oscillates; history is a Cesàro-style average that
+    doesn't — the paper's central observation).
+
+    Returns ``(node_id, out_deg, cash_fp, hist_fp)`` with ``hist_fp`` =
+    h_T + c_T, the paper's importance estimate, in 1e-12 units. Scale
+    shape: per round ONE equi-join shuffle (edges ⋈ cash on src, map-side
+    partial agg into the dst groupBy) + one scalar dangling aggregate;
+    state is (v, od, c, h) — O(nodes) — localCheckpoint-ed per round."""
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col(node_col).cast("long").alias("node_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("cash_fp"),
+            F.lit(0).cast("long").alias("hist_fp"),
+        )
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint()
+
+    node_ids = nodes.select(F.col(node_col).cast("long").alias("v"))
+    state = (
+        node_ids.join(deg, node_ids["v"] == deg["src"], "left")
+        .select(
+            "v",
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("od"),
+            F.lit(SCALE // n_nodes).cast("long").alias("c"),
+            F.lit(0).cast("long").alias("h"),
+        )
+        .localCheckpoint()
+    )
+
+    for _ in range(rounds):
+        dang = (
+            state.filter(F.col("od") == 0).agg(F.sum("c").alias("s")).collect()
+        )[0]["s"] or 0
+        contrib = (
+            e.join(state.filter(F.col("od") > 0), e["src"] == state["v"])
+            .select("dst", F.expr("c div od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("g"))
+        )
+        state = (
+            state.join(contrib, state["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                "od",
+                (F.coalesce(F.col("g"), F.lit(0)) + F.lit(dang // n_nodes))
+                .cast("long")
+                .alias("c"),
+                (F.col("h") + F.col("c")).cast("long").alias("h"),
+            )
+            .localCheckpoint()
+        )
+
+    return state.select(
+        F.col("v").alias("node_id"),
+        F.col("od").alias("out_deg"),
+        F.col("c").alias("cash_fp"),
+        (F.col("h") + F.col("c")).cast("long").alias("hist_fp"),
+    )

@@ -114,3 +114,82 @@ def bigram_lm_scores(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over the corpus — the
+    classic vocabulary/tokenizer-working-set signal (Church & Hanks 1990):
+    which adjacent token pairs co-occur far more than chance. Corpus
+    builders run this next to BPE training (operators/tokenize.py) to
+    audit what the merge table should be learning, and next to the LM
+    gate to spot boilerplate n-grams that survive the quality filters.
+
+        pmi(w1,w2) = ln p(w1,w2) − ln p(w1) − ln p(w2)
+                   = ln c12 − ln c1 − ln c2 + 2·ln Tu − ln Tb
+
+    with c1/c2/Tu unigram counts/total and c12/Tb bigram counts/total.
+    Only pairs with c12 ≥ ``min_count`` are emitted (the standard guard:
+    PMI of a hapax pair is pure noise and would dominate the ranking).
+
+    Determinism: every count is an exact BIGINT; the five logs are taken
+    over those exact integers and combined in ONE fixed left-to-right
+    expression per pair — no float is ever summed ACROSS rows, so there
+    is no aggregation-order hazard at all (stricter than lm_perplexity's
+    micro-nat trick, which still sums row-local roundings); the result is
+    rounded to 6 decimals, giving the DuckDB oracle ~9 orders of margin
+    over any last-ulp libm disagreement. 2·ln Tu is written ``2.0 * ln``
+    — doubling is exact in IEEE 754.
+
+    Returns ``(w1, w2, n_pair, pmi6)``, one row per surviving pair.
+    Scale shape: two map-side-combining count shuffles (unigrams,
+    bigrams) — the same aggregations the bigram LM already pays — then
+    the min_count filter cuts the pair table BEFORE the two count
+    equi-joins (the long tail of hapax pairs never joins), and the two
+    corpus totals broadcast as a 1-row dimension. No window, no UDF,
+    all whole-stage codegen."""
+    toked = docs.select(
+        F.col(doc_id).alias("doc_id"), _lower_tokens(F.col(text)).alias("a")
+    ).localCheckpoint()  # feeds the unigram AND bigram streams
+
+    tok = toked.select(F.explode("a").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("cu")).localCheckpoint()
+    bg = toked.filter(F.size("a") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(a[i-1] AS w1, a[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb")).localCheckpoint()
+
+    totals = uni.agg(F.sum("cu").cast("long").alias("tu")).crossJoin(
+        bgc.agg(F.sum("cb").cast("long").alias("tb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    return (
+        bgc.filter(F.col("cb") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.round(
+                F.log(F.col("cb").cast("double"))
+                - F.log(F.col("c1").cast("double"))
+                - F.log(F.col("c2").cast("double"))
+                + F.lit(2.0) * F.log(F.col("tu").cast("double"))
+                - F.log(F.col("tb").cast("double")),
+                6,
+            ).alias("pmi6"),
+        )
+    )

@@ -431,3 +431,178 @@ def test_ppr_seed_normalization(spark):
     b = {r["node_id"]: tuple(r) for r in
          personalized_pagerank(nodes, e, dirty).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# r5h: multi-source BFS link distance (bfs_distances)
+# --------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.graph import (  # noqa: E402
+    bfs_distances,
+    opic_fixed_point,
+)
+
+
+def _py_bfs(n_nodes, edges, seeds, rounds=8):
+    """The spec, straight-line: synchronous level expansion, first wins."""
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    dist = {v: 0 for v in set(seeds) if 0 <= v < n_nodes}
+    frontier = set(dist)
+    for t in range(1, rounds + 1):
+        if not frontier:
+            break
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = t
+        frontier = nxt
+    return {v: dist.get(v, -1) for v in range(n_nodes)}
+
+
+def _run_bfs(spark, n_nodes, edges, seeds, rounds=8):
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    s = spark.createDataFrame([(v,) for v in seeds], "node_id long")
+    got = bfs_distances(nodes, e, s, rounds=rounds)
+    return {r["node_id"]: r["dist"] for r in got.collect()}
+
+
+@pytest.mark.parametrize(
+    "n_nodes,edges,seeds",
+    [
+        # chain from a single seed; tail out of reach at rounds=2
+        (6, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], [0]),
+        # two seeds racing into a diamond: min distance must win
+        (5, [(0, 2), (1, 2), (2, 3), (3, 4)], [0, 1]),
+        # cycle + disconnected node (stays -1)
+        (5, [(0, 1), (1, 2), (2, 0)], [0]),
+        # duplicate seeds + duplicate edges (both must dedup)
+        (4, [(0, 1), (0, 1), (1, 2)], [0, 0]),
+    ],
+)
+def test_bfs_matches_python_reference(spark, n_nodes, edges, seeds):
+    assert _run_bfs(spark, n_nodes, edges, seeds) == _py_bfs(
+        n_nodes, edges, seeds
+    )
+
+
+def test_bfs_round_cap_truncates(spark):
+    # chain 0->1->2->3->4->5 with rounds=2: nodes past level 2 stay -1
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    got = _run_bfs(spark, 6, edges, [0], rounds=2)
+    assert got == {0: 0, 1: 1, 2: 2, 3: -1, 4: -1, 5: -1}
+
+
+def test_bfs_early_stop_equals_exact_cap(spark):
+    # rounds far past convergence changes nothing (both engines no-op)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    assert _run_bfs(spark, 5, edges, [0], rounds=3) == _run_bfs(
+        spark, 5, edges, [0], rounds=50
+    )
+
+
+def test_bfs_seeds_outside_nodes_dropped(spark):
+    # a seed id not in `nodes` must not seed anything
+    got = _run_bfs(spark, 3, [(0, 1)], [0, 99])
+    assert got == {0: 0, 1: 1, 2: -1}
+
+
+def test_bfs_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(421)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(160)
+    ]
+    seeds = [rng.randrange(n) for _ in range(4)]
+    assert _run_bfs(spark, n, edges, seeds) == _py_bfs(n, edges, seeds)
+
+
+# --------------------------------------------------------------------------
+# r5h: synchronous OPIC (opic_fixed_point)
+# --------------------------------------------------------------------------
+
+
+def _py_opic(n_nodes, edges, rounds=5):
+    """The spec, straight-line: same integer ops, any iteration order."""
+    e = sorted(set(edges))
+    od = {}
+    for s, _ in e:
+        od[s] = od.get(s, 0) + 1
+    c = {v: SCALE // n_nodes for v in range(n_nodes)}
+    h = {v: 0 for v in range(n_nodes)}
+    for _ in range(rounds):
+        dang = sum(c[v] for v in range(n_nodes) if od.get(v, 0) == 0)
+        g = {}
+        for s, d in e:
+            g[d] = g.get(d, 0) + c[s] // od[s]
+        h = {v: h[v] + c[v] for v in range(n_nodes)}
+        c = {v: g.get(v, 0) + dang // n_nodes for v in range(n_nodes)}
+    return {v: (od.get(v, 0), c[v], h[v] + c[v]) for v in range(n_nodes)}
+
+
+def _run_opic(spark, n_nodes, edges, rounds=5):
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    got = opic_fixed_point(nodes, e, rounds=rounds)
+    return {
+        r["node_id"]: (r["out_deg"], r["cash_fp"], r["hist_fp"])
+        for r in got.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "n_nodes,edges",
+    [
+        # hub-and-spoke
+        (4, [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]),
+        # chain with dangling tail + self-loop
+        (5, [(0, 1), (1, 2), (2, 3), (3, 3)]),
+        # disconnected node + duplicate edge (must dedup)
+        (5, [(0, 1), (0, 1), (1, 0), (2, 3)]),
+    ],
+)
+def test_opic_matches_python_reference(spark, n_nodes, edges):
+    assert _run_opic(spark, n_nodes, edges) == _py_opic(n_nodes, edges)
+
+
+def test_opic_wealth_never_increases(spark):
+    # floor division only loses cash: total in-hand cash is monotonically
+    # non-increasing, and never exceeds the initial S (up to the div floor)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    got = _run_opic(spark, 5, edges, rounds=7)
+    assert sum(c for _, c, _ in got.values()) <= SCALE
+
+
+def test_opic_hub_banks_more_history(spark):
+    # the hub receives 3 full shares per round, each leaf one third:
+    # the banked history must rank the hub first
+    got = _run_opic(spark, 4, [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)])
+    assert got[0][2] > got[1][2] == got[2][2] == got[3][2]
+
+
+def test_opic_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(733)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    assert _run_opic(spark, n, edges, rounds=4) == _py_opic(
+        n, edges, rounds=4
+    )
+
+
+def test_opic_empty_graph(spark):
+    nodes = spark.range(0).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame([], "src long, dst long")
+    assert opic_fixed_point(nodes, e).count() == 0

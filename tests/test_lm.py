@@ -64,3 +64,79 @@ def test_all_docs_too_short_yields_empty(spark):
         [(0, "one"), (1, ""), (2, "two")], "doc_id long, text string"
     )
     assert bigram_lm_scores(docs).count() == 0
+
+
+# --------------------------------------------------------------------------
+# r5h: PMI collocations (pmi_collocations)
+# --------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.lm import pmi_collocations  # noqa: E402
+
+
+def _py_pmi(texts, min_count):
+    toks = [[w.lower() for w in t.split()] for t in texts.values()]
+    uni, bgc = {}, {}
+    for a in toks:
+        for w in a:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(a, a[1:]):
+            bgc[(x, y)] = bgc.get((x, y), 0) + 1
+    tu = sum(uni.values())
+    tb = sum(bgc.values())
+    out = {}
+    for (x, y), cb in bgc.items():
+        if cb < min_count:
+            continue
+        pmi = (
+            math.log(cb) - math.log(uni[x]) - math.log(uni[y])
+            + 2.0 * math.log(tu) - math.log(tb)
+        )
+        out[(x, y)] = (cb, round(pmi, 6))
+    return out
+
+
+def _run_pmi(spark, texts, min_count):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = pmi_collocations(docs, min_count=min_count)
+    return {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi6"]) for r in got.collect()
+    }
+
+
+def test_pmi_matches_python_reference(spark):
+    texts = {
+        0: "a b a b",
+        1: "A b c",  # lowercased: 'A' and 'a' are the same unigram
+        2: "c c",
+        3: "single",  # one token: unigram only, no bigrams
+        4: "",  # empty: contributes nothing
+    }
+    want = _py_pmi(texts, 1)
+    got = _run_pmi(spark, texts, 1)
+    assert got == want
+    # hand check the dominant pair: c(a,b)=3, c(a)=c(b)=3, Tu=10, Tb=6
+    # pmi = ln(3·100/(9·6)) = ln(50/9)
+    assert got[("a", "b")] == (3, round(math.log(3 * 10 * 10 / (3 * 3 * 6)), 6))
+
+
+def test_pmi_min_count_guards_hapax(spark):
+    texts = {0: "a b a b", 1: "a b c", 2: "c c"}
+    got = _run_pmi(spark, texts, 2)
+    assert set(got) == {("a", "b")}  # every other pair occurs once
+    assert got[("a", "b")][0] == 3
+
+
+def test_pmi_collocation_outranks_chance(spark):
+    # 'new york' only ever adjacent; 'the' pairs with many different
+    # right-neighbors: PMI must rank the true collocation higher even
+    # though 'the a' repeats too
+    texts = {
+        0: "new york new york",
+        1: "the a the b the c",
+        2: "the a new york",
+    }
+    got = _run_pmi(spark, texts, 2)
+    assert set(got) == {("new", "york"), ("the", "a")}
+    assert got[("new", "york")][1] > got[("the", "a")][1]
