@@ -767,6 +767,55 @@ def q_crawl_ppr_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def _corpus_opic_rank_table(spark: SparkSession) -> DataFrame:
+    """(url, rank_fp): synchronous-OPIC banked history over the corpus
+    link graph — the exact hist_fp table q_opic_importance checks,
+    re-keyed for the scheduler's rank join. hist_fp ≤ rounds·S < 2^53,
+    so the scheduler's double priority sum stays exact."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    nodes = urlmap.select(F.col("page_id").alias("node_id"))
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return (
+        opic_fixed_point(nodes, e, rounds=OPIC_ROUNDS)
+        .join(urlmap, F.col("node_id") == F.col("page_id"))
+        .select("url", F.col("hist_fp").alias("rank_fp"))
+    )
+
+
+def q_crawl_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC-weighted crawl priority end-to-end (r5h): the paper's actual
+    use case — Abiteboul et al. built OPIC to ORDER THE CRAWL by on-line
+    importance, and this row runs exactly that composition: synchronous
+    OPIC banked history (opic_importance's exact hist_fp table) feeds
+    the salted priority dequeue as the rank term. Identical engine shape
+    to crawl_pagerank_priority (uncapped fast path, url tiebreak); the
+    composed oracle injects the SHARED _opic_ctes fragment into the ONE
+    shared priority-trace chain (rank_ctes/rank_sql parameters), so both
+    the estimator and the trace stay single-copy."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=None,
+        defer_overflow=False,
+        tiebreak="url",
+        rank_table=_corpus_opic_rank_table(spark),
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-weighted recrawl priority end-to-end (VERDICT r3 ask #7):
     the link_pagerank signal feeds the salted priority dequeue — dequeue
@@ -3355,6 +3404,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # counts, one fixed-order log expression per pair, no cross-row
     # float aggregation anywhere
     "ngram_pmi": q_ngram_pmi,
+    # r5h: the OPIC paper's actual composition — banked on-line
+    # importance as the dequeue priority; oracle injects the shared
+    # _opic_ctes fragment into the one shared priority-trace chain
+    "crawl_opic_priority": q_crawl_opic_priority,
 }
 
 
@@ -4972,6 +5025,8 @@ def _pagerank_priority_trace_sql(
     max_depth: int = 4,
     tele_pred: str | None = None,
     n_tele: int | None = None,
+    rank_ctes: str | None = None,
+    rank_sql: str | None = None,
 ) -> str:
     """crawl_pagerank_priority: the pagerank CTE fragment (verbatim the
     link_pagerank iteration) mapped to (url, rank_fp), then the unrolled
@@ -4982,15 +5037,26 @@ def _pagerank_priority_trace_sql(
     ``n_tele`` (passed through to _pagerank_ctes) the SAME trace chain
     runs over the PERSONALIZED rank table — the crawl_ppr_priority
     oracle; the defaults produce byte-identical SQL to the
-    pre-parameterized form."""
+    pre-parameterized form. ``rank_ctes``/``rank_sql`` (always set
+    together) swap the WHOLE rank derivation for a different estimator's
+    fragment — the crawl_opic_priority oracle injects _opic_ctes and a
+    hist_fp projection (still < 2^53, exact in the double sum) while the
+    trace chain below stays the one shared copy."""
+    if rank_ctes is None:
+        rank_ctes = _pagerank_ctes(n, iters, tele_pred=tele_pred, n_tele=n_tele)
+    if rank_sql is None:
+        rank_sql = (
+            f"SELECT p.url AS url, r.r AS rank_fp"
+            f" FROM r{iters} r JOIN pgu p ON p.i = r.v"
+        )
     parts = [
         f"WITH {PRE},",
-        _pagerank_ctes(n, iters, tele_pred=tele_pred, n_tele=n_tele),
+        rank_ctes,
     ]
     parts.append(
         f"""
 ranks AS MATERIALIZED (
-  SELECT p.url AS url, r.r AS rank_fp FROM r{iters} r JOIN pgu p ON p.i = r.v),
+  {rank_sql}),
 s0 AS (SELECT url, FALSE AS is_geo FROM seeds),
 p0 AS (SELECT t.url, {_sql_prio_for(0)} + coalesce(rk.rank_fp, 0)::DOUBLE AS p
        FROM (SELECT url, is_geo, {_SQL_PATH} AS path FROM s0) t
@@ -6381,51 +6447,82 @@ def _bfs_oracle_sql(rounds: int) -> str:
 ORACLES["link_distance"] = _bfs_oracle_sql(BFS_ROUNDS)
 
 
-def _opic_oracle_sql(n: int, rounds: int) -> str:
-    """opic_importance: the synchronous OPIC cash/history iteration
-    unrolled (operators/graph.py opic_fixed_point) — integer floor
-    division only, so every digit matches. Mirrors the Spark state
-    update exactly: dang over sinks, share = c // od along edges, new
-    cash = contributions + dang // n, history += OLD cash; hist_fp =
-    h_T + c_T. Rank CTEs AS MATERIALIZED (each s{t} feeds the dangling
-    scalar AND the contribution join of round t — the chain gotcha)."""
+def _opic_ctes(n: int, rounds: int) -> str:
+    """The synchronous OPIC cash/history iteration as a reusable CTE
+    fragment (assumes the corpus prelude in scope; yields ``oc{rounds}``
+    with (v, c, h) plus ``deg``). Mirrors operators/graph.py
+    opic_fixed_point exactly: dang over sinks, share = c // od along
+    edges, new cash = contributions + dang // n, history += OLD cash.
+    State CTEs are named ``oc{t}`` — NOT ``s{t}`` — because the composed
+    crawl_opic_priority trace defines its own ``s0`` (the seed relation,
+    _pagerank_priority_trace_sql). Every state CTE is AS MATERIALIZED
+    (each oc{t} feeds the dangling scalar AND the contribution join of
+    round t — the chain gotcha). Shared by the standalone
+    ``opic_importance`` oracle and the composed ``crawl_opic_priority``
+    trace."""
     s = 10**12
     parts = [
-        f"WITH {PRE},",
         f"e AS MATERIALIZED ({_PAGE_EDGES_SQL}),",
         "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od"
         " FROM e GROUP BY 1),",
-        f"s0 AS MATERIALIZED (SELECT i AS v, {s // n}::BIGINT AS c,"
+        f"oc0 AS MATERIALIZED (SELECT i AS v, {s // n}::BIGINT AS c,"
         f" 0::BIGINT AS h FROM pgu),",
     ]
     for t in range(rounds):
         parts.append(
             f"dg{t} AS MATERIALIZED (SELECT coalesce(sum(s.c), 0)::BIGINT"
-            f" AS dm FROM s{t} s LEFT JOIN deg ON deg.src = s.v"
+            f" AS dm FROM oc{t} s LEFT JOIN deg ON deg.src = s.v"
             f" WHERE deg.src IS NULL),"
         )
         parts.append(
             f"g{t} AS MATERIALIZED (SELECT e.dst AS v,"
             f" sum(s.c // deg.od)::BIGINT AS g"
-            f" FROM e JOIN s{t} s ON s.v = e.src"
+            f" FROM e JOIN oc{t} s ON s.v = e.src"
             f" JOIN deg ON deg.src = e.src GROUP BY 1),"
         )
         parts.append(
-            f"s{t + 1} AS MATERIALIZED (SELECT p.v,"
+            f"oc{t + 1} AS MATERIALIZED (SELECT p.v,"
             f" (coalesce(g.g, 0) + (SELECT dm FROM dg{t}) // {n})::BIGINT"
             f" AS c, (p.h + p.c)::BIGINT AS h"
-            f" FROM s{t} p LEFT JOIN g{t} g ON g.v = p.v),"
+            f" FROM oc{t} p LEFT JOIN g{t} g ON g.v = p.v),"
         )
-    parts.append(
-        f"fin AS (SELECT * FROM s{rounds})\n"
-        "SELECT fin.v AS node_id, coalesce(deg.od, 0)::BIGINT AS out_deg,\n"
-        "  fin.c AS cash_fp, (fin.h + fin.c)::BIGINT AS hist_fp\n"
-        "FROM fin LEFT JOIN deg ON deg.src = fin.v"
-    )
     return "\n".join(parts)
 
 
+def _opic_oracle_sql(n: int, rounds: int) -> str:
+    """opic_importance: the shared iteration fragment plus the final
+    (node_id, out_deg, cash_fp, hist_fp) projection — integer floor
+    division only, so every digit matches the Spark iteration."""
+    return "\n".join(
+        [
+            f"WITH {PRE},",
+            _opic_ctes(n, rounds),
+            f"fin AS (SELECT * FROM oc{rounds})\n"
+            "SELECT fin.v AS node_id, coalesce(deg.od, 0)::BIGINT AS"
+            " out_deg,\n"
+            "  fin.c AS cash_fp, (fin.h + fin.c)::BIGINT AS hist_fp\n"
+            "FROM fin LEFT JOIN deg ON deg.src = fin.v",
+        ]
+    )
+
+
 ORACLES["opic_importance"] = _opic_oracle_sql(N, OPIC_ROUNDS)
+
+# crawl_opic_priority: the SAME composed trace oracle as
+# crawl_pagerank_priority with the rank derivation swapped for the shared
+# OPIC fragment (rank_ctes/rank_sql) — rank_fp = banked history hist_fp =
+# h_T + c_T, exact in the trace's double priority sum. The OPIC state
+# CTEs are oc{t}, which is why the fragment never collides with the trace
+# chain's s0 seed relation.
+ORACLES["crawl_opic_priority"] = _pagerank_priority_trace_sql(
+    N,
+    120,
+    rank_ctes=_opic_ctes(N, OPIC_ROUNDS),
+    rank_sql=(
+        f"SELECT p.url AS url, (s.h + s.c)::BIGINT AS rank_fp"
+        f" FROM oc{OPIC_ROUNDS} s JOIN pgu p ON p.i = s.v"
+    ),
+)
 
 # ngram_pmi: exact BIGINT unigram/bigram counts (the same tokenization +
 # bigram derivation as the lm_perplexity oracle), hapax-guarded BEFORE the
