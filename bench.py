@@ -396,6 +396,18 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             lambda: bigram_lm_scores(docs).groupBy("bucket").count().collect(),
         )
 
+        # r5h: PMI collocations over the same docs — exact BIGINT
+        # unigram/bigram counts, one fixed-order log expression per pair;
+        # summing pmi6 forces the log expression, not just the counts
+        from geospatial_web_scraper_spark.operators.lm import pmi_collocations
+
+        timed(
+            "ngram_pmi",
+            lambda: pmi_collocations(docs, min_count=5)
+            .agg(F.sum("pmi6"), F.sum("n_pair"))
+            .collect(),
+        )
+
         def _bench_graph():
             n = int(os.environ.get("BENCH_GRAPH_NODES", "200000"))
             deg = 10
@@ -467,6 +479,37 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             ).collect()
 
         timed("link_triangles", _triangles)
+
+        # r5h: multi-source BFS link distance over the pagerank graph —
+        # frontier-only relaxation, one equi-join + one anti-join shuffle
+        # per level, early stop on empty frontier
+        from geospatial_web_scraper_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        def _bfs():
+            nodes, edges = _bench_graph()
+            seeds = nodes.where(F.col("node_id") % 997 == 0)
+            bfs_distances(nodes, edges, seeds, rounds=4).agg(
+                F.sum("dist")
+            ).collect()
+
+        timed("link_distance", _bfs)
+
+        # r5h: synchronous OPIC over the same graph — one equi-join plus
+        # a scalar dangling re-spread per round; the crawl-time importance
+        # estimator's wall-time witness beside the pagerank batch shape
+        from geospatial_web_scraper_spark.operators.graph import (
+            opic_fixed_point,
+        )
+
+        def _opic():
+            nodes, edges = _bench_graph()
+            opic_fixed_point(nodes, edges, rounds=3).agg(
+                F.sum("hist_fp")
+            ).collect()
+
+        timed("opic_importance", _opic)
 
         # r5f: rendezvous sharding throughput — 1M URLs × 16 shards of
         # pure codegen md5 argmax, zero shuffle until the count
