@@ -603,6 +603,24 @@ def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint train/val/test split (operators/sampling.py
+    split_corpus with group_col): the 80/10/10 band is keyed on the
+    SOURCE hash, so every document of a source lands in the same split —
+    the leakage guard a doc-keyed split cannot give (same-site
+    near-duplicates straddling train/eval inflate eval scores). Still a
+    pure map-side expression: the group hash is computed per-row from
+    the group value, so no join or shuffle at any corpus size. Same
+    repr-embedded IEEE cumulative thresholds as split_corpus."""
+    from .operators.sampling import split_corpus
+
+    return split_corpus(
+        _docs(spark, sf_dir),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source",
+    )
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (operators/sketch.py cms_counts/cms_estimate):
     4×512 counters over the document token stream, point-queried for the
@@ -3408,6 +3426,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # importance as the dequeue priority; oracle injects the shared
     # _opic_ctes fragment into the one shared priority-trace chain
     "crawl_opic_priority": q_crawl_opic_priority,
+    # r5i: group-disjoint (source-keyed) split — the leakage-safe
+    # train/eval partition; pure map-side hash of the group value, no
+    # shuffle at any size
+    "split_corpus_grouped": q_split_corpus_grouped,
 }
 
 
@@ -4963,6 +4985,21 @@ WITH h AS (
       / 1152921504606846976.0 AS u
   FROM documents)
 SELECT doc_id, round(u, 6) AS u,
+  CASE WHEN u < {_SPLIT_CUM1!r} THEN 'train'
+       WHEN u < {_SPLIT_CUM2!r} THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+# split_corpus_grouped — identical band arithmetic, hash keyed on the
+# GROUP value (source) instead of doc_id: group-disjoint by construction.
+ORACLES["split_corpus_grouped"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents)
+SELECT doc_id, source, round(u, 6) AS u,
   CASE WHEN u < {_SPLIT_CUM1!r} THEN 'train'
        WHEN u < {_SPLIT_CUM2!r} THEN 'val'
        ELSE 'test' END AS split

@@ -91,6 +91,7 @@ def split_corpus(
     fractions: dict[str, float],
     id_col: str = "doc_id",
     salt: str = "split",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test split → ``(id_col, u, split)``: label
     each row by which cumulative-fraction band its unit hash falls in
@@ -100,6 +101,17 @@ def split_corpus(
     engines all agree, and — the property rand(seed) cannot give you —
     a document KEEPS its split when the corpus around it grows, so eval
     sets never silently absorb training documents across corpus versions.
+
+    ``group_col`` switches the hash key to ``salt:group`` and adds the
+    group column to the output — a GROUP-DISJOINT split: every document
+    of a group (host, source, dump) lands in the SAME band, so same-site
+    near-duplicates can never straddle train/eval (the leakage a
+    doc-keyed split cannot prevent: boilerplate-sharing pages from one
+    host land in different splits and eval scores inherit the overlap).
+    Still a pure map-side expression — the group's hash is computed
+    per-row from the group value itself, so no aggregation, join, or
+    shuffle is needed at any corpus size; per-group and per-doc keying
+    cost identically.
 
     ``fractions`` maps label → fraction in iteration order; they must sum
     to 1 (±1e-9). The last band absorbs the boundary (u < cum for every
@@ -111,8 +123,9 @@ def split_corpus(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if len(fractions) < 2:
         raise ValueError("need at least two split labels")
+    key_col = group_col if group_col is not None else id_col
     u = uniform_unit_hash_expr(
-        F.concat(F.lit(salt), F.lit(":"), F.col(id_col))
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col))
     )
     labels = list(fractions)
     expr = F.lit(labels[-1])
@@ -123,8 +136,11 @@ def split_corpus(
         bands.append((lab, cum))
     for lab, c in reversed(bands):
         expr = F.when(u < F.lit(c), F.lit(lab)).otherwise(expr)
+    out_cols = [F.col(id_col)]
+    if group_col is not None:
+        out_cols.append(F.col(group_col))
     return df.select(
-        F.col(id_col),
+        *out_cols,
         F.round(u, 6).alias("u"),
         expr.alias("split"),
     )

@@ -30,6 +30,47 @@ def test_split_corpus_deterministic_and_stable_under_growth(spark):
         split_corpus(small, {"train": 0.5, "val": 0.2})
 
 
+def test_split_corpus_grouped_is_group_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_web_scraper_spark.operators.sampling import split_corpus
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("id") % 17).cast("string")).alias(
+            "source"
+        ),
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = split_corpus(df, fr, group_col="source").collect()
+    assert len(rows) == 300
+    # every document of a group shares one split label
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    # the group split equals the doc-keyed split of the group value
+    # itself (same salt:key hash), so the band arithmetic is shared
+    gdf = spark.createDataFrame(
+        [(g,) for g in by_group], "doc_id string"
+    )
+    direct = {
+        r["doc_id"]: r["split"] for r in split_corpus(gdf, fr).collect()
+    }
+    assert all(by_group[g] == {direct[g]} for g in by_group)
+    # growth in OTHER groups never moves an existing group's band
+    big = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("id") % 97).cast("string")).alias(
+            "source"
+        ),
+    )
+    big_groups = {}
+    for r in split_corpus(big, fr, group_col="source").collect():
+        big_groups.setdefault(r["source"], set()).add(r["split"])
+    assert all(big_groups[g] == by_group[g] for g in by_group)
+
+
 def test_weighted_sample_matches_python_mirror(spark):
     import hashlib
     import math

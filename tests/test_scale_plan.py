@@ -508,6 +508,13 @@ def test_split_corpus_has_no_exchange(spark):
     assert "Exchange" not in _plan(df), _plan(df)
 
 
+def test_split_corpus_grouped_has_no_exchange(spark):
+    """Group-disjoint split is STILL pure map-side: the group's hash is
+    computed per-row from the group value — no groupBy, no join."""
+    df = entry_mod.queries()["split_corpus_grouped"](spark, SF)
+    assert "Exchange" not in _plan(df), _plan(df)
+
+
 def test_sq8_encode_has_no_exchange(spark):
     """Per-vector quantization rides the scan: no shuffle, no window."""
     plan = _plan(entry_mod.queries()["sq8_encode"](spark, SF))
