@@ -2122,6 +2122,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_docs(spark, sf_dir), budget=256)
 
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment (operators/packing.py
+    balanced_shards): documents ranked by (n_tok DESC, doc_id ASC) and
+    snaked across 8 shards so shard token totals are near-equal — the
+    static load-balance step a data-loader fleet needs so no worker
+    finishes an epoch early. The rank is the two-pass partition-prefix
+    pattern (plan-pinned: every window keyed by _pid); the assignment is
+    a pure function of the rank, so the oracle replays it exactly."""
+    from .operators.packing import balanced_shards
+
+    return balanced_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the crawl's page→page link graph
     (operators/graph.py): the recrawl-priority signal a production frontier
@@ -3430,6 +3443,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # train/eval partition; pure map-side hash of the group value, no
     # shuffle at any size
     "split_corpus_grouped": q_split_corpus_grouped,
+    # r5i: snake-order token-balanced shard assignment — the data-loader
+    # load-balance step; two-pass rank (no global window), per-row
+    # arithmetic after
+    "balanced_shards": q_balanced_shards,
 }
 
 
@@ -4250,6 +4267,23 @@ comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
 SELECT doc_id, md5(text) AS content_hash
 FROM uniq
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE component != id)
+"""
+
+# balanced_shards — rank replayed by a DuckDB window (fine at oracle
+# scale; the Spark side is the two-pass pattern), snake arithmetic
+# duplicated: even pass r%8, odd pass 7 - r%8.
+ORACLES["balanced_shards"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_sql_toks('text')})::BIGINT AS n_tok FROM documents),
+r AS (
+  SELECT doc_id, n_tok,
+         (row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1)::BIGINT
+           AS rank
+  FROM t)
+SELECT doc_id, n_tok, rank,
+  (CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+        ELSE 7 - rank % 8 END)::BIGINT AS shard
+FROM r
 """
 
 ORACLES["pack_sequences"] = f"""

@@ -502,6 +502,20 @@ def test_anchor_index_is_one_aggregate_no_html_shuffle(spark):
             assert "html" not in line, line
 
 
+def test_balanced_shards_window_is_partition_local(spark):
+    """balanced_shards' global rank must be the two-pass pattern: every
+    window keyed by _pid, never a bare ROW_NUMBER() OVER (ORDER BY ...)
+    single-reducer window."""
+    df = entry_mod.queries()["balanced_shards"](spark, SF)
+    plan = _plan(df)
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "_pid" in line, line
+    assert saw_window, plan
+
+
 def test_split_corpus_has_no_exchange(spark):
     """Split labels are a pure map-side function of the id: no shuffle."""
     df = entry_mod.queries()["split_corpus"](spark, SF)

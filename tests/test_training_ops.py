@@ -907,6 +907,41 @@ def test_incremental_dedup_accepts_persisted_artifacts(spark):
     assert got == want == {6}
 
 
+def test_balanced_shards_snake_and_balance(spark):
+    """balanced_shards mirrors the python snake exactly (rank by n_tok
+    DESC, id ASC; even pass r%S, odd pass S-1-r%S), covers every shard,
+    and the shard token totals land within one max-item of each other —
+    the load-balance property the operator exists for. Empty docs get
+    rank-tail positions (n_tok 0), never an error."""
+    import pytest
+
+    from geospatial_web_scraper_spark.operators.packing import (
+        balanced_shards,
+    )
+
+    rows = [(i, "w " * ((i * 7) % 23)) for i in range(60)] + [(60, "  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    S = 4
+    got = {
+        r["doc_id"]: (r["n_tok"], r["rank"], r["shard"])
+        for r in balanced_shards(docs, n_shards=S).collect()
+    }
+    toks = {i: len(t.split()) for i, t in rows}
+    order = sorted(toks, key=lambda i: (-toks[i], i))
+    want = {}
+    for r, i in enumerate(order):
+        pos = r % S
+        want[i] = (toks[i], r, pos if (r // S) % 2 == 0 else S - 1 - pos)
+    assert got == want
+    totals = {}
+    for _, (n, _, sh) in got.items():
+        totals[sh] = totals.get(sh, 0) + n
+    assert set(totals) == set(range(S))
+    assert max(totals.values()) - min(totals.values()) <= max(toks.values())
+    with pytest.raises(ValueError):
+        balanced_shards(docs, n_shards=0)
+
+
 def test_chunk_manifest_inverts_packing(spark):
     """chunk_manifest over the pack_chunks golden: every chunk holds
     exactly `budget` tokens except the last, doc spans appear in every
