@@ -511,6 +511,49 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("opic_importance", _opic)
 
+        # r5i: token-balanced shard assignment at 1M docs — the two-pass
+        # rank's wall-time witness (range-repartition shuffle + _pid-local
+        # window; tokenization cost excluded via n_tok_col so the rank is
+        # what's measured); forcing through groupBy(shard) sums
+        from geospatial_web_scraper_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        def _shard_balance():
+            n = int(os.environ.get("BENCH_SHARD_DOCS", "1000000"))
+            d = spark.range(0, n, 1, cores * 2).select(
+                F.col("id").alias("doc_id"),
+                (F.pmod(F.xxhash64("id"), F.lit(997)) + 1).alias("w"),
+            )
+            balanced_shards(
+                d, n_shards=16, n_tok_col=F.col("w")
+            ).groupBy("shard").agg(F.sum("n_tok")).collect()
+
+        timed("balanced_shards", _shard_balance)
+
+        # r5i: group-disjoint split at 2M rows — one md5 + band compare
+        # per row, zero shuffle; the filter on the computed label defeats
+        # count()'s projection pruning
+        from geospatial_web_scraper_spark.operators.sampling import (
+            split_corpus,
+        )
+
+        def _split_grouped():
+            n = int(os.environ.get("BENCH_SPLIT_DOCS", "2000000"))
+            d = spark.range(0, n, 1, cores * 2).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(50000))
+                ).alias("source"),
+            )
+            split_corpus(
+                d,
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+                group_col="source",
+            ).where(F.col("split") == "val").count()
+
+        timed("split_corpus_grouped", _split_grouped)
+
         # r5f: rendezvous sharding throughput — 1M URLs × 16 shards of
         # pure codegen md5 argmax, zero shuffle until the count
         from geospatial_web_scraper_spark.operators.rendezvous import (
