@@ -1270,6 +1270,47 @@ def q_curate_corpus_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
 
+def q_curate_corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet composition (Wenzek et al. 2020): LM-perplexity bucket
+    gate → the standard curation pipeline. The corpus-trained bigram LM
+    scores every document (operators/lm.py bigram_lm_scores — integer
+    micro-nat sums, exact rank tertiles); 'tail' documents (highest
+    cross-entropy = least in-distribution) are dropped BEFORE the
+    language/quality/dedup stages, exactly where CCNet puts the gate.
+    Documents with <2 tokens carry no LM evidence and leave with the
+    tail (the pipeline's own length gates own them). The oracle joins
+    the verbatim lm_perplexity fragment into the curate_corpus chain's
+    gated CTE (assert-pinned beside ORACLES['curate_corpus_perplexity'])
+    — per-doc LM scores are computed over the FULL corpus on both sides,
+    so the gate decision is identical, then every downstream stage
+    (dedup canonical choices included) composes over the survivors.
+
+    Scale shape: the LM is two map-side-combining count shuffles + one
+    equi-join (AQE owns the stopword-bigram skew); the bucket gate is a
+    doc_id equi-join (~2/3 selective — never collected to the driver);
+    the pipeline after is byte-identical to curate_corpus's plan."""
+    from .operators.lm import bigram_lm_scores
+
+    docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    keep = (
+        bigram_lm_scores(docs)
+        .where(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id").localCheckpoint()
+    out = curate_corpus(
+        survivors,
+        languages=("en",),
+        min_quality=0.3,
+        neardup_threshold=0.5,
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (n=3 shingles, window=4) with an md5-based
     gram hash so DuckDB reproduces every fingerprint value."""
@@ -3447,6 +3488,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # load-balance step; two-pass rank (no global window), per-row
     # arithmetic after
     "balanced_shards": q_balanced_shards,
+    # r5i: the CCNet composition — corpus-trained LM perplexity tertile
+    # gate (drop 'tail') in front of the standard curation pipeline;
+    # oracle joins the verbatim lm_perplexity fragment into the
+    # curate_corpus chain, assert-pinned
+    "curate_corpus_perplexity": q_curate_corpus_perplexity,
 }
 
 
@@ -6245,6 +6291,31 @@ ORACLES["curate_corpus_classifier"] = ORACLES["curate_corpus"].replace(
     f"""JOIN ({ORACLES["quality_classifier"]}) qs ON qs.doc_id = d.doc_id AND qs.kept""",
     1,
 )
+
+# curate_corpus_perplexity (r5i) — the CCNet composition: the verbatim
+# lm_perplexity fragment (trained over the FULL documents table, exactly
+# like the Spark side) becomes a bucket != 'tail' keep set joined into
+# the curate chain's gated CTE; every other stage byte-identical. The
+# asserts pin both the fragment and the spliced head so refactors of
+# either can't silently decouple the composition.
+_PPL_GATE_OLD = """WITH RECURSIVE
+gated AS MATERIALIZED (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN ("""
+_PPL_GATE_NEW = f"""WITH RECURSIVE
+ppl AS MATERIALIZED (
+  SELECT doc_id FROM ({ORACLES["lm_perplexity"]}) WHERE bucket != 'tail'),
+gated AS MATERIALIZED (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN ppl ON ppl.doc_id = d.doc_id
+  JOIN ("""
+assert ORACLES["curate_corpus"].count(_PPL_GATE_OLD) == 1
+ORACLES["curate_corpus_perplexity"] = ORACLES["curate_corpus"].replace(
+    _PPL_GATE_OLD, _PPL_GATE_NEW, 1
+)
+assert ORACLES["lm_perplexity"] in ORACLES["curate_corpus_perplexity"]
 
 # multimodal_video — the Y4M payload generator's arithmetic
 # (multimodal.synth_y4m_payload: dims 8+4·(id%4) × 6+2·(id%5), fps

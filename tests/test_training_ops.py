@@ -566,6 +566,43 @@ def test_curate_corpus_pipeline(spark):
     assert leftover.count() == 0
 
 
+def test_curate_corpus_perplexity_gate(spark):
+    """The CCNet composition (entry_queries.q_curate_corpus_perplexity):
+    no survivor sits in the LM 'tail' tertile, docs with <2 tokens never
+    survive (no LM evidence), the gate genuinely bites vs the plain
+    pipeline, and the result equals independently running curate_corpus
+    over the manually ppl-filtered corpus — pinning the join plumbing."""
+    from geospatial_web_scraper_spark.entry_queries import (
+        q_curate_corpus,
+        q_curate_corpus_perplexity,
+    )
+    from geospatial_web_scraper_spark.operators.curate import curate_corpus
+    from geospatial_web_scraper_spark.operators.lm import bigram_lm_scores
+
+    got = {r["doc_id"] for r in q_curate_corpus_perplexity(spark, SF).collect()}
+    base = {r["doc_id"] for r in q_curate_corpus(spark, SF).collect()}
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    scores = {
+        r["doc_id"]: r["bucket"] for r in bigram_lm_scores(docs).collect()
+    }
+    tail = {d for d, b in scores.items() if b == "tail"}
+    assert got and got.isdisjoint(tail)
+    assert all(d in scores for d in got)  # <2-token docs never survive
+    assert got != base  # the gate bites on this corpus
+    manual = docs.where(
+        F.col("doc_id").isin([d for d, b in scores.items() if b != "tail"])
+    )
+    want = {
+        r["doc_id"]
+        for r in curate_corpus(
+            manual, languages=("en",), min_quality=0.3, neardup_threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
 def test_ann_ivf_pq_topk(spark):
     """IVF-PQ composition: kmeans cells + PQ codes; with full probing and
     generous refine the result equals brute force; with 1 probe the scan
