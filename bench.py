@@ -607,6 +607,15 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
             "curate_corpus_v2",
             lambda: entry_queries.q_curate_corpus_v2(spark, sf_dir).count(),
         )
+        # r5j: the CCNet composition — corpus-trained bigram-LM tertile
+        # gate (two count shuffles + one equi-join) in front of the full
+        # curation pipeline, as ONE plan
+        timed(
+            "curate_corpus_perplexity",
+            lambda: entry_queries.q_curate_corpus_perplexity(
+                spark, sf_dir
+            ).count(),
+        )
         # ev stays a LAZY spread: its consumers are aggregations/windows
         # (partial agg runs above the exchange, so the docs pushdown trap
         # doesn't apply) and a checkpoint would cost them the parquet
