@@ -3,8 +3,9 @@
 
 The LLM-data twin of scripts/crawl.py: point it at a documents table
 (what the crawl's text sink or a WARC ingest produced), run the composed
-curation pipeline (language → quality → repetition gate → optional
-eval-set decontamination → exact dedup → near-dup canonical keep), and
+curation pipeline (optional CCNet LM-perplexity gate → language →
+quality → repetition gate → optional eval-set decontamination → exact
+dedup → near-dup canonical keep), and
 optionally sample the survivors to a token budget and split them into
 train/val/test. Outputs under --output: curated/ (surviving documents,
 original columns + split when requested), report/ (per-source audit of
@@ -16,6 +17,7 @@ the survivors), and stages/ (per-stage yield counts).
         --output s3://bucket/curated_out \
         [--languages en] [--min-quality 0.3] [--neardup-threshold 0.5] \
         [--max-top2gram-frac 0.2] [--lang-gate vote|ngram] \
+        [--ppl-drop tail] \
         [--eval-set s3://bucket/eval.parquet --max-contam-frac 0.0] \
         [--budget-tokens N] [--split 0.8,0.1,0.1]
 
@@ -44,6 +46,14 @@ def main() -> None:
                     default="vote", help="stage-1 language classifier: "
                     "the frozen stopword vote or the char-trigram NB "
                     "kernel (operators/langid.py)")
+    ap.add_argument("--ppl-drop", default="",
+                    help="comma-separated LM-perplexity buckets to drop "
+                    "BEFORE curation (CCNet gate, Wenzek et al. 2020 — "
+                    "usually 'tail'). The bigram LM is trained on the "
+                    "input corpus itself; docs with <2 tokens carry no "
+                    "LM evidence and leave with the dropped set. Off "
+                    "when omitted. Same composition as the catalog's "
+                    "curate_corpus_perplexity row.")
     ap.add_argument("--eval-set", help="eval documents parquet for n-gram "
                     "decontamination (doc_id, text)")
     ap.add_argument("--max-contam-frac", type=float, default=0.0)
@@ -71,6 +81,22 @@ def main() -> None:
     n_in = docs.count()
     eval_docs = spark.read.parquet(args.eval_set) if args.eval_set else None
 
+    stages = [("input", n_in)]
+    if args.ppl_drop:
+        from geospatial_web_scraper_spark.operators.lm import (
+            bigram_lm_scores,
+        )
+
+        drop = [b.strip() for b in args.ppl_drop.split(",") if b.strip()]
+        keep = (
+            bigram_lm_scores(docs)
+            .where(~F.col("bucket").isin(drop))
+            .select("doc_id")
+        )
+        # checkpoint: the gated table fans out into curate's gate stages
+        docs = docs.join(keep, "doc_id").localCheckpoint()
+        stages.append(("ppl_gated", docs.count()))
+
     curated = curate_corpus(
         docs,
         languages=tuple(args.languages.split(",")),
@@ -81,9 +107,7 @@ def main() -> None:
         max_contam_frac=args.max_contam_frac,
         lang_gate=args.lang_gate,
     ).localCheckpoint()  # fans out to sampling/split/report below
-    n_curated = curated.count()
-
-    stages = [("input", n_in), ("curated", n_curated)]
+    stages.append(("curated", curated.count()))
     if args.budget_tokens > 0:
         flags = sample_token_budget(curated, args.budget_tokens)
         curated = curated.join(
