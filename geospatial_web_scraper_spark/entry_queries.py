@@ -32,7 +32,15 @@ from .functions.urls import (
     url_host,
     url_path,
 )
-from .operators import dedup, pq, rendezvous, similarity, sketch, textstats
+from .operators import (
+    dedup,
+    linkspam,
+    pq,
+    rendezvous,
+    similarity,
+    sketch,
+    textstats,
+)
 from .operators.curate import curate_corpus
 from .operators.graph import (
     bfs_distances,
@@ -2225,6 +2233,28 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(nodes, e, weight_col="w")
 
 
+def q_link_spam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link-spam / nepotism signals (operators/linkspam.py
+    host_link_report) over the SAME page link graph as ``host_pagerank``
+    — but with self-pairs KEPT, because intra-host linking IS the
+    nepotism numerator (Davison 2000). Host ids come straight out of the
+    URL strings (pure projection, no page-table join); one map-side-
+    combining groupBy collapses page links to the weighted host-pair
+    table and every spam signal — intra-link fraction, external
+    concentration argmax, the reciprocal-ring semi-join — runs on that
+    collapsed (≤ hosts²-row) table. All counts BIGINT, all ratios floor
+    divisions in ppm units, so the oracle reproduces every digit."""
+    hx = lambda c: F.regexp_extract(c, r"host(\d+)", 1).cast("long")  # noqa: E731
+    he = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .select(
+            hx(F.col("src_url")).alias("src"), hx(F.col("dst_url")).alias("dst")
+        )
+    )
+    return linkspam.host_link_report(he)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality gate (operators/lm.py): add-one bigram LM
     trained on the documents table itself, per-doc cross-entropy in
@@ -3493,6 +3523,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle joins the verbatim lm_perplexity fragment into the
     # curate_corpus chain, assert-pinned
     "curate_corpus_perplexity": q_curate_corpus_perplexity,
+    # r5k: per-host nepotism / link-farm report — intra-host link
+    # fraction, external-link concentration, reciprocal rings; the spam
+    # DEMOTION side of the rank-table slot PageRank/OPIC promote into
+    "link_spam_report": q_link_spam_report,
 }
 
 
@@ -4794,6 +4828,49 @@ ORACLES["host_pagerank"] = "\n".join(
         "FROM r5 r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v",
     ]
 )
+
+# link_spam_report — the nepotism report over the SAME host-pair
+# collapse as host_pagerank's edges, but with self-pairs kept (intra
+# links are the signal) and no weight threshold. The external-
+# concentration pick replays Spark's max(struct(w, -dst)) as ORDER BY
+# w DESC, dst ASC; every ratio is a BIGINT floor division in ppm units
+# (linkspam.PPM — embedded below so there is ONE copy of the constant).
+ORACLES["link_spam_report"] = f"""
+WITH {{PRE}},
+he AS (SELECT s.h AS src,
+         regexp_extract(pe.dst, 'host(\\d+)', 1)::BIGINT AS dst
+       FROM plain_edges pe JOIN pgu s ON s.i = pe.src),
+hw AS (SELECT src, dst, count(*)::BIGINT AS w FROM he GROUP BY 1, 2),
+tot AS (SELECT src, sum(w)::BIGINT AS n_links,
+          coalesce(sum(CASE WHEN src = dst THEN w END), 0)::BIGINT AS n_intra
+        FROM hw GROUP BY 1),
+ext AS (SELECT * FROM hw WHERE src <> dst),
+nd AS (SELECT src, count(*)::BIGINT AS n_dst_hosts FROM ext GROUP BY 1),
+topp AS (SELECT src, dst AS top_dst, w AS top_w FROM (
+           SELECT src, dst, w,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC)
+               AS rn
+           FROM ext) WHERE rn = 1),
+recip AS (SELECT a.src, count(*)::BIGINT AS n_recip_hosts
+          FROM ext a JOIN ext b ON b.src = a.dst AND b.dst = a.src
+          GROUP BY 1)
+SELECT t.src AS host_id, t.n_links, t.n_intra,
+  (t.n_intra * {linkspam.PPM} // t.n_links)::BIGINT AS intra_ppm,
+  coalesce(nd.n_dst_hosts, 0)::BIGINT AS n_dst_hosts,
+  coalesce(topp.top_dst, -1)::BIGINT AS top_dst,
+  coalesce(topp.top_w, 0)::BIGINT AS top_w,
+  (CASE WHEN t.n_links > t.n_intra THEN
+     coalesce(topp.top_w, 0) * {linkspam.PPM} // (t.n_links - t.n_intra)
+   ELSE 0 END)::BIGINT AS top_ext_ppm,
+  coalesce(recip.n_recip_hosts, 0)::BIGINT AS n_recip_hosts,
+  (CASE WHEN coalesce(nd.n_dst_hosts, 0) > 0 THEN
+     coalesce(recip.n_recip_hosts, 0) * {linkspam.PPM} // nd.n_dst_hosts
+   ELSE 0 END)::BIGINT AS recip_ppm
+FROM tot t LEFT JOIN nd ON nd.src = t.src
+LEFT JOIN topp ON topp.src = t.src
+LEFT JOIN recip ON recip.src = t.src
+""".format(PRE=PRE)
+
 
 def _hits_oracle_sql(iters: int = 5) -> str:
     """link_hits: the exact-integer HITS iteration unrolled (same edge
