@@ -45,6 +45,7 @@ from .operators.curate import curate_corpus
 from .operators.graph import (
     bfs_distances,
     hits_fixed_point,
+    lpa_communities,
     opic_fixed_point,
     pagerank_fixed_point,
     triangle_counts,
@@ -1622,6 +1623,33 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
     )
     return triangle_counts(e)
+
+
+#: synchronous-LPA round count — drives BOTH q_link_communities and the
+#: unrolled oracle chain (_lpa_oracle_sql); change together
+LPA_ROUNDS = 4
+
+
+def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.py
+    lpa_communities) over the SAME page link graph as ``link_triangles``
+    — near-linear community detection, the granularity at which mirror
+    farms and nepotistic clusters appear (components merge everything
+    reachable; LPA splits by link density). Fixed ``LPA_ROUNDS`` rounds,
+    (count desc, label asc) argmax via ``max(struct)`` — pure integer
+    counting, so every label is digit-exact against the unrolled oracle
+    chain (which shares the pagerank oracle's edge derivation)."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    nodes = corpus.corpus_df(spark, N).select(
+        F.col("page_id").alias("node_id")
+    )
+    return lpa_communities(nodes, e, rounds=LPA_ROUNDS)
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3527,6 +3555,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fraction, external-link concentration, reciprocal rings; the spam
     # DEMOTION side of the rank-table slot PageRank/OPIC promote into
     "link_spam_report": q_link_spam_report,
+    # r5k: deterministic synchronous label propagation — near-linear
+    # community detection over the page graph (components merge
+    # everything reachable; LPA splits by link density)
+    "link_communities": q_link_communities,
 }
 
 
@@ -4828,6 +4860,50 @@ ORACLES["host_pagerank"] = "\n".join(
         "FROM r5 r LEFT JOIN deg ON deg.src = r.v LEFT JOIN ind ON ind.dst = r.v",
     ]
 )
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """link_communities: the synchronous-LPA iteration unrolled. Each
+    round is (neighbor-label count → (cnt desc, label asc) pick → label
+    table), the pick replaying Spark's ``max(struct(cnt, -label))`` as
+    the identical ORDER BY; every l{t} is referenced by BOTH the next
+    count CTE and the next label coalesce — AS MATERIALIZED, the chain
+    gotcha. Isolated nodes fall through the LEFT JOIN coalesce and keep
+    their own id, exactly like the Spark fold."""
+    parts = [
+        f"WITH {PRE},",
+        f"e AS MATERIALIZED ({_PAGE_EDGES_SQL}),",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT a AS v, b AS u FROM und"
+        " UNION ALL SELECT b AS v, a AS u FROM und),",
+        "l0 AS MATERIALIZED (SELECT i AS v, i AS l FROM pgu),",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT s.v, p.l AS nl,"
+            f" count(*)::BIGINT AS cnt"
+            f" FROM sym s JOIN l{t - 1} p ON p.v = s.u GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT v, nl FROM ("
+            f"SELECT v, nl, row_number() OVER (PARTITION BY v"
+            f" ORDER BY cnt DESC, nl ASC) AS rn FROM c{t}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"l{t} AS MATERIALIZED (SELECT q.v,"
+            f" coalesce(p.nl, q.l)::BIGINT AS l"
+            f" FROM l{t - 1} q LEFT JOIN p{t} p ON p.v = q.v),"
+        )
+    parts.append(
+        f"sz AS (SELECT l, count(*)::BIGINT AS comm_size FROM l{rounds}"
+        " GROUP BY 1)"
+        f"\nSELECT q.v AS node_id, q.l AS label, sz.comm_size"
+        f" FROM l{rounds} q JOIN sz ON sz.l = q.l"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
 
 # link_spam_report — the nepotism report over the SAME host-pair
 # collapse as host_pagerank's edges, but with self-pairs kept (intra

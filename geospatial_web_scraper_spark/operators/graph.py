@@ -575,6 +575,93 @@ def bfs_distances(
     )
 
 
+def lpa_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    node_col: str = "node_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the UNDIRECTED view of ``edges`` — near-linear-time community
+    detection, the structural complement of connected components
+    (operators/dedup.py groups entire components; LPA splits a component
+    into densely-linked neighborhoods — the granularity at which mirror
+    farms and nepotistic link clusters actually appear).
+
+    The textbook algorithm breaks frequency ties RANDOMLY and iterates
+    asynchronously — neither is reproducible. This variant is the
+    deterministic synchronous form::
+
+        l_0(v)     = v
+        l_{t+1}(v) = argmax over neighbor labels L of
+                     (count of neighbors carrying L, then SMALLEST L)
+                     — isolated nodes keep their current label
+
+    for a FIXED round count on both engines. Labels are node ids
+    (BIGINT) and the update is pure counting with a (count desc, label
+    asc) argmax — ``max(struct(cnt, -label))`` on the Spark side, the
+    identical ORDER BY in the oracle — so every round is digit-exact
+    under any shuffle order. Synchronous LPA can oscillate 2-cycles on
+    bipartite structure instead of converging (Raghavan §IV); a fixed
+    round count makes that irrelevant for reproducibility — both
+    engines report round T's labels, converged or not.
+
+    Returns one row per node: ``(node_id, label, comm_size)`` —
+    ``comm_size`` the final label's population (1 for isolated nodes).
+    Scale shape: per round ONE shuffle equi-join (symmetric edges ⋈
+    labels on the neighbor endpoint) feeding a map-side-combining
+    (v, label) count groupBy and a second map-side ``max(struct)``
+    argmax groupBy — no windows anywhere; the symmetric edge table is
+    checkpointed once, the O(nodes) label state per round (the same
+    lineage-truncation rule as every iterative operator here)."""
+    und = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).cast("long").alias("a"),
+            F.greatest(src_col, dst_col).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.select(F.col(node_col).cast("long").alias("v"))
+        .withColumn("l", F.col("v"))
+        .localCheckpoint()
+    )
+
+    for _ in range(rounds):
+        pick = (
+            sym.join(
+                labels.select(F.col("v").alias("u"), F.col("l").alias("nl")),
+                "u",
+            )
+            .groupBy("v", "nl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("v")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("nl")).alias("mnl"))).alias("m"))
+            .select("v", (-F.col("m.mnl")).cast("long").alias("pl"))
+        )
+        labels = (
+            labels.join(pick, "v", "left")
+            .select("v", F.coalesce("pl", "l").cast("long").alias("l"))
+            .localCheckpoint()
+        )
+
+    sz = labels.groupBy("l").agg(F.count("*").cast("long").alias("comm_size"))
+    return labels.join(sz, "l").select(
+        F.col("v").alias("node_id"),
+        F.col("l").alias("label"),
+        "comm_size",
+    )
+
+
 def opic_fixed_point(
     nodes: DataFrame,
     edges: DataFrame,

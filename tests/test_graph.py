@@ -606,3 +606,94 @@ def test_opic_empty_graph(spark):
     nodes = spark.range(0).select(F.col("id").alias("node_id"))
     e = spark.createDataFrame([], "src long, dst long")
     assert opic_fixed_point(nodes, e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# lpa_communities — deterministic synchronous label propagation (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.graph import (  # noqa: E402
+    lpa_communities,
+)
+
+
+def _py_lpa(n, edges, rounds=4):
+    """Pure-Python mirror of the synchronous LPA fold."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbr = {v: [] for v in range(n)}
+    for a, b in und:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    lab = {v: v for v in range(n)}
+    for _ in range(rounds):
+        new = {}
+        for v in range(n):
+            if not nbr[v]:
+                new[v] = lab[v]
+                continue
+            cnt = {}
+            for u in nbr[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = new
+    size = {}
+    for L in lab.values():
+        size[L] = size.get(L, 0) + 1
+    return {v: (lab[v], size[lab[v]]) for v in range(n)}
+
+
+def _run_lpa(spark, n, edges, rounds=4):
+    nodes = spark.range(n).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    got = lpa_communities(nodes, e, rounds=rounds).collect()
+    return {r["node_id"]: (r["label"], r["comm_size"]) for r in got}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two triangles 0-1-2 and 3-4-5 joined by the 2-3 bridge: labels
+    # settle to min-id within each clique, the bridge never flips a side
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    got = _run_lpa(spark, 6, edges)
+    assert got == _py_lpa(6, edges)
+    labs = {got[v][0] for v in (0, 1, 2)}, {got[v][0] for v in (3, 4, 5)}
+    assert all(len(s) == 1 for s in labs) and labs[0] != labs[1]
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    got = _run_lpa(spark, 4, [(0, 1), (1, 0), (0, 0)])
+    assert got[2] == (2, 1) and got[3] == (3, 1)
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # node 2's neighbors 0 and 1 each carry their own label once after
+    # round 0 → tie resolves to label 0 on the first update
+    got = _run_lpa(spark, 3, [(0, 2), (1, 2)], rounds=1)
+    assert got[2][0] == 0
+    assert got == _py_lpa(3, [(0, 2), (1, 2)], rounds=1)
+
+
+def test_lpa_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(911)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(160)]
+    for rounds in (1, 3, 4):
+        assert _run_lpa(spark, n, edges, rounds=rounds) == _py_lpa(
+            n, edges, rounds=rounds
+        )
+
+
+def test_lpa_plan_has_no_window(spark):
+    nodes = spark.range(8).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    plan = (
+        lpa_communities(nodes, e, rounds=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # argmax is max(struct), never a window
+    assert "CartesianProduct" not in plan
