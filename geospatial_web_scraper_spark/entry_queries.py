@@ -843,6 +843,57 @@ def q_crawl_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
 
 
+def _corpus_spam_rank_table(spark: SparkSession) -> DataFrame:
+    """(url, rank_fp): the nepotism DEMOTION table — every page URL
+    carries MINUS its host's intra-link ppm ratio (linkspam
+    host_link_report), so spammy hosts sink in the dequeue order while
+    clean hosts keep the static order among themselves. intra_ppm ≤ 1e6,
+    exact in the scheduler's double priority sum."""
+    hx = lambda c: F.regexp_extract(c, r"host(\d+)", 1).cast("long")  # noqa: E731
+    he = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .select(
+            hx(F.col("src_url")).alias("src"), hx(F.col("dst_url")).alias("dst")
+        )
+    )
+    rep = linkspam.host_link_report(he).select(
+        F.col("host_id"), (-F.col("intra_ppm")).cast("long").alias("rank_fp")
+    )
+    pages = corpus.corpus_df(spark, N).select(
+        "url", hx(F.col("url")).alias("host_id")
+    )
+    return pages.join(rep, "host_id").select("url", "rank_fp")
+
+
+def q_crawl_spam_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nepotism-demoted crawl priority end-to-end (r5k): the DEMOTION
+    twin of crawl_pagerank_priority/crawl_opic_priority — the link-spam
+    report's intra-host ratio feeds the salted priority dequeue
+    NEGATIVELY, so link-farm-shaped hosts are fetched last under the
+    same budget. Identical engine shape (uncapped fast path, url
+    tiebreak); the composed oracle injects the SHARED _SPAM_BASE_CTES
+    prefix into the ONE shared priority-trace chain, so the score and
+    the trace stay single-copy."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=None,
+        defer_overflow=False,
+        tiebreak="url",
+        rank_table=_corpus_spam_rank_table(spark),
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
 def q_crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-weighted recrawl priority end-to-end (VERDICT r3 ask #7):
     the link_pagerank signal feeds the salted priority dequeue — dequeue
@@ -3559,6 +3610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # community detection over the page graph (components merge
     # everything reachable; LPA splits by link density)
     "link_communities": q_link_communities,
+    # r5k: the demotion composition — nepotism ppm feeds the salted
+    # dequeue negatively; link-farm hosts fetched last under the budget
+    "crawl_spam_priority": q_crawl_spam_priority,
 }
 
 
@@ -4911,15 +4965,25 @@ ORACLES["link_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
 # concentration pick replays Spark's max(struct(w, -dst)) as ORDER BY
 # w DESC, dst ASC; every ratio is a BIGINT floor division in ppm units
 # (linkspam.PPM — embedded below so there is ONE copy of the constant).
-ORACLES["link_spam_report"] = f"""
-WITH {{PRE}},
-he AS (SELECT s.h AS src,
-         regexp_extract(pe.dst, 'host(\\d+)', 1)::BIGINT AS dst
+
+#: shared nepotism prefix (he → hw → tot): the host collapse + intra
+#: arithmetic, composed verbatim by BOTH the link_spam_report oracle and
+#: the crawl_spam_priority rank fragment — change here only
+_SPAM_BASE_CTES = r"""he AS (SELECT s.h AS src,
+         regexp_extract(pe.dst, 'host(\d+)', 1)::BIGINT AS dst
        FROM plain_edges pe JOIN pgu s ON s.i = pe.src),
 hw AS (SELECT src, dst, count(*)::BIGINT AS w FROM he GROUP BY 1, 2),
 tot AS (SELECT src, sum(w)::BIGINT AS n_links,
           coalesce(sum(CASE WHEN src = dst THEN w END), 0)::BIGINT AS n_intra
-        FROM hw GROUP BY 1),
+        FROM hw GROUP BY 1)"""
+
+#: the intra-host nepotism ratio over a `tot` row aliased `t` — the ONE
+#: copy of the ppm formula both oracles select
+_INTRA_PPM = f"(t.n_intra * {linkspam.PPM} // t.n_links)"
+
+ORACLES["link_spam_report"] = f"""
+WITH {{PRE}},
+{_SPAM_BASE_CTES},
 ext AS (SELECT * FROM hw WHERE src <> dst),
 nd AS (SELECT src, count(*)::BIGINT AS n_dst_hosts FROM ext GROUP BY 1),
 topp AS (SELECT src, dst AS top_dst, w AS top_w FROM (
@@ -4931,7 +4995,7 @@ recip AS (SELECT a.src, count(*)::BIGINT AS n_recip_hosts
           FROM ext a JOIN ext b ON b.src = a.dst AND b.dst = a.src
           GROUP BY 1)
 SELECT t.src AS host_id, t.n_links, t.n_intra,
-  (t.n_intra * {linkspam.PPM} // t.n_links)::BIGINT AS intra_ppm,
+  {_INTRA_PPM}::BIGINT AS intra_ppm,
   coalesce(nd.n_dst_hosts, 0)::BIGINT AS n_dst_hosts,
   coalesce(topp.top_dst, -1)::BIGINT AS top_dst,
   coalesce(topp.top_w, 0)::BIGINT AS top_w,
@@ -6816,6 +6880,20 @@ ORACLES["crawl_opic_priority"] = _pagerank_priority_trace_sql(
     rank_sql=(
         f"SELECT p.url AS url, (s.h + s.c)::BIGINT AS rank_fp"
         f" FROM oc{OPIC_ROUNDS} s JOIN pgu p ON p.i = s.v"
+    ),
+)
+
+# crawl_spam_priority: the DEMOTION composition — the link-spam report's
+# shared he→hw→tot prefix becomes the rank fragment, every page URL
+# carrying MINUS its host's intra_ppm (the ONE _INTRA_PPM copy), injected
+# into the same shared priority-trace chain as the pagerank/OPIC rows.
+ORACLES["crawl_spam_priority"] = _pagerank_priority_trace_sql(
+    N,
+    120,
+    rank_ctes=_SPAM_BASE_CTES + ",",
+    rank_sql=(
+        f"SELECT p.url AS url, -{_INTRA_PPM}::BIGINT AS rank_fp"
+        f" FROM pgu p JOIN tot t ON t.src = p.h"
     ),
 )
 
