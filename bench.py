@@ -511,6 +511,46 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("opic_importance", _opic)
 
+        # r5k: synchronous label propagation over the same graph — per
+        # round one equi-join + two map-side-combining groupBys (the
+        # count and the max(struct) argmax); community detection's
+        # wall-time witness beside components (dedup_groups)
+        from geospatial_web_scraper_spark.operators.graph import (
+            lpa_communities,
+        )
+
+        def _lpa():
+            nodes, edges = _bench_graph()
+            lpa_communities(nodes, edges, rounds=2).agg(
+                F.sum("label"), F.sum("comm_size")
+            ).collect()
+
+        timed("link_communities", _lpa)
+
+        # r5k: nepotism report over a 4M-link/20k-host graph with a
+        # ~1/3 intra-host fraction — the host collapse groupBy + the
+        # reciprocal-ring semi-join are what's measured
+        from geospatial_web_scraper_spark.operators.linkspam import (
+            host_link_report,
+        )
+
+        def _linkspam():
+            n_hosts = 20000
+            base = spark.range(0, 4_000_000, 1, cores * 2).select(
+                F.pmod(F.xxhash64("id"), F.lit(n_hosts)).alias("src"),
+                F.when(
+                    F.col("id") % 3 == 0,
+                    F.pmod(F.xxhash64("id"), F.lit(n_hosts)),
+                )
+                .otherwise(F.pmod(F.xxhash64("id", "id"), F.lit(n_hosts)))
+                .alias("dst"),
+            )
+            host_link_report(base).agg(
+                F.sum("intra_ppm"), F.sum("n_recip_hosts")
+            ).collect()
+
+        timed("link_spam_report", _linkspam)
+
         # r5i: token-balanced shard assignment at 1M docs — the two-pass
         # rank's wall-time witness (range-repartition shuffle + _pid-local
         # window; tokenization cost excluded via n_tok_col so the rank is

@@ -33,6 +33,7 @@ from .functions.urls import (
     url_path,
 )
 from .operators import (
+    apportion,
     dedup,
     linkspam,
     pq,
@@ -2312,6 +2313,27 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(nodes, e, weight_col="w")
 
 
+#: global per-round fetch budget for the apportionment row — prime, so
+#: remainders are non-trivial; drives BOTH the query and its oracle
+BUDGET_ALLOC = 997
+
+
+def q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a global per-round
+    fetch budget across hosts, weighted by the EXACT host-PageRank table
+    the ``host_pagerank`` row checks (operators/apportion.py). Σ quota
+    == budget exactly — integer base shares plus one extra for the
+    largest remainders (ties → smallest host id), ranked by the two-pass
+    distributed seq, never a global window. The oracle composes the SAME
+    ``_pagerank_ctes`` host fragment verbatim and replays the remainder
+    rank as one ORDER BY — every digit matches."""
+    w = q_host_pagerank(spark, sf_dir).select(
+        F.col("node_id").alias("host_id"),
+        F.col("rank_fp").alias("weight_fp"),
+    )
+    return apportion.largest_remainder_quotas(w, BUDGET_ALLOC)
+
+
 def q_link_spam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host link-spam / nepotism signals (operators/linkspam.py
     host_link_report) over the SAME page link graph as ``host_pagerank``
@@ -3613,6 +3635,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: the demotion composition — nepotism ppm feeds the salted
     # dequeue negatively; link-farm hosts fetched last under the budget
     "crawl_spam_priority": q_crawl_spam_priority,
+    # r5k: Hamilton largest-remainder fetch-budget apportionment over
+    # the exact host-PageRank weights — Σ quota == budget exactly
+    "crawl_budget_allocation": q_crawl_budget_allocation,
 }
 
 
@@ -4958,6 +4983,39 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["link_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
+
+# crawl_budget_allocation — Hamilton largest-remainder quotas over the
+# EXACT host-PageRank weights: the host_pagerank fragment composed
+# verbatim (same _pagerank_ctes call), then base/remainder integer
+# arithmetic and the (rem desc, host asc) extra-slot rank — one ORDER BY
+# replaying the two-pass distributed seq.
+ORACLES["crawl_budget_allocation"] = "\n".join(
+    [
+        f"WITH {PRE},",
+        "hosts AS MATERIALIZED (SELECT DISTINCT h AS hv FROM pgu),",
+        _pagerank_ctes(
+            corpus.N_HOSTS,
+            edges_sql=_HOST_PR_EDGES,
+            nodes_rel="hosts",
+            node_col="hv",
+            weighted=True,
+        ),
+        f"""w AS MATERIALIZED (SELECT r.v AS host_id, r.r AS weight_fp FROM r5 r),
+tw AS (SELECT sum(weight_fp)::BIGINT AS s FROM w),
+b AS (SELECT host_id, weight_fp,
+        (({BUDGET_ALLOC} * weight_fp) // (SELECT s FROM tw))::BIGINT AS base_quota,
+        (({BUDGET_ALLOC} * weight_fp) % (SELECT s FROM tw))::BIGINT AS rem
+      FROM w),
+lo AS (SELECT ({BUDGET_ALLOC} - sum(base_quota))::BIGINT AS x FROM b),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id ASC) - 1 AS r
+       FROM b)
+SELECT host_id, weight_fp, base_quota,
+  (CASE WHEN r < (SELECT x FROM lo) THEN 1 ELSE 0 END)::BIGINT AS extra,
+  (base_quota +
+   CASE WHEN r < (SELECT x FROM lo) THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM rk""",
+    ]
+)
 
 # link_spam_report — the nepotism report over the SAME host-pair
 # collapse as host_pagerank's edges, but with self-pairs kept (intra
