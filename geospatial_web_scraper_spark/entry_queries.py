@@ -37,6 +37,7 @@ from .operators import (
     dedup,
     linkspam,
     pq,
+    profile,
     rendezvous,
     similarity,
     sketch,
@@ -2465,6 +2466,25 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_jaccard(ska, skb, "source", k=KMV_K)
 
 
+#: global top-k vocabulary size for the coverage row — the synthetic
+#: documents table has 31 distinct tokens, so k=16 leaves every source a
+#: real OOV tail (the row is non-vacuous at every SF); drives query AND
+#: oracle
+VOCAB_COVERAGE_K = 16
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the corpus-global top-k vocabulary
+    (operators/profile.py vocab_coverage) — the tokenizer-audit sibling
+    of ngram_pmi/heavy_hitters: what a fixed-vocab model pays per source,
+    plus chars-per-token. Exact-integer report (ppm floor divisions);
+    the vocabulary pick is (count desc, token asc) via the salted
+    grouped_topk, replayed in the oracle as one ORDER BY."""
+    return profile.vocab_coverage(
+        _doc_tokens(spark, sf_dir), k=VOCAB_COVERAGE_K
+    )
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -3638,6 +3658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: Hamilton largest-remainder fetch-budget apportionment over
     # the exact host-PageRank weights — Σ quota == budget exactly
     "crawl_budget_allocation": q_crawl_budget_allocation,
+    # r5k: per-source OOV rate vs the corpus-global top-k vocabulary —
+    # the tokenizer-audit coverage report, exact ppm arithmetic
+    "vocab_coverage": q_vocab_coverage,
 }
 
 
@@ -5787,6 +5810,30 @@ r AS (SELECT source, w, cnt,
         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rank
       FROM c)
 SELECT source, w, cnt, rank FROM r WHERE rank <= 5
+"""
+
+
+# vocab_coverage — the same tokenization + lowering as heavy_hitters,
+# global top-k vocab by (cnt desc, token asc) replaying grouped_topk's
+# tie rule, then one per-source aggregate; ratios are BIGINT floor
+# divisions in profile.PPM units (embedded — one copy of the constant).
+ORACLES["vocab_coverage"] = f"""
+WITH d AS (SELECT list_transform({_sql_toks('text')}, x -> lower(x)) AS a,
+           source FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+c AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+v AS (SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn FROM c)
+      WHERE rn <= {VOCAB_COVERAGE_K}),
+j AS (SELECT t.source, t.w, (v.w IS NOT NULL) AS iv
+      FROM tok t LEFT JOIN v ON v.w = t.w)
+SELECT source, count(*)::BIGINT AS n_tokens,
+  sum(CASE WHEN NOT iv THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+  (sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) * {profile.PPM}
+     // count(*))::BIGINT AS oov_ppm,
+  count(DISTINCT CASE WHEN NOT iv THEN w END)::BIGINT AS distinct_oov,
+  (sum(len(w)) * {profile.PPM} // count(*))::BIGINT AS cpt_micro
+FROM j GROUP BY 1
 """
 
 

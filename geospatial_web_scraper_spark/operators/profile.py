@@ -133,3 +133,71 @@ def sampled_quantiles(
         == 0
     )
     return group_quantiles(df.where(keep), group_col, num_col, qs)
+
+
+#: ppm unit for vocab_coverage's exact ratio columns (mirrors the
+#: catalog-wide micro-unit discipline; embedded in the DuckDB oracle)
+PPM = 1_000_000
+
+
+def vocab_coverage(
+    tokens: DataFrame,
+    *,
+    k: int = 256,
+    group_col: str = "source",
+    token_col: str = "w",
+) -> DataFrame:
+    """Tokenizer-audit: per-group coverage of the corpus-global top-``k``
+    vocabulary — the out-of-vocabulary (OOV) rate a fixed-vocab model
+    pays on each source, plus the chars-per-token ratio that predicts
+    its sequence-length blow-up. The vocabulary is the exact global
+    top-``k`` tokens by (count desc, token asc) — deterministic, so the
+    report is digit-identical in any engine.
+
+    Returns one row per group::
+
+        (group, n_tokens, n_oov, oov_ppm, distinct_oov, cpt_micro)
+
+    all BIGINT: ``oov_ppm`` = n_oov·1e6 div n_tokens, ``cpt_micro`` =
+    total token chars·1e6 div n_tokens (both exact floor divisions).
+
+    Scale shape: ONE map-side-combining global ``groupBy(token)`` count
+    collapses the corpus to its distinct vocabulary, the salted
+    two-phase ``grouped_topk`` (constant group key, token-salted) cuts
+    it to k rows with no single-reducer window, and the k-row vocab
+    broadcast-left-joins back into the token stream feeding one
+    per-group hash aggregate (the distinct-OOV count is Spark's
+    standard two-phase distinct aggregate). Raw text never shuffles —
+    only (group, token) pairs."""
+    t = tokens.select(
+        F.col(group_col).alias("g"), F.col(token_col).alias("w")
+    )
+    counts = (
+        t.groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("_g", F.lit(0))
+    )
+    vocab = grouped_topk(counts, "_g", "w", "cnt", k, salt_col="w").select(
+        "w", F.lit(1).alias("_v")
+    )
+    j = t.join(F.broadcast(vocab), "w", "left")
+    oov = F.col("_v").isNull()
+    return (
+        j.groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("n_oov"),
+            F.count_distinct(F.when(oov, F.col("w")))
+            .cast("long")
+            .alias("distinct_oov"),
+            F.sum(F.length("w")).cast("long").alias("_chars"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.expr(f"n_oov * {PPM} div n_tokens").alias("oov_ppm"),
+            "distinct_oov",
+            F.expr(f"_chars * {PPM} div n_tokens").alias("cpt_micro"),
+        )
+    )

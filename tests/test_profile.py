@@ -104,3 +104,49 @@ def test_kmv_jaccard_matches_python_kmv(spark):
     assert row["jaccard6"] == round(n_both / k, 6)
     # and the true jaccard (300/700 ≈ 0.43) is inside a loose 3σ band
     assert 0.2 < row["jaccard6"] < 0.65
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — OOV rate vs the global top-k vocabulary (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.profile import (  # noqa: E402
+    PPM,
+    vocab_coverage,
+)
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    # vocab k=2 → {'a' (5×), 'b' (3×)}; 'c'/'d' are OOV
+    rows = [
+        ("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+        ("s2", "a"), ("s2", "a"), ("s2", "a"), ("s2", "b"), ("s2", "b"),
+        ("s2", "c"), ("s2", "d"), ("s2", "d"),
+    ]
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = {
+        r["source"]: r.asDict()
+        for r in vocab_coverage(t, k=2).collect()
+    }
+    assert got["s1"]["n_tokens"] == 4 and got["s1"]["n_oov"] == 1
+    assert got["s1"]["oov_ppm"] == PPM // 4
+    assert got["s1"]["distinct_oov"] == 1
+    assert got["s2"]["n_oov"] == 3 and got["s2"]["distinct_oov"] == 2
+    assert got["s2"]["oov_ppm"] == 3 * PPM // 8
+    # every token is 1 char → cpt exactly 1.0
+    assert got["s1"]["cpt_micro"] == PPM == got["s2"]["cpt_micro"]
+
+
+def test_vocab_coverage_tie_prefers_lex_smaller_token(spark):
+    # 'x' and 'y' both occur twice; k=1 keeps 'x' (count tie → token asc)
+    rows = [("s", "x"), ("s", "x"), ("s", "y"), ("s", "y")]
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = vocab_coverage(t, k=1).collect()[0]
+    assert got["n_oov"] == 2 and got["distinct_oov"] == 1
+
+
+def test_vocab_coverage_full_vocab_means_zero_oov(spark):
+    rows = [("s", w) for w in "abcde"]
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = vocab_coverage(t, k=10).collect()[0]
+    assert got["n_oov"] == 0 and got["oov_ppm"] == 0
