@@ -2485,6 +2485,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Shannon entropy + type-token ratio
+    (operators/profile.py token_entropy) — the diversity audit mixture
+    reweighting reads. Micro-nat-rounded per-TYPE terms integer-summed
+    (the lm_perplexity determinism trick at vocabulary granularity), so
+    the 6-decimal entropy matches the oracle digit-for-digit under any
+    shuffle order."""
+    return profile.token_entropy(_doc_tokens(spark, sf_dir))
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -3661,6 +3671,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: per-source OOV rate vs the corpus-global top-k vocabulary —
     # the tokenizer-audit coverage report, exact ppm arithmetic
     "vocab_coverage": q_vocab_coverage,
+    # r5k: per-source token Shannon entropy + type-token ratio — the
+    # diversity audit, micro-nat integer sums (order-independent)
+    "token_entropy": q_token_entropy,
 }
 
 
@@ -5834,6 +5847,29 @@ SELECT source, count(*)::BIGINT AS n_tokens,
   count(DISTINCT CASE WHEN NOT iv THEN w END)::BIGINT AS distinct_oov,
   (sum(len(w)) * {profile.PPM} // count(*))::BIGINT AS cpt_micro
 FROM j GROUP BY 1
+"""
+
+
+# token_entropy — same tokenization as heavy_hitters/vocab_coverage;
+# the per-TYPE micro-nat term is the IDENTICAL IEEE expression tree on
+# both engines — round((((ln N − ln cnt) · cnt) / N) · 1e6) — then
+# integer-summed (order-independent); ttr is a BIGINT ppm floor division.
+ORACLES["token_entropy"] = f"""
+WITH d AS (SELECT list_transform({_sql_toks('text')}, x -> lower(x)) AS a,
+           source FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+c AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+n AS (SELECT source, sum(cnt)::BIGINT AS nt, count(*)::BIGINT AS n_types
+      FROM c GROUP BY 1),
+t AS (SELECT c.source,
+        round(((ln(n.nt::DOUBLE) - ln(c.cnt::DOUBLE)) * c.cnt::DOUBLE
+               / n.nt::DOUBLE) * 1000000.0)::BIGINT AS term
+      FROM c JOIN n ON n.source = c.source),
+s AS (SELECT source, sum(term)::BIGINT AS s FROM t GROUP BY 1)
+SELECT n.source, n.nt AS n_tokens, n.n_types,
+  (n.n_types * {profile.PPM} // n.nt)::BIGINT AS ttr_ppm,
+  round(s.s / 1000000.0, 6) AS entropy6
+FROM n JOIN s ON s.source = n.source
 """
 
 

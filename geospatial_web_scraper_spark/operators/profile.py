@@ -201,3 +201,64 @@ def vocab_coverage(
             F.expr(f"_chars * {PPM} div n_tokens").alias("cpt_micro"),
         )
     )
+
+
+def token_entropy(
+    tokens: DataFrame,
+    *,
+    group_col: str = "source",
+    token_col: str = "w",
+) -> DataFrame:
+    """Per-group token Shannon entropy + type-token ratio — the corpus
+    DIVERSITY audit beside vocab_coverage's fixed-vocab view: a source
+    whose token distribution collapsed (template spam, boilerplate
+    floods) shows low entropy long before a human reads it, and mixture
+    reweighting (mixture_weights, dsir) wants exactly this number per
+    source.
+
+    H = Σ_types (cnt/N)·ln(N/cnt), computed with the catalog's micro-nat
+    determinism trick (operators/lm.py): each TYPE's term is rounded to
+    integer micro-nats — ``round((((ln N − ln cnt) · cnt) / N) · 1e6)``,
+    the identical IEEE expression tree on both engines — then
+    integer-summed, so the total is order-independent under any shuffle;
+    the per-type rounding error is ≤ 0.5e-6 · n_types, vocabulary-
+    bounded, far under the 6-decimal report. Returns one row per group::
+
+        (group, n_tokens, n_types, ttr_ppm, entropy6)
+
+    ``ttr_ppm`` = n_types·1e6 div n_tokens (BIGINT floor division),
+    ``entropy6`` the entropy in nats rounded to 6 decimals.
+
+    Scale shape: one map-side-combining (group, token) count groupBy
+    collapses the corpus to its per-group vocabulary; everything after
+    runs on type rows (vocabulary-sized, never corpus-sized) — one
+    per-group total, one broadcast-sized join back, one integer sum."""
+    c = (
+        tokens.select(
+            F.col(group_col).alias("g"), F.col(token_col).alias("w")
+        )
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n = c.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    cnt_d = F.col("cnt").cast("double")
+    nt_d = F.col("nt").cast("double")
+    terms = c.join(n, "g").select(
+        "g",
+        F.round(
+            (F.log(nt_d) - F.log(cnt_d)) * cnt_d / nt_d * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    s = terms.groupBy("g").agg(F.sum("term").cast("long").alias("s"))
+    return n.join(s, "g").select(
+        F.col("g").alias(group_col),
+        F.col("nt").alias("n_tokens"),
+        "n_types",
+        F.expr(f"n_types * {PPM} div nt").alias("ttr_ppm"),
+        F.round(F.col("s") / F.lit(1000000.0), 6).alias("entropy6"),
+    )

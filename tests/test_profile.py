@@ -150,3 +150,60 @@ def test_vocab_coverage_full_vocab_means_zero_oov(spark):
     t = spark.createDataFrame(rows, "source string, w string")
     got = vocab_coverage(t, k=10).collect()[0]
     assert got["n_oov"] == 0 and got["oov_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# token_entropy — per-source diversity audit (r5k)
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from geospatial_web_scraper_spark.operators.profile import (  # noqa: E402
+    token_entropy,
+)
+
+
+def _py_entropy(counts):
+    n = sum(counts)
+    return (
+        sum(
+            round(((math.log(n) - math.log(c)) * c / n) * 1e6)
+            for c in counts
+        )
+        / 1e6
+    )
+
+
+def test_entropy_matches_python_mirror(spark):
+    rows = (
+        [("s1", "a")] * 5 + [("s1", "b")] * 3 + [("s1", "c")] * 2
+        + [("s2", "x")] * 10
+    )
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = {r["source"]: r.asDict() for r in token_entropy(t).collect()}
+    assert got["s1"]["entropy6"] == round(_py_entropy([5, 3, 2]), 6)
+    assert got["s1"]["n_tokens"] == 10 and got["s1"]["n_types"] == 3
+    assert got["s1"]["ttr_ppm"] == 3 * PPM // 10
+    # a single-type source has exactly zero entropy
+    assert got["s2"]["entropy6"] == 0.0 and got["s2"]["ttr_ppm"] == PPM // 10
+
+
+def test_entropy_uniform_is_log_k(spark):
+    # 8 equally frequent types → H = ln 8, exactly representable in the
+    # micro-nat rounding to the reported 6 decimals
+    rows = [("s", w) for w in "abcdefgh" for _ in range(4)]
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = token_entropy(t).collect()[0]
+    assert abs(got["entropy6"] - math.log(8)) < 1e-5
+
+
+def test_entropy_order_independent(spark):
+    # same multiset, different physical layout → identical output
+    rows = [("s", "a")] * 7 + [("s", "b")] * 5 + [("s", "c")] * 1
+    a = token_entropy(
+        spark.createDataFrame(rows, "source string, w string").repartition(7)
+    ).collect()[0]
+    b = token_entropy(
+        spark.createDataFrame(rows[::-1], "source string, w string").coalesce(1)
+    ).collect()[0]
+    assert a.asDict() == b.asDict()
