@@ -47,6 +47,7 @@ from .operators.curate import curate_corpus
 from .operators.graph import (
     bfs_distances,
     hits_fixed_point,
+    kcore_members,
     lpa_communities,
     opic_fixed_point,
     pagerank_fixed_point,
@@ -1681,6 +1682,34 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: synchronous-LPA round count — drives BOTH q_link_communities and the
 #: unrolled oracle chain (_lpa_oracle_sql); change together
 LPA_ROUNDS = 4
+
+#: k-core threshold + peel-round cap — k=5 splits the corpus graph
+#: non-trivially (277 in / 23 peeled at N=300); 8 rounds converge with
+#: margin (post-convergence rounds are no-ops on both engines). Drive
+#: BOTH q_link_kcore and the unrolled _kcore_oracle_sql chain
+KCORE_K = 5
+KCORE_ROUNDS = 8
+
+
+def q_link_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership by synchronous peeling (operators/graph.py
+    kcore_members) over the SAME page link graph as link_triangles/
+    link_communities — the dense-neighborhood filter between triangles
+    (local) and components (global): star hubs and chains peel away,
+    genuinely interlinked clusters survive. Pure integer degrees; the
+    monotone peel makes the fixed unrolled round count parity-safe, so
+    every row matches the oracle digit-for-digit."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    nodes = corpus.corpus_df(spark, N).select(
+        F.col("page_id").alias("node_id")
+    )
+    return kcore_members(nodes, e, k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
 def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3674,6 +3703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: per-source token Shannon entropy + type-token ratio — the
     # diversity audit, micro-nat integer sums (order-independent)
     "token_entropy": q_token_entropy,
+    # r5k: k-core membership by monotone synchronous peeling — the
+    # dense-subgraph filter between triangles and components
+    "link_kcore": q_link_kcore,
 }
 
 
@@ -5019,6 +5051,51 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 ORACLES["link_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """link_kcore: the synchronous peel unrolled. Each round restricts
+    the undirected edge set to alive×alive endpoints, counts degrees
+    over exploded endpoints, and keeps nodes with degree ≥ k; nodes with
+    no surviving edge are absent from the degree table and drop
+    automatically — exactly the Spark fold. Every a{t} is referenced by
+    both endpoint joins of the next degree CTE — AS MATERIALIZED, the
+    chain gotcha. The final degree CTE re-runs the same restriction over
+    a{rounds} for deg_in_core."""
+    parts = [
+        f"WITH {PRE},",
+        f"e AS MATERIALIZED ({_PAGE_EDGES_SQL}),",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e WHERE src <> dst),",
+        "a0 AS MATERIALIZED (SELECT i AS v FROM pgu),",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT n, count(*)::BIGINT AS d FROM ("
+            f"SELECT u.a AS n FROM und u JOIN a{t} x ON x.v = u.a"
+            f" JOIN a{t} y ON y.v = u.b"
+            f" UNION ALL SELECT u.b FROM und u JOIN a{t} x ON x.v = u.a"
+            f" JOIN a{t} y ON y.v = u.b) GROUP BY 1),"
+        )
+        parts.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT n AS v FROM d{t}"
+            f" WHERE d >= {k}),"
+        )
+    parts.append(
+        f"dfin AS (SELECT n, count(*)::BIGINT AS d FROM ("
+        f"SELECT u.a AS n FROM und u JOIN a{rounds} x ON x.v = u.a"
+        f" JOIN a{rounds} y ON y.v = u.b"
+        f" UNION ALL SELECT u.b FROM und u JOIN a{rounds} x ON x.v = u.a"
+        f" JOIN a{rounds} y ON y.v = u.b) GROUP BY 1)"
+        f"\nSELECT p.i AS node_id, (al.v IS NOT NULL) AS in_core,"
+        f" coalesce(dfin.d, 0)::BIGINT AS deg_in_core"
+        f"\nFROM pgu p LEFT JOIN a{rounds} al ON al.v = p.i"
+        f" LEFT JOIN dfin ON dfin.n = p.i"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["link_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
 
 # crawl_budget_allocation — Hamilton largest-remainder quotas over the
 # EXACT host-PageRank weights: the host_pagerank fragment composed

@@ -697,3 +697,82 @@ def test_lpa_plan_has_no_window(spark):
     )
     assert "Window" not in plan  # argmax is max(struct), never a window
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kcore_members — synchronous peel (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.graph import (  # noqa: E402
+    kcore_members,
+)
+
+
+def _py_kcore(n, edges, k, rounds=16):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    alive = set(range(n))
+    for _ in range(rounds):
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v for v, d in deg.items() if d >= k}
+        if new == alive:
+            break
+        alive = new
+    deg = {}
+    for a, b in und:
+        if a in alive and b in alive:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    return {v: (v in alive, deg.get(v, 0)) for v in range(n)}
+
+
+def _run_kcore(spark, n, edges, k, rounds=16):
+    nodes = spark.range(n).select(F.col("id").alias("node_id"))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = kcore_members(nodes, e, k=k, rounds=rounds).collect()
+    return {r["node_id"]: (r["in_core"], r["deg_in_core"]) for r in got}
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    # triangle 0-1-2 plus chain 2-3-4: the chain peels in two rounds,
+    # the triangle is the 2-core
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    got = _run_kcore(spark, 5, edges, k=2)
+    assert got == _py_kcore(5, edges, 2)
+    assert got[0] == (True, 2) and got[3] == (False, 0)
+
+
+def test_kcore_cascade_peel(spark):
+    # a path 0-1-2-3-4 fully unravels at k=2: every round peels the
+    # current endpoints — the monotone-cascade case
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = _run_kcore(spark, 5, edges, k=2)
+    assert all(not v[0] for v in got.values())
+
+
+def test_kcore_k4_survives_k3(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _run_kcore(spark, 5, edges, k=3)
+    assert all(got[v] == (True, 3) for v in range(4))
+    assert got[4] == (False, 0)
+
+
+def test_kcore_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(313)
+    n = 35
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
+    for k in (2, 3, 4):
+        assert _run_kcore(spark, n, edges, k=k) == _py_kcore(n, edges, k)
+
+
+def test_kcore_round_cap_is_parity_safe(spark):
+    # capped at 1 round vs converged: the cap only truncates the peel,
+    # and the python mirror with the same cap agrees exactly
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = _run_kcore(spark, 5, edges, k=2, rounds=1)
+    assert got == _py_kcore(5, edges, 2, rounds=1)
