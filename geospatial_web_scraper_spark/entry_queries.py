@@ -2364,6 +2364,46 @@ def q_crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion.largest_remainder_quotas(w, BUDGET_ALLOC)
 
 
+def q_crawl_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round discovery curve of the flagship budget-400 crawl — the
+    coverage report a crawl operator actually watches: pages fetched per
+    round, the cumulative total, distinct hosts touched, and NEW hosts
+    first reached that round. Composes the crawl_trace_budget engine run
+    verbatim (one crawl, one rollup); the oracle wraps the VERBATIM
+    trace oracle as a CTE. The cumulative window runs over the ≤
+    max_depth aggregated round rows — bounded by construction, the same
+    argument as the catalog's limit-50 window."""
+    tr = q_crawl_trace_budget(spark, sf_dir).select(
+        "round",
+        F.regexp_extract("url", r"host(\d+)", 1).cast("long").alias("hid"),
+    )
+    per = tr.groupBy("round").agg(
+        F.count("*").cast("long").alias("n_fetched"),
+        F.count_distinct("hid").cast("long").alias("n_hosts"),
+    )
+    nh = (
+        tr.groupBy("hid")
+        .agg(F.min("round").alias("round"))
+        .groupBy("round")
+        .agg(F.count("*").cast("long").alias("n_new_hosts"))
+    )
+    w = Window.orderBy("round").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.join(nh, "round", "left")
+        .select(
+            "round",
+            "n_fetched",
+            F.sum("n_fetched").over(w).cast("long").alias("n_cum"),
+            "n_hosts",
+            F.coalesce("n_new_hosts", F.lit(0).cast("long")).alias(
+                "n_new_hosts"
+            ),
+        )
+    )
+
+
 def q_link_spam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host link-spam / nepotism signals (operators/linkspam.py
     host_link_report) over the SAME page link graph as ``host_pagerank``
@@ -3706,6 +3746,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: k-core membership by monotone synchronous peeling — the
     # dense-subgraph filter between triangles and components
     "link_kcore": q_link_kcore,
+    # r5k: per-round coverage rollup of the flagship budget crawl —
+    # fetched/cumulative/hosts/new-hosts per round, trace composed
+    # verbatim
+    "crawl_discovery_curve": q_crawl_discovery_curve,
 }
 
 
@@ -5129,6 +5173,26 @@ SELECT host_id, weight_fp, base_quota,
 FROM rk""",
     ]
 )
+
+# crawl_discovery_curve — the VERBATIM crawl_trace_budget oracle wrapped
+# as a CTE (one copy of the trace chain), rolled up per round; the
+# cumulative sum windows over ≤ max_depth aggregated rows (bounded by
+# construction).
+ORACLES["crawl_discovery_curve"] = f"""
+WITH tr AS ({ORACLES["crawl_trace_budget"]}),
+h AS (SELECT round, regexp_extract(url, 'host(\\d+)', 1)::BIGINT AS hid
+      FROM tr),
+per AS (SELECT round, count(*)::BIGINT AS n_fetched,
+               count(DISTINCT hid)::BIGINT AS n_hosts
+        FROM h GROUP BY 1),
+fh AS (SELECT hid, min(round) AS r0 FROM h GROUP BY 1),
+nh AS (SELECT r0 AS round, count(*)::BIGINT AS n_new_hosts FROM fh
+       GROUP BY 1)
+SELECT per.round, per.n_fetched,
+  (sum(per.n_fetched) OVER (ORDER BY per.round))::BIGINT AS n_cum,
+  per.n_hosts, coalesce(nh.n_new_hosts, 0)::BIGINT AS n_new_hosts
+FROM per LEFT JOIN nh ON nh.round = per.round
+"""
 
 # link_spam_report — the nepotism report over the SAME host-pair
 # collapse as host_pagerank's edges, but with self-pairs kept (intra
