@@ -354,6 +354,7 @@ def _deferral_trace_oracle_sql(
     tokens: int | str,
     max_depth: int = 4,
     rounds: int = 10,
+    age_boost: int = 0,
 ) -> str:
     """The politeness-DEFERRAL crawl trace as an unrolled-round CTE chain.
     Unlike `_priority_trace_oracle_sql`, rounds != depth here: overflow
@@ -369,15 +370,33 @@ def _deferral_trace_oracle_sql(
     actual round count (later CTEs are empty; a shortfall shows up as a
     row-count mismatch). ``tokens`` may be an SQL expression over ``host``
     (PER-HOST budgets — the Crawl-delay flow) instead of an int."""
+    # priority AGING (politeness.py age_boost): + boost·w where w counts
+    # the rounds THIS row sat deferred — fresh candidates enter at w=0,
+    # the deferred slice re-enters with w+1, mirroring the engine's
+    # _wait column exactly. Integer-valued doubles, so the sum is exact;
+    # boost 0 emits byte-identical SQL to the pre-aging generator (every
+    # existing deferral oracle is unchanged — pinned in
+    # tests/test_politeness.py).
+    prio_sql = _SQL_PRIO if age_boost == 0 else (
+        f"({_SQL_PRIO}) + {age_boost}.0 * w"
+    )
+    w0 = ", 0 AS w" if age_boost else ""
+    wc = ", w" if age_boost else ""
+    def0_sel = (
+        "SELECT url, depth, parent_url, parent_seq, pos, is_geo, w + 1 AS w"
+        if age_boost
+        else "SELECT f.*"
+    )
+
     parts = [f"WITH {corpus.sql_prelude(n)},"]
     parts.append(
         f"""
 filt0 AS MATERIALIZED (
   SELECT url, 0 AS depth, NULL::VARCHAR AS parent_url,
-         (-1)::BIGINT AS parent_seq, seed_order::INT AS pos, FALSE AS is_geo
+         (-1)::BIGINT AS parent_seq, seed_order::INT AS pos, FALSE AS is_geo{w0}
   FROM seeds),
 prio0 AS MATERIALIZED (
-  SELECT t.*, {_SQL_PRIO} AS p FROM (
+  SELECT t.*, {prio_sql} AS p FROM (
     SELECT f.*, split_part(url, '/', 3) AS host, {_SQL_PATH} AS path
     FROM filt0 f) t),
 adm0 AS MATERIALIZED (
@@ -389,7 +408,7 @@ rec0 AS MATERIALIZED (
          url, depth::INT AS depth, parent_url, 0 AS round
   FROM adm0 QUALIFY seq <= {budget}),
 def0 AS MATERIALIZED (
-  SELECT f.* FROM filt0 f WHERE f.url NOT IN (SELECT url FROM adm0))"""
+  {def0_sel} FROM filt0 f WHERE f.url NOT IN (SELECT url FROM adm0))"""
     )
     for r in range(1, rounds):
         seen = " UNION ALL ".join(f"SELECT url FROM rec{j}" for j in range(r))
@@ -398,19 +417,19 @@ def0 AS MATERIALIZED (
             f""",
 fresh{r} AS MATERIALIZED (
   SELECT e.dst AS url, r0.depth + 1 AS depth, r0.url AS parent_url,
-         r0.seq AS parent_seq, e.pos, e.is_geo
+         r0.seq AS parent_seq, e.pos, e.is_geo{w0}
   FROM rec{r - 1} r0 JOIN pgu p ON p.url = r0.url JOIN edges e ON e.src = p.i
   WHERE r0.depth + 1 < {max_depth}),
 cand{r} AS MATERIALIZED (
   SELECT * FROM fresh{r}
   UNION ALL
-  SELECT url, depth, parent_url, parent_seq, pos, is_geo FROM def{r - 1}),
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo{wc} FROM def{r - 1}),
 filt{r} AS MATERIALIZED (
-  SELECT url, depth, parent_url, parent_seq, pos, is_geo FROM (
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo{wc} FROM (
     SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY parent_seq, pos) AS rn
     FROM cand{r} c) WHERE rn = 1 AND url NOT IN ({seen})),
 prio{r} AS MATERIALIZED (
-  SELECT t.*, {_SQL_PRIO} AS p FROM (
+  SELECT t.*, {prio_sql} AS p FROM (
     SELECT f.*, split_part(url, '/', 3) AS host, {_SQL_PATH} AS path
     FROM filt{r} f) t),
 adm{r} AS MATERIALIZED (
@@ -422,7 +441,7 @@ rec{r} AS MATERIALIZED (
          url, depth::INT AS depth, parent_url, {r} AS round
   FROM adm{r} QUALIFY seq <= {budget}),
 def{r} AS MATERIALIZED (
-  SELECT url, depth, parent_url, parent_seq, pos, is_geo
+  SELECT url, depth, parent_url, parent_seq, pos, is_geo{", w + 1 AS w" if age_boost else ""}
   FROM filt{r} WHERE url NOT IN (SELECT url FROM adm{r}))"""
         )
     union = "\nUNION ALL\n".join(
@@ -554,6 +573,43 @@ def q_crawl_deferral_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_tokens_per_round=2,
         defer_overflow=True,
         tiebreak="url",
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+#: aging boost for the anti-starvation deferral row — large enough to
+#: overcome the ~150-point static-priority span within a few deferred
+#: rounds; drives BOTH q_crawl_aging_trace and its oracle
+AGE_BOOST = 40
+
+
+def q_crawl_aging_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority AGING under politeness deferral (r5k): the
+    crawl_deferral_trace setup (2 tokens/host/round, overflow deferred)
+    with ``age_boost`` — every row's effective priority gains
+    boost·wait, the count of rounds THAT row has sat deferred (the
+    engine threads the counter through the frontier; fresh candidates
+    enter at 0, each deferral increments), so rows the static order
+    would starve behind an endless stream of higher-priority fresh
+    siblings are admitted within a bounded number of rounds instead.
+    Integer-valued doubles throughout, so the whole aged multi-round
+    interplay is value-checked by the same unrolled deferral oracle
+    with the wait column threaded through its def/cand/filt chain."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        default_tokens_per_round=2,
+        defer_overflow=True,
+        tiebreak="url",
+        age_boost=AGE_BOOST,
     )
     eng = CrawlEngine(
         spark,
@@ -3750,6 +3806,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fetched/cumulative/hosts/new-hosts per round, trace composed
     # verbatim
     "crawl_discovery_curve": q_crawl_discovery_curve,
+    # r5k: anti-starvation priority aging under politeness deferral —
+    # +boost·(round − depth) threaded through the same deferral oracle
+    "crawl_aging_trace": q_crawl_aging_trace,
 }
 
 
@@ -3835,6 +3894,12 @@ SELECT url, (MIN(depth))::INT AS depth FROM walk GROUP BY url
     "crawl_priority_trace": _priority_trace_oracle_sql(N, 120),
     "crawl_robots_trace": _priority_trace_oracle_sql(N, 120, robots=_ROBOTS_RULES),
     "crawl_deferral_trace": _deferral_trace_oracle_sql(N, 120, 2, rounds=9),
+    # r5k: the SAME deferral chain with the aging term threaded into
+    # each round's priority CTE (age_boost > 0; boost 0 emits
+    # byte-identical SQL, pinned in tests/test_politeness.py)
+    "crawl_aging_trace": _deferral_trace_oracle_sql(
+        N, 120, 2, rounds=9, age_boost=AGE_BOOST
+    ),
     "x1_extract_links": f"""
 WITH {PRE}
 SELECT DISTINCT src_url, dst AS dst_url, is_geo FROM edges

@@ -73,6 +73,7 @@ class PolitenessScheduler:
         tiebreak: str = "url_hash",  # "url_hash" (uniform) or "url" (SQL-mirrorable)
         rank_table: DataFrame | None = None,  # (url, rank_fp) PageRank signal
         trap_templates: DataFrame | None = None,  # (host, template) denylist
+        age_boost: int = 0,  # starvation-freedom: +boost·(round − depth)
     ):
         """``default_tokens_per_round=None`` (with no ``host_budget``)
         means UNCAPPED: priority ORDER still applies, but no per-host
@@ -94,6 +95,20 @@ class PolitenessScheduler:
             )
         self.rank_table = rank_table
         self.trap_templates = trap_templates
+        #: priority AGING (anti-starvation): effective priority gains
+        #: ``age_boost · _wait`` where ``_wait`` counts the rounds this
+        #: exact row has sat deferred (the engine threads the column:
+        #: fresh candidates enter at 0, every deferral increments it —
+        #: plans/bfs.py). A deferred row's boost grows every waiting
+        #: round while the static term stays fixed, so any finite static
+        #: gap is overcome in ≤ gap/age_boost rounds — politeness
+        #: delays, but no URL starves behind an endless stream of
+        #: higher-priority fresh siblings. Integer-valued doubles
+        #: throughout (the static term is one too), so the sum is exact
+        #: and SQL-mirrorable; 0 disables the term entirely
+        #: (bit-identical to the pre-aging scheduler, no _wait column
+        #: anywhere).
+        self.age_boost = age_boost
         self.deferred: DataFrame | None = None
         self._ranked: DataFrame | None = None
 
@@ -161,6 +176,17 @@ class PolitenessScheduler:
         d = d.withColumn(
             "_prio", priority_expr(F.col("url"), is_geo, F.col("depth"))
         )
+        if self.age_boost:
+            wait = (
+                F.coalesce(F.col("_wait"), F.lit(0))
+                if "_wait" in df.columns
+                else F.lit(0)
+            )
+            d = d.withColumn(
+                "_prio",
+                F.col("_prio")
+                + F.lit(float(self.age_boost)) * wait.cast("double"),
+            )
 
         # link-graph recrawl signal (operators/graph.py): rank_fp is a
         # BIGINT in 1e-12 units, so its double cast is exact (< 2^53) and
@@ -255,6 +281,12 @@ class PolitenessScheduler:
                 over_b.select(*df.columns)
                 .unionByName(over_a.select(*df.columns))
             )
+            # aging: this exact row waited one more round (the engine
+            # initializes _wait=0 on fresh candidates when age_boost>0)
+            if self.age_boost and "_wait" in df.columns:
+                self.deferred = self.deferred.withColumn(
+                    "_wait", F.coalesce(F.col("_wait"), F.lit(0)) + F.lit(1)
+                )
         else:
             self.deferred = None
 

@@ -285,6 +285,18 @@ class CrawlEngine:
         text_parts: list[DataFrame],
         lineage_rows: list[tuple],
     ) -> CrawlRun:
+        # priority aging (politeness.py age_boost): the scheduler scores
+        # +boost·_wait, so the frontier carries a per-row deferral
+        # counter — fresh candidates enter at 0, the scheduler's
+        # deferred slice re-enters incremented. Threaded ONLY when the
+        # scheduler ages: at boost 0 no _wait column exists anywhere and
+        # the plan is bit-identical to the pre-aging engine.
+        aging = bool(
+            self.scheduler is not None
+            and getattr(self.scheduler, "age_boost", 0)
+        )
+        if aging and "_wait" not in frontier.columns:
+            frontier = frontier.withColumn("_wait", F.lit(0).cast("int"))
         rnd = start_round
         while rnd < start_round + self.max_rounds:
             if self.max_crawl is not None and recorded_total > self.max_crawl:
@@ -428,6 +440,10 @@ class CrawlEngine:
                 F.col("link_pos").alias("pos"),
                 F.col("link_is_geo").alias("is_geo"),
             )
+            if aging:
+                next_frontier = next_frontier.withColumn(
+                    "_wait", F.lit(0).cast("int")
+                )
             # politeness deferral: host-budget overflow re-enters the frontier
             if self.scheduler is not None and getattr(self.scheduler, "deferred", None) is not None:
                 next_frontier = next_frontier.unionByName(

@@ -360,3 +360,71 @@ def test_scheduler_rank_cache_is_single_round(spark):
     assert not r1.is_cached, "previous round's ranking cache not released"
     sched.release()
     assert sched._ranked is None
+
+
+# ---------------------------------------------------------------------------
+# priority aging (r5k) — anti-starvation under deferral
+# ---------------------------------------------------------------------------
+
+
+def test_age_boost_zero_emits_identical_oracle_sql():
+    from geospatial_web_scraper_spark.entry_queries import (
+        _deferral_trace_oracle_sql,
+    )
+
+    assert _deferral_trace_oracle_sql(
+        300, 120, 2, rounds=9
+    ) == _deferral_trace_oracle_sql(300, 120, 2, rounds=9, age_boost=0)
+
+
+def test_age_boost_zero_scheduler_matches_plain(spark):
+    # age_boost=0 must be bit-identical to the pre-aging scheduler
+    from geospatial_web_scraper_spark import corpus
+    from geospatial_web_scraper_spark.operators.politeness import (
+        PolitenessScheduler,
+    )
+    from geospatial_web_scraper_spark.plans.bfs import CrawlEngine
+
+    def _trace(boost):
+        sched = PolitenessScheduler(
+            default_tokens_per_round=2,
+            defer_overflow=True,
+            tiebreak="url",
+            age_boost=boost,
+        )
+        eng = CrawlEngine(
+            spark, corpus.corpus_df(spark, 300), max_crawl=60,
+            lineage_detail=False, scheduler=sched,
+        )
+        run = eng.run(corpus.seeds_df(spark, 300))
+        return [
+            tuple(r)
+            for r in run.trace.select("seq", "url", "round")
+            .orderBy("seq")
+            .collect()
+        ]
+
+    assert _trace(0) == _trace(None or 0)
+
+
+def test_aging_admits_starved_urls_earlier(spark):
+    # under 2-token deferral the hot host's low-priority tail waits many
+    # rounds; with aging its lag term grows every round, so at least one
+    # URL is admitted in a strictly earlier round — and no URL is lost
+    from geospatial_web_scraper_spark.entry_queries import (
+        q_crawl_aging_trace,
+        q_crawl_deferral_trace,
+    )
+
+    plain = {
+        r["url"]: r["round"]
+        for r in q_crawl_deferral_trace(spark, "x").collect()
+    }
+    aged = {
+        r["url"]: r["round"]
+        for r in q_crawl_aging_trace(spark, "x").collect()
+    }
+    shared = set(plain) & set(aged)
+    assert shared, "traces share no URLs"
+    earlier = sum(1 for u in shared if aged[u] < plain[u])
+    assert earlier > 0, "aging never accelerated any deferred URL"
