@@ -355,6 +355,7 @@ def _deferral_trace_oracle_sql(
     max_depth: int = 4,
     rounds: int = 10,
     age_boost: int = 0,
+    extra_ctes: str = "",
 ) -> str:
     """The politeness-DEFERRAL crawl trace as an unrolled-round CTE chain.
     Unlike `_priority_trace_oracle_sql`, rounds != depth here: overflow
@@ -389,6 +390,10 @@ def _deferral_trace_oracle_sql(
     )
 
     parts = [f"WITH {corpus.sql_prelude(n)},"]
+    if extra_ctes:
+        # e.g. the apportionment chain whose per-host quota the ``tokens``
+        # expression reads (crawl_apportioned_trace)
+        parts.append("\n" + extra_ctes + ",")
     parts.append(
         f"""
 filt0 AS MATERIALIZED (
@@ -610,6 +615,61 @@ def q_crawl_aging_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         defer_overflow=True,
         tiebreak="url",
         age_boost=AGE_BOOST,
+    )
+    eng = CrawlEngine(
+        spark,
+        corpus.corpus_df(spark, N),
+        max_crawl=120,
+        lineage_detail=False,
+        scheduler=sched,
+    )
+    run = eng.run(corpus.seeds_df(spark, N))
+    return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+#: per-round global slot pool the apportioned-politeness row splits
+#: across hosts by PageRank authority; drives query AND oracle
+APPORTION_TOKENS = 20
+
+
+def _corpus_apportioned_budget(spark: SparkSession) -> DataFrame:
+    """(host, tokens_per_round): the Hamilton quotas of APPORTION_TOKENS
+    per-round slots over the exact host-PageRank weights, floored at 1 —
+    the liveness floor a politeness scheduler needs (a zero-token host
+    would hold its deferred rows forever)."""
+    w = q_host_pagerank(spark, "x").select(
+        F.col("node_id").alias("host_id"),
+        F.col("rank_fp").alias("weight_fp"),
+    )
+    quotas = apportion.largest_remainder_quotas(w, APPORTION_TOKENS)
+    return quotas.select(
+        F.concat(
+            F.lit("host"), F.col("host_id").cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.greatest(F.col("quota"), F.lit(1)).cast("int").alias(
+            "tokens_per_round"
+        ),
+    )
+
+
+def q_crawl_apportioned_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-proportional politeness end-to-end (r5k): the Hamilton
+    apportionment of crawl_budget_allocation, at a 20-slot-per-round
+    pool, becomes the deferral scheduler's PER-HOST token table (floored
+    at 1 for liveness) — hosts with PageRank authority drain faster,
+    low-authority hosts trickle, overflow defers. The composed oracle
+    injects the SAME _apportion_ctes fragment ahead of the unrolled
+    deferral chain and reads each host's quota through one correlated
+    lookup in the admission predicate — estimator, apportionment, and
+    trace all single-copy."""
+    from .operators.politeness import PolitenessScheduler
+
+    sched = PolitenessScheduler(
+        host_budget=_corpus_apportioned_budget(spark),
+        default_tokens_per_round=1,
+        defer_overflow=True,
+        tiebreak="url",
     )
     eng = CrawlEngine(
         spark,
@@ -3809,6 +3869,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: anti-starvation priority aging under politeness deferral —
     # +boost·(round − depth) threaded through the same deferral oracle
     "crawl_aging_trace": q_crawl_aging_trace,
+    # r5k: authority-proportional politeness — the Hamilton quota table
+    # becomes the deferral scheduler's per-host budgets (floored at 1)
+    "crawl_apportioned_trace": q_crawl_apportioned_trace,
 }
 
 
@@ -5210,28 +5273,64 @@ ORACLES["link_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
 # EXACT host-PageRank weights: the host_pagerank fragment composed
 # verbatim (same _pagerank_ctes call), then base/remainder integer
 # arithmetic and the (rem desc, host asc) extra-slot rank — one ORDER BY
-# replaying the two-pass distributed seq.
+# replaying the two-pass distributed seq. The apportionment chain is ONE
+# fragment (_apportion_ctes), composed verbatim by this row AND the
+# crawl_apportioned_trace politeness composition.
+
+
+def _apportion_ctes(budget: int) -> str:
+    """The host-PageRank weights → Hamilton quota chain as a reusable CTE
+    fragment (assumes the corpus prelude in scope; yields ``rk`` with
+    (host_id, weight_fp, base_quota, rem, r) and ``lo`` with the leftover
+    count x)."""
+    return "\n".join(
+        [
+            "hosts AS MATERIALIZED (SELECT DISTINCT h AS hv FROM pgu),",
+            _pagerank_ctes(
+                corpus.N_HOSTS,
+                edges_sql=_HOST_PR_EDGES,
+                nodes_rel="hosts",
+                node_col="hv",
+                weighted=True,
+            ),
+            f"""w AS MATERIALIZED (SELECT r.v AS host_id, r.r AS weight_fp FROM r5 r),
+tw AS (SELECT sum(weight_fp)::BIGINT AS s FROM w),
+b AS (SELECT host_id, weight_fp,
+        (({budget} * weight_fp) // (SELECT s FROM tw))::BIGINT AS base_quota,
+        (({budget} * weight_fp) % (SELECT s FROM tw))::BIGINT AS rem
+      FROM w),
+lo AS (SELECT ({budget} - sum(base_quota))::BIGINT AS x FROM b),
+rk AS MATERIALIZED (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id ASC) - 1 AS r
+       FROM b)""",
+        ]
+    )
+
+
+# crawl_apportioned_trace — the SAME _apportion_ctes chain (at the
+# 20-slot pool) injected ahead of the unrolled deferral trace; each
+# host's per-round token count is ONE correlated lookup into the
+# liveness-floored quota table (greatest(quota, 1), mirroring
+# _corpus_apportioned_budget exactly). Engine runs 8 rounds at this
+# corpus; 9 unrolled rounds leave one empty-margin round.
+ORACLES["crawl_apportioned_trace"] = _deferral_trace_oracle_sql(
+    N,
+    120,
+    "(SELECT tk FROM alloc WHERE alloc.h = host)",
+    rounds=9,
+    extra_ctes=(
+        _apportion_ctes(APPORTION_TOKENS)
+        + ",\nalloc AS MATERIALIZED (SELECT 'host' || host_id ||"
+        " '.example.org' AS h,"
+        " greatest(base_quota + CASE WHEN r < (SELECT x FROM lo)"
+        " THEN 1 ELSE 0 END, 1)::BIGINT AS tk FROM rk)"
+    ),
+)
+
 ORACLES["crawl_budget_allocation"] = "\n".join(
     [
         f"WITH {PRE},",
-        "hosts AS MATERIALIZED (SELECT DISTINCT h AS hv FROM pgu),",
-        _pagerank_ctes(
-            corpus.N_HOSTS,
-            edges_sql=_HOST_PR_EDGES,
-            nodes_rel="hosts",
-            node_col="hv",
-            weighted=True,
-        ),
-        f"""w AS MATERIALIZED (SELECT r.v AS host_id, r.r AS weight_fp FROM r5 r),
-tw AS (SELECT sum(weight_fp)::BIGINT AS s FROM w),
-b AS (SELECT host_id, weight_fp,
-        (({BUDGET_ALLOC} * weight_fp) // (SELECT s FROM tw))::BIGINT AS base_quota,
-        (({BUDGET_ALLOC} * weight_fp) % (SELECT s FROM tw))::BIGINT AS rem
-      FROM w),
-lo AS (SELECT ({BUDGET_ALLOC} - sum(base_quota))::BIGINT AS x FROM b),
-rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id ASC) - 1 AS r
-       FROM b)
-SELECT host_id, weight_fp, base_quota,
+        _apportion_ctes(BUDGET_ALLOC),
+        """SELECT host_id, weight_fp, base_quota,
   (CASE WHEN r < (SELECT x FROM lo) THEN 1 ELSE 0 END)::BIGINT AS extra,
   (base_quota +
    CASE WHEN r < (SELECT x FROM lo) THEN 1 ELSE 0 END)::BIGINT AS quota

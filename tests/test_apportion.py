@@ -63,3 +63,19 @@ def test_negative_budget_raises(spark):
     w = spark.createDataFrame([(0, 1)], "host_id long, weight_fp long")
     with pytest.raises(ValueError, match="negative budget"):
         largest_remainder_quotas(w, -1)
+
+
+def test_corpus_apportioned_budget_shape(spark):
+    # the politeness composition's budget table: liveness floor 1, the
+    # hot host (host0, ~30% of pages and links) gets the largest share
+    from geospatial_web_scraper_spark.entry_queries import (
+        APPORTION_TOKENS,
+        _corpus_apportioned_budget,
+    )
+
+    rows = {r["host"]: r["tokens_per_round"]
+            for r in _corpus_apportioned_budget(spark).collect()}
+    assert len(rows) == 10
+    assert all(v >= 1 for v in rows.values())
+    assert sum(rows.values()) >= APPORTION_TOKENS
+    assert rows["host0.example.org"] == max(rows.values())
