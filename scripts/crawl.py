@@ -65,6 +65,10 @@ def main() -> None:
                     "previous crawl's extracted edges, or with "
                     "graph.personalized_pagerank (seed-teleport) for a "
                     "focused crawl that stays near its seed list")
+    ap.add_argument("--age-boost", type=int, default=0,
+                    help="priority aging: effective priority gains "
+                    "age_boost per round a row sits deferred (starvation "
+                    "freedom; scheduler=priority only, 0 = off)")
     ap.add_argument("--trap-templates", help="parquet (host, template) crawl-"
                     "trap denylist (scheduler=priority only); produce it with "
                     "traps.trap_report over a previous crawl's trace and "
@@ -131,6 +135,7 @@ def main() -> None:
                 if args.trap_templates
                 else None
             ),
+            age_boost=args.age_boost,
         )
 
     seen_filter = (
