@@ -46,6 +46,7 @@ from .operators import (
 from .operators.curate import curate_corpus
 from .operators.graph import (
     bfs_distances,
+    degree_assortativity,
     hits_fixed_point,
     kcore_members,
     lpa_communities,
@@ -680,6 +681,31 @@ def q_crawl_apportioned_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = eng.run(corpus.seeds_df(spark, N))
     return run.trace.select("seq", "url", "depth", "parent_url", "round")
+
+
+def q_crawl_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness COMPLIANCE audit (r5k): re-derive, from the deferral
+    trace OUTPUT alone, the per-(host, round) fetch counts and assert-
+    ready compliance flag against the 2-token budget — the independent
+    witness an operator actually checks ("did any host ever exceed its
+    budget?"), computed without trusting the scheduler's own accounting.
+    Composes the crawl_deferral_trace engine run verbatim; the oracle
+    wraps the VERBATIM deferral-trace oracle as one CTE. Every value is
+    an exact integer count."""
+    tr = q_crawl_deferral_trace(spark, sf_dir).select(
+        "round",
+        F.regexp_extract("url", r"host(\d+)", 1).cast("long").alias("hid"),
+    )
+    return (
+        tr.groupBy("hid", "round")
+        .agg(F.count("*").cast("long").alias("n_fetched"))
+        .select(
+            "hid",
+            "round",
+            "n_fetched",
+            (F.col("n_fetched") <= 2).alias("within_budget"),
+        )
+    )
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,6 +1874,23 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("page_id").alias("node_id")
     )
     return lpa_communities(nodes, e, rounds=LPA_ROUNDS)
+
+
+def q_link_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the page link graph (operators/graph.py
+    degree_assortativity) — the one-number structural spam smell: web
+    and link-farm graphs run disassortative (hubs link leaves, r < 0),
+    organically interlinked clusters assortative. Every Pearson
+    component is an exact BIGINT degree sum; only the final ratio is
+    one fixed-shape IEEE expression, identical in the oracle."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return degree_assortativity(e)
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3872,6 +3915,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: authority-proportional politeness — the Hamilton quota table
     # becomes the deferral scheduler's per-host budgets (floored at 1)
     "crawl_apportioned_trace": q_crawl_apportioned_trace,
+    # r5k: per-(host, round) compliance audit re-derived from the
+    # deferral trace output — the independent politeness witness
+    "crawl_politeness_audit": q_crawl_politeness_audit,
+    # r5k: degree assortativity — the one-number disassortativity spam
+    # smell; exact BIGINT Pearson components, one fixed-shape ratio
+    "link_assortativity": q_link_assortativity,
 }
 
 
@@ -5269,6 +5318,34 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 ORACLES["link_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
 
+# link_assortativity — same undirected view + degree CTE as the
+# triangles/LPA/k-core oracles; all four Pearson components are exact
+# BIGINT degree sums, and the final ratio is ONE fixed-shape double
+# expression (a·b − c·c over casts) identical to the Spark column.
+ORACLES["link_assortativity"] = f"""
+WITH {PRE},
+e AS ({_PAGE_EDGES_SQL}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM
+          (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+j AS (SELECT da.d AS da, db.d AS db
+      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+s AS (SELECT count(*)::BIGINT AS m, sum(da + db)::BIGINT AS sx,
+        sum(2 * da * db)::BIGINT AS sxy,
+        sum(da * da + db * db)::BIGINT AS sx2 FROM j),
+nn AS (SELECT count(*)::BIGINT AS nn FROM deg)
+SELECT nn.nn AS n_nodes, (2 * s.m)::BIGINT AS m2, s.sx, s.sxy, s.sx2,
+  CASE WHEN (2 * s.m)::DOUBLE * s.sx2::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE
+            = 0.0 THEN 0.0
+  ELSE round(((2 * s.m)::DOUBLE * s.sxy::DOUBLE
+              - s.sx::DOUBLE * s.sx::DOUBLE)
+             / ((2 * s.m)::DOUBLE * s.sx2::DOUBLE
+                - s.sx::DOUBLE * s.sx::DOUBLE), 6) END AS assort6
+FROM s, nn
+"""
+
 # crawl_budget_allocation — Hamilton largest-remainder quotas over the
 # EXACT host-PageRank weights: the host_pagerank fragment composed
 # verbatim (same _pagerank_ctes call), then base/remainder integer
@@ -5305,6 +5382,17 @@ rk AS MATERIALIZED (SELECT *, row_number() OVER (ORDER BY rem DESC, host_id ASC)
         ]
     )
 
+
+# crawl_politeness_audit — the VERBATIM deferral-trace oracle wrapped as
+# one CTE, rolled up per (host, round); the ≤2 budget literal is the
+# same token count the trace row runs. Exact integer counts only.
+ORACLES["crawl_politeness_audit"] = f"""
+WITH tr AS ({ORACLES["crawl_deferral_trace"]})
+SELECT regexp_extract(url, 'host(\\d+)', 1)::BIGINT AS hid, round,
+  count(*)::BIGINT AS n_fetched,
+  (count(*) <= 2) AS within_budget
+FROM tr GROUP BY 1, 2
+"""
 
 # crawl_apportioned_trace — the SAME _apportion_ctes chain (at the
 # 20-slot pool) injected ahead of the unrolled deferral trace; each

@@ -662,6 +662,83 @@ def lpa_communities(
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the UNDIRECTED
+    view of ``edges`` — the one-number structural fingerprint that
+    separates social-style graphs (assortative, hubs link hubs, r > 0)
+    from web/spam-style graphs (disassortative, hubs link leaves,
+    r < 0): a link farm's star topology drives r sharply negative, so
+    this is the cheapest whole-graph spam smell next to the per-node
+    signals (triangles, k-core, linkspam).
+
+    r is the Pearson correlation of endpoint degrees over both edge
+    orientations. Every Pearson component is an EXACT BIGINT sum of
+    integer degrees (order-independent under any shuffle) —
+
+        m2  = 2|E|,  sx = Σ d(u)²,  sxy = Σ_{u~v} 2·d(u)·d(v),
+        sx2 = Σ d(u)³
+
+    — and only the final ratio is floating point: one fixed-shape IEEE
+    expression over the four scalars, identical in both engines, so the
+    6-decimal report matches digit-for-digit. Returns ONE row:
+    ``(n_nodes, m2, sx, sxy, sx2, assort6)`` (assort6 = 0.0 for the
+    degenerate regular graph whose variance is zero). Component sums
+    stay in BIGINT while Σd³ < 2^63 — collapse heavier graphs (e.g. to
+    hosts) first, the same guidance as weighted PageRank's bound.
+
+    Scale shape: one distinct + one degree groupBy + two broadcast-size
+    joins of the degree table onto the edge list + ONE global aggregate
+    (six scalars). No windows, nothing cartesian."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    j = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(2 * F.col("da") * F.col("db")).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sx2"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("nn"))
+    out = s.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("nn").alias("n_nodes"),
+        (2 * F.col("m")).cast("long").alias("m2"),
+        "sx",
+        "sxy",
+        "sx2",
+    )
+    m2d = F.col("m2").cast("double")
+    sxd = F.col("sx").cast("double")
+    return out.withColumn(
+        "assort6",
+        F.when(
+            m2d * F.col("sx2").cast("double") - sxd * sxd == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                (m2d * F.col("sxy").cast("double") - sxd * sxd)
+                / (m2d * F.col("sx2").cast("double") - sxd * sxd),
+                6,
+            )
+        ),
+    )
+
+
 def kcore_members(
     nodes: DataFrame,
     edges: DataFrame,

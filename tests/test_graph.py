@@ -776,3 +776,52 @@ def test_kcore_round_cap_is_parity_safe(spark):
     edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
     got = _run_kcore(spark, 5, edges, k=2, rounds=1)
     assert got == _py_kcore(5, edges, 2, rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.graph import (  # noqa: E402
+    degree_assortativity,
+)
+
+
+def _assort(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return degree_assortativity(e).collect()[0].asDict()
+
+
+def test_assortativity_star_is_negative(spark):
+    # a star is maximally disassortative: the hub (deg 4) only meets
+    # leaves (deg 1) → r = -1
+    got = _assort(spark, [(0, i) for i in range(1, 5)])
+    assert got["assort6"] == -1.0
+    assert got["m2"] == 8 and got["n_nodes"] == 5
+
+
+def test_assortativity_regular_graph_is_zero_guard(spark):
+    # a cycle is regular (all deg 2) — zero variance → guarded 0.0
+    got = _assort(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert got["assort6"] == 0.0
+
+
+def test_assortativity_matches_python_mirror(spark):
+    import random
+
+    rng = random.Random(577)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = 2 * len(und)
+    sx = sum(deg[a] + deg[b] for a, b in und)
+    sxy = sum(2 * deg[a] * deg[b] for a, b in und)
+    sx2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    expect = round((m2 * sxy - sx * sx) / (m2 * sx2 - sx * sx), 6)
+    got = _assort(spark, edges)
+    assert (got["m2"], got["sx"], got["sxy"], got["sx2"]) == (m2, sx, sxy, sx2)
+    assert abs(got["assort6"] - expect) < 2e-6
