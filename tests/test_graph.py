@@ -825,3 +825,40 @@ def test_assortativity_matches_python_mirror(spark):
     got = _assort(spark, edges)
     assert (got["m2"], got["sx"], got["sxy"], got["sx2"]) == (m2, sx, sxy, sx2)
     assert abs(got["assort6"] - expect) < 2e-6
+
+
+def test_pagerank_kernel_extracted_graph_matches_formula_graph(spark):
+    # the linkgraph CLI derivation: edges from the Arrow extraction
+    # kernel over fetchable pages' html, xxhash64(url) node ids — must
+    # reproduce the catalog's formula-derived PageRank digit-for-digit
+    # as a rank multiset (kernel ≡ formula ≡ graph operator, end to end)
+    from geospatial_web_scraper_spark import corpus, entry_queries as eq
+    from geospatial_web_scraper_spark.operators.extract import (
+        extract_links_flat,
+    )
+
+    pages = corpus.corpus_df(spark, 300)
+    nodes = (
+        pages.select("url").distinct()
+        .withColumn("node_id", F.xxhash64("url"))
+    )
+    fetchable = pages.filter(
+        (F.col("status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    links = extract_links_flat(
+        fetchable.select("url", "html"), carry_cols=["url"]
+    ).filter(~F.col("link_is_geo"))
+    edges = links.select(
+        F.xxhash64("url").alias("src"), F.xxhash64("link_url").alias("dst")
+    ).join(nodes.select(F.col("node_id").alias("dst")), "dst", "leftsemi")
+    cli = sorted(
+        r["rank_fp"]
+        for r in pagerank_fixed_point(
+            nodes.select("node_id"), edges
+        ).collect()
+    )
+    cat = sorted(
+        r["rank_fp"] for r in eq.QUERIES["link_pagerank"](spark, "x").collect()
+    )
+    assert cli == cat
