@@ -551,6 +551,33 @@ def run_level(cores: int, sf_dir: str, headline_only: bool = False,
 
         timed("link_spam_report", _linkspam)
 
+        # r5k: k-core peel over the same graph — per round two alive-
+        # restriction semi-joins + one map-side degree groupBy; k=12
+        # peels the xxhash graph's sparse fringe without emptying it
+        from geospatial_web_scraper_spark.operators.graph import (
+            kcore_members,
+        )
+
+        def _kcore():
+            nodes, edges = _bench_graph()
+            kcore_members(nodes, edges, k=12, rounds=6).agg(
+                F.sum(F.col("in_core").cast("long")), F.sum("deg_in_core")
+            ).collect()
+
+        timed("link_kcore", _kcore)
+
+        # r5k: degree assortativity — one degree groupBy + two joins +
+        # a single six-scalar global aggregate; exact BIGINT Pearson sums
+        from geospatial_web_scraper_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        def _assort():
+            _, edges = _bench_graph()
+            degree_assortativity(edges).collect()
+
+        timed("link_assortativity", _assort)
+
         # r5i: token-balanced shard assignment at 1M docs — the two-pass
         # rank's wall-time witness (range-repartition shuffle + _pid-local
         # window; tokenization cost excluded via n_tok_col so the rank is
