@@ -2723,6 +2723,17 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.token_entropy(_doc_tokens(spark, sf_dir))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (operators/profile.py
+    zipf_fit) — the corpus-law audit beside entropy and OOV coverage:
+    OLS of ln(freq) on ln(rank), slope ≈ −1 for natural text, drifting
+    toward 0 for template spam. Exact integer ranks, micro-nat-rounded
+    per-type logs, BIGINT OLS component sums; only the final
+    slope/intercept ratio is one fixed-shape double expression shared
+    with the oracle."""
+    return profile.zipf_fit(_doc_tokens(spark, sf_dir))
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -3921,6 +3932,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: degree assortativity — the one-number disassortativity spam
     # smell; exact BIGINT Pearson components, one fixed-shape ratio
     "link_assortativity": q_link_assortativity,
+    # r5k: Zipf rank-frequency OLS fit per source — exact integer
+    # ranks + micro-nat logs + BIGINT component sums, one final ratio
+    "zipf_fit": q_zipf_fit,
 }
 
 
@@ -6263,6 +6277,43 @@ SELECT n.source, n.nt AS n_tokens, n.n_types,
   (n.n_types * {profile.PPM} // n.nt)::BIGINT AS ttr_ppm,
   round(s.s / 1000000.0, 6) AS entropy6
 FROM n JOIN s ON s.source = n.source
+"""
+
+
+# zipf_fit — same tokenization; exact ranks by (cnt desc, w asc), the
+# micro-nat log rounding trees identical to the Spark columns, BIGINT
+# OLS component sums, and the ONE fixed-shape slope/intercept ratio
+# (the slope subtree repeats verbatim inside the intercept — both
+# engines evaluate the identical expression twice).
+_ZIPF_SLOPE = (
+    "(s.n::DOUBLE * s.sxy::DOUBLE - s.sx::DOUBLE * s.sy::DOUBLE)"
+    " / (s.n::DOUBLE * s.sx2::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)"
+)
+ORACLES["zipf_fit"] = f"""
+WITH d AS (SELECT list_transform({_sql_toks('text')}, x -> lower(x)) AS a,
+           source FROM documents),
+tok AS (SELECT source, unnest(a) AS w FROM d),
+c AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+t AS (SELECT source,
+        round(ln(r::DOUBLE) * 1000000.0)::BIGINT AS x,
+        round(ln(cnt::DOUBLE) * 1000000.0)::BIGINT AS y
+      FROM (SELECT source, cnt,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC, w ASC) AS r
+            FROM c)),
+s AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        sum(x * x)::BIGINT AS sx2
+      FROM t GROUP BY 1)
+SELECT s.source, s.n AS n_types,
+  CASE WHEN s.n::DOUBLE * s.sx2::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE = 0.0
+       THEN 0.0
+  ELSE round({_ZIPF_SLOPE}, 6) END AS slope6,
+  CASE WHEN s.n::DOUBLE * s.sx2::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE = 0.0
+       THEN round(s.sy::DOUBLE / s.n::DOUBLE / 1000000.0, 6)
+  ELSE round((s.sy::DOUBLE - ({_ZIPF_SLOPE}) * s.sx::DOUBLE)
+             / s.n::DOUBLE / 1000000.0, 6) END AS intercept6
+FROM s
 """
 
 

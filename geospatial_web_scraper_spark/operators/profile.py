@@ -262,3 +262,81 @@ def token_entropy(
         F.expr(f"n_types * {PPM} div nt").alias("ttr_ppm"),
         F.round(F.col("s") / F.lit(1000000.0), 6).alias("entropy6"),
     )
+
+
+def zipf_fit(
+    tokens: DataFrame,
+    *,
+    group_col: str = "source",
+    token_col: str = "w",
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit — the third corpus-law audit
+    beside vocab_coverage and token_entropy: natural text follows
+    freq ∝ rank^s with s ≈ −1 (Zipf 1949), and a source whose fitted
+    slope drifts far from −1 is template spam (flat head, s → 0) or
+    boilerplate floods (cliff past the template vocabulary). The fit is
+    ordinary least squares of ln(freq) on ln(rank) over the group's
+    type table.
+
+    Determinism uses the catalog's micro-unit discipline end to end:
+    ranks are exact integers ((count desc, token asc) — the standard
+    tie rule), both logs are rounded to integer micro-nats per TYPE
+    (the identical IEEE expression tree on both engines), and every OLS
+    component — n, Σx, Σy, Σxy, Σx² — is an exact BIGINT sum of those
+    integers (order-independent under any shuffle). Only the final
+    slope/intercept ratio is floating point: one fixed-shape expression
+    over five scalars, identical in the oracle. BIGINT bound:
+    Σx·y ≈ n_types · (28e6)² needs n_types ≲ 10⁴ per group at micro
+    units — vocabulary-sized by construction (drop to milli units
+    for larger type tables).
+
+    Returns one row per group::
+
+        (group, n_types, slope6, intercept6)
+
+    with the degenerate single-type group guarded to slope 0.0.
+    Scale shape: one (group, token) count groupBy collapses the corpus;
+    the rank window runs over DISTINCT TYPES per group (bounded by the
+    vocabulary, not the corpus — the group_quantiles argument); one
+    map-side-combining five-scalar aggregate per group finishes."""
+    c = (
+        tokens.select(
+            F.col(group_col).alias("g"), F.col(token_col).alias("w")
+        )
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rk = Window.partitionBy("g").orderBy(F.desc("cnt"), F.asc("w"))
+    t = c.withColumn("r", F.row_number().over(rk)).select(
+        "g",
+        F.round(F.log(F.col("r").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("y"),
+    )
+    s = t.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = nd * F.col("sx2").cast("double") - sxd * sxd
+    slope_raw = (nd * F.col("sxy").cast("double") - sxd * syd) / den
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_types"),
+        F.when(den == 0.0, F.lit(0.0))
+        .otherwise(F.round(slope_raw, 6))
+        .alias("slope6"),
+        F.when(den == 0.0, F.round(syd / nd / F.lit(1000000.0), 6))
+        .otherwise(
+            F.round((syd - slope_raw * sxd) / nd / F.lit(1000000.0), 6)
+        )
+        .alias("intercept6"),
+    )

@@ -207,3 +207,60 @@ def test_entropy_order_independent(spark):
         spark.createDataFrame(rows[::-1], "source string, w string").coalesce(1)
     ).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — rank-frequency OLS (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.profile import (  # noqa: E402
+    zipf_fit,
+)
+
+
+def _py_zipf(counts):
+    # counts sorted by (cnt desc, token asc) → ranks 1..n; micro-nat OLS
+    xs = [round(math.log(r + 1) * 1e6) for r in range(len(counts))]
+    ys = [round(math.log(c) * 1e6) for c in counts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sx2 = sum(a * a for a in xs)
+    den = n * sx2 - sx * sx
+    if den == 0:
+        return 0.0, round(sy / n / 1e6, 6)
+    slope = (n * sxy - sx * sy) / den
+    return round(slope, 6), round((sy - slope * sx) / n / 1e6, 6)
+
+
+def test_zipf_exact_power_law_recovers_slope(spark):
+    # counts 64,32,16,8,4,2,1 at ranks 1,2,4,8,... no — use freq = 2^7/r
+    # for r=1,2,4: instead, freq_i = round(c/r) exact powers so the fit
+    # is checked against the python mirror, and a 1/r law lands near -1
+    counts = {chr(ord('a') + i): max(1, 128 // (i + 1)) for i in range(12)}
+    rows = [("s", w) for w, c in counts.items() for _ in range(c)]
+    t = spark.createDataFrame(rows, "source string, w string")
+    got = zipf_fit(t).collect()[0]
+    ordered = [c for _, c in sorted(counts.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))]
+    slope, intercept = _py_zipf(ordered)
+    assert got["n_types"] == 12
+    assert abs(got["slope6"] - slope) < 2e-6
+    assert abs(got["intercept6"] - intercept) < 2e-6
+    assert -1.2 < got["slope6"] < -0.8  # the 1/r law fits near -1
+
+
+def test_zipf_flat_distribution_has_zero_slope(spark):
+    # all types equally frequent → y constant → slope 0
+    rows = [("s", w) for w in "abcd" for _ in range(5)]
+    got = zipf_fit(spark.createDataFrame(rows, "source string, w string")
+                   ).collect()[0]
+    assert got["slope6"] == 0.0
+
+
+def test_zipf_single_type_guarded(spark):
+    rows = [("s", "x")] * 7
+    got = zipf_fit(spark.createDataFrame(rows, "source string, w string")
+                   ).collect()[0]
+    assert got["slope6"] == 0.0
+    assert abs(got["intercept6"] - round(math.log(7), 6)) < 2e-6
