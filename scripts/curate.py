@@ -123,17 +123,52 @@ def main() -> None:
 
     curated.write.mode("overwrite").parquet(f"{args.output}/curated")
 
-    report = (
-        curated.groupBy("source")
-        .agg(
+    if "source" in curated.columns:
+        report = curated.groupBy("source").agg(
             F.count("*").alias("n_docs"),
             F.sum(
                 textstats.token_count_expr(F.col("text"))
             ).alias("n_tokens"),
         )
-        if "source" in curated.columns
-        else curated.agg(F.count("*").alias("n_docs"))
-    )
+        # corpus-law audits over the SURVIVORS (operators/profile.py):
+        # token entropy + type-token ratio, Zipf slope (→ 0 flags
+        # template spam the gates missed), OOV rate vs the survivors'
+        # own top-256 vocabulary — all exact-integer/micro-nat, the
+        # same operators the catalog rows value-check
+        from geospatial_web_scraper_spark.operators.profile import (
+            token_entropy,
+            vocab_coverage,
+            zipf_fit,
+        )
+
+        toks = curated.select(
+            "source",
+            F.explode(
+                F.transform(
+                    textstats.tokens_expr(F.col("text")),
+                    lambda x: F.lower(x),
+                )
+            ).alias("w"),
+        ).localCheckpoint()  # fans out to the three audits below
+        report = (
+            report.join(
+                token_entropy(toks).select(
+                    "source", "ttr_ppm", "entropy6"
+                ),
+                "source",
+                "left",
+            )
+            .join(
+                zipf_fit(toks).select("source", "slope6"), "source", "left"
+            )
+            .join(
+                vocab_coverage(toks, k=256).select("source", "oov_ppm"),
+                "source",
+                "left",
+            )
+        )
+    else:
+        report = curated.agg(F.count("*").alias("n_docs"))
     report.write.mode("overwrite").parquet(f"{args.output}/report")
     spark.createDataFrame(stages, "stage string, n long").coalesce(
         1
