@@ -1204,6 +1204,10 @@ def q_crawl_robots_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x1_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-extraction kernel surface (X1): the fused Arrow pass over
+    fetchable pages' html, exploded to (src_url, pos, url, is_geo) —
+    mailto/tel/bad-href drops, relative resolution and geo
+    classification all value-checked against the formula edge oracle."""
     pages = _fetchable_pages(spark)
     links = pages.withColumn(
         "_links", extract_links_udf(F.col("html"), F.col("url"))
@@ -1216,6 +1220,9 @@ def q_x1_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x2_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text/metadata extraction (X2): the boilerplate-stripped
+    byte-identical text contract per url — the frozen kernel semantics
+    the whole engine (and the per-row invariant) rests on."""
     pages = _fetchable_pages(spark)
     meta = pages.withColumn("_m", extract_meta_udf(F.col("html"), F.col("url")))
     return meta.select(
@@ -1240,6 +1247,9 @@ def q_s6_xml_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_f6_geo_ext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-extension classifier (F6): the 11-extension allow-list over
+    candidate URLs as a native expression, matching the reference's
+    path.Ext gate."""
     urls = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
     ext = go_ext(url_path(F.col("url")))
     return urls.select(
@@ -1250,6 +1260,8 @@ def q_f6_geo_ext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c3_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + xxhash64 keys (C3): scheme/host lowering,
+    default-port and fragment stripping — the seen-set key derivation."""
     base = corpus.corpus_df(spark, N).select("page_id", "url")
     return base.select(
         "page_id",
@@ -1271,11 +1283,17 @@ _FILENAME_GOLDEN = ["f.zip", "download", "download", "b", "b.CSV", "download"]
 
 
 def q_c4_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Go path.Base filename derivation (C4) for the download sink,
+    including the 'download' fallback for empty basenames."""
     df = spark.createDataFrame([(u,) for u in _FILENAME_CASES], "url string")
     return df.select("url", filename_for_download(F.col("url")).alias("filename"))
 
 
 def q_t3_priority_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase priority dequeue (T3) on one frontier snapshot:
+    per-host top-B admission under the geo-signal priority, (priority
+    desc, url) order — the scheduler building block the crawl traces
+    compose."""
     cand = (
         corpus.edges_df(spark, N)
         .select(F.col("dst_url").alias("url"), "is_geo")
@@ -1294,6 +1312,8 @@ def q_t3_priority_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_j1_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-minus-seen anti-join (J1): the exact membership gate behind
+    the bloom/cuckoo prefilters."""
     cand = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
     seen = (
         corpus.corpus_df(spark, N)
@@ -1304,6 +1324,8 @@ def q_j1_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_f1_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-round first-wins URL dedup (F1): deterministic (parent_seq,
+    pos) winner per candidate URL."""
     edges = corpus.edges_df(spark, N)
     w = Window.partitionBy("dst_url").orderBy("src_id", "pos")
     return (
@@ -1336,6 +1358,8 @@ def q_p1_to_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_u2_except_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-known difference (U2): discovered URLs minus the seed list,
+    the cache-membership complement."""
     dsts = corpus.edges_df(spark, N).select(F.col("dst_url").alias("url")).distinct()
     return dsts.subtract(corpus.seeds_df(spark, N).select("url"))
 
@@ -1348,10 +1372,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (A5): first-wins by content hash over the documents
+    table — one hash groupBy, the baseline of the dedup family."""
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard similarity over candidate pairs — the
+    truth-side primitive behind the MinHash recall evaluation."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
     return dedup.wordset_jaccard_pairs(docs, threshold=0.5)
 
@@ -1543,6 +1571,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID over the documents table — the curation
+    chain's baseline gate (the char-trigram NB upgrade is
+    lang_id_ngram)."""
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.lang_id_expr(F.col("text")).alias("lang")
     )
@@ -1563,18 +1594,24 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/regex token counting per document — the budget unit every
+    sampling/packing operator consumes."""
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.token_count_expr(F.col("text")).cast("long").alias("n_tok")
     )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/punctuation/stopword ratios) in
+    exact micro-units per document."""
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.quality_score_expr(F.col("text")).alias("q")
     )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting — the deterministic per-doc
+    signature the dedup family builds on."""
     return _docs(spark, sf_dir).select(
         "doc_id", textstats.fingerprint_expr(F.col("text")).alias("fp")
     )
@@ -1605,6 +1642,9 @@ def q_c8_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing over binary payloads:
+    checksum + typed metadata through the Arrow batch path (pixel codec
+    real for uncompressed formats, stubbed for compressed ones)."""
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(
@@ -1633,6 +1673,9 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a2_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-sum cosine scoring (A2) of query x cache pairs as a native
+    expression — the reference's parallel Cosine re-expressed in
+    Catalyst."""
     emb = _emb(spark, sf_dir)
     return emb.crossJoin(F.broadcast(_query_vec(spark, sf_dir))).select(
         "vec_id",
@@ -1643,6 +1686,9 @@ def q_a2_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: exact scores via native
+    zip_with/aggregate, salted two-phase top-k reduce, smallest-vec_id
+    tiebreak."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2027,6 +2073,8 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_t1_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity sort with the distributed two-pass global rank (T1) —
+    total order without a single-reducer window."""
     scored = q_a2_cosine_scores(spark, sf_dir).filter(F.col("score").isNotNull())
     ranked, _ = with_global_seq(scored, ["score", "vec_id"], seq_col="rank")
     return ranked.select("vec_id", "score", F.col("rank").cast("long").alias("rank"))
@@ -2052,6 +2100,8 @@ def q_t2_topk_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style showcase: pruned-scan group-aggregate over lineitem
+    with pushed filters."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -2069,6 +2119,8 @@ def q_q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style showcase: selective three-way join + top-k by revenue
+    with deterministic tiebreak."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -2735,6 +2787,8 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension-chain join showcase: customer -> nation ->
+    region with explicit broadcast of the small sides."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -2757,6 +2811,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a1_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl counters (A1) from the lineage table: per-round
+    fetched/bytes/dedup-hit totals."""
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
@@ -2809,6 +2865,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD decode (C9): typed field extraction from embedded script
+    blocks, matching the kernel's flat-unmarshal semantics."""
     return (
         _events(spark, sf_dir)
         .filter(F.col("event_id") < 1000)
@@ -2817,6 +2875,8 @@ def q_c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_f10_global_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global crawl budget (F10) with the reference's B+1 pre-increment
+    quirk: seq <= budget keeps exactly budget+1 rows."""
     ev = _events(spark, sf_dir).orderBy(F.desc("value"), F.asc("event_id")).limit(50)
     w = Window.orderBy(F.desc("value"), F.asc("event_id"))
     return ev.withColumn("rk", F.row_number().over(w).cast("long")).select(
@@ -2825,6 +2885,8 @@ def q_f10_global_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a3_multiset_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset equality check (A3): SlicesEqualUnordered re-expressed as a
+    sort-and-compare aggregate."""
     ev = _events(spark, sf_dir)
     a = (
         ev.filter(F.col("user_id") % 2 == 0)
@@ -2848,6 +2910,8 @@ def q_a3_multiset_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier union-merge (U1): round outputs unioned with first-wins
+    dedup, the frontier-construction primitive."""
     ev = _events(spark, sf_dir)
     part_a = ev.filter(F.col("value") > 10).select("event_id", "event_type")
     part_b = ev.filter(F.col("user_id") < 50).select("event_id", "event_type")
