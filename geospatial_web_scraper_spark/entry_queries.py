@@ -47,6 +47,7 @@ from .operators.curate import curate_corpus
 from .operators.graph import (
     bfs_distances,
     degree_assortativity,
+    graph_summary,
     hits_fixed_point,
     kcore_members,
     lpa_communities,
@@ -1920,6 +1921,22 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("page_id").alias("node_id")
     )
     return lpa_communities(nodes, e, rounds=LPA_ROUNDS)
+
+
+def q_link_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row health summary of the page link graph (operators/graph.py
+    graph_summary): size, self-loop count, reciprocity (the whole-graph
+    link-exchange smell), degree extremes and the dangling count — all
+    exact integer counts + ppm floor divisions, digit-exact against the
+    oracle."""
+    urlmap = corpus.corpus_df(spark, N).select("page_id", "url")
+    e = (
+        corpus.edges_df(spark, N)
+        .filter(~F.col("is_geo"))
+        .join(urlmap, F.col("dst_url") == F.col("url"))
+        .select(F.col("src_id").alias("src"), F.col("page_id").alias("dst"))
+    )
+    return graph_summary(e)
 
 
 def q_link_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3999,6 +4016,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5k: Zipf rank-frequency OLS fit per source — exact integer
     # ranks + micro-nat logs + BIGINT component sums, one final ratio
     "zipf_fit": q_zipf_fit,
+    # r5k: one-row graph health summary — reciprocity / self-loops /
+    # degree extremes / dangling count, exact integers throughout
+    "link_graph_summary": q_link_graph_summary,
 }
 
 
@@ -5523,6 +5543,38 @@ SELECT per.round, per.n_fetched,
   per.n_hosts, coalesce(nh.n_new_hosts, 0)::BIGINT AS n_new_hosts
 FROM per LEFT JOIN nh ON nh.round = per.round
 """
+
+# link_graph_summary — same edge derivation; every column is an exact
+# integer count (scalar-subquery style, one row), reciprocity counted as
+# directed-edges-with-reverse then halved to pairs, recip_ppm a BIGINT
+# floor division.
+ORACLES["link_graph_summary"] = f"""
+WITH {{PRE}},
+e AS (SELECT DISTINCT pe.src AS src, d.i AS dst
+      FROM plain_edges pe JOIN pgu d ON d.url = pe.dst),
+d AS (SELECT * FROM e WHERE src <> dst),
+nodes AS (SELECT DISTINCT n FROM (
+  SELECT src AS n FROM d UNION ALL SELECT dst FROM d
+  UNION ALL SELECT src FROM e WHERE src = dst)),
+r2 AS (SELECT count(*)::BIGINT AS c FROM d a
+       WHERE EXISTS (SELECT 1 FROM d b
+                     WHERE b.src = a.dst AND b.dst = a.src))
+SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+  (SELECT count(*) FROM d)::BIGINT AS n_edges,
+  (SELECT count(*) FROM e WHERE src = dst)::BIGINT AS n_self_loops,
+  ((SELECT c FROM r2) // 2)::BIGINT AS n_recip_pairs,
+  (CASE WHEN (SELECT count(*) FROM d) > 0 THEN
+     (SELECT c FROM r2) * 1000000 // (SELECT count(*) FROM d)
+   ELSE 0 END)::BIGINT AS recip_ppm,
+  coalesce((SELECT max(c) FROM
+    (SELECT src, count(*)::BIGINT AS c FROM d GROUP BY 1)), 0)::BIGINT
+    AS max_out_deg,
+  coalesce((SELECT max(c) FROM
+    (SELECT dst, count(*)::BIGINT AS c FROM d GROUP BY 1)), 0)::BIGINT
+    AS max_in_deg,
+  (SELECT count(*) FROM nodes
+   WHERE n NOT IN (SELECT src FROM e))::BIGINT AS n_dangling
+""".format(PRE=PRE)
 
 # link_spam_report — the nepotism report over the SAME host-pair
 # collapse as host_pagerank's edges, but with self-pairs kept (intra

@@ -662,6 +662,79 @@ def lpa_communities(
     )
 
 
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row health summary of the DIRECTED link graph — the numbers a
+    crawl dashboard shows every round: size, self-loop and reciprocity
+    rates (Garlaschelli & Loffredo 2004 — reciprocity is the classic
+    link-exchange/spam-ring smell at whole-graph granularity, the global
+    sibling of linkspam's per-host reciprocal rings), degree extremes
+    (is one hub dominating the frontier?) and the dangling count
+    (PageRank's sink mass). Everything is exact integer counting plus
+    ppm floor divisions — digit-exact in any engine.
+
+    Returns ONE row::
+
+        (n_nodes, n_edges, n_self_loops, n_recip_pairs, recip_ppm,
+         max_out_deg, max_in_deg, n_dangling)
+
+    with ``n_edges`` the distinct non-loop directed edges, ``recip_ppm``
+    = 2·n_recip_pairs·1e6 div n_edges (the fraction of directed edges
+    whose reverse also exists), and ``n_dangling`` the nodes with NO
+    outgoing edge at all (self-loops count as outlinks — matching
+    pagerank_fixed_point's out-degree, whose sink mass this predicts).
+    Scale shape: one distinct, one
+    self-semi-join on (dst, src) for reciprocity, two map-side degree
+    groupBys reduced to scalar maxima, one anti-join for dangling —
+    no windows, nothing cartesian, all single-row aggregates."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct().localCheckpoint()
+    d = e.where(F.col("src") != F.col("dst"))
+    loops = e.where(F.col("src") == F.col("dst")).count()
+    n_edges = d.count()
+    recip2 = d.join(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "leftsemi",
+    ).count()  # directed edges whose reverse exists (= 2 · pairs)
+    nodes = (
+        d.select(F.col("src").alias("n"))
+        .unionAll(d.select(F.col("dst").alias("n")))
+        .unionAll(e.where(F.col("src") == F.col("dst")).select(F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    max_out = (
+        d.groupBy("src").agg(F.count("*").alias("c")).agg(F.max("c")).collect()
+    )[0][0] or 0
+    max_in = (
+        d.groupBy("dst").agg(F.count("*").alias("c")).agg(F.max("c")).collect()
+    )[0][0] or 0
+    n_dangling = nodes.join(
+        e.select(F.col("src").alias("n")).distinct(), "n", "left_anti"
+    ).count()
+    recip_ppm = recip2 * 1_000_000 // n_edges if n_edges else 0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                loops,
+                recip2 // 2,
+                recip_ppm,
+                int(max_out),
+                int(max_in),
+                n_dangling,
+            )
+        ],
+        "n_nodes long, n_edges long, n_self_loops long, n_recip_pairs long,"
+        " recip_ppm long, max_out_deg long, max_in_deg long, n_dangling long",
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002) of the UNDIRECTED
     view of ``edges`` — the one-number structural fingerprint that

@@ -862,3 +862,39 @@ def test_pagerank_kernel_extracted_graph_matches_formula_graph(spark):
         r["rank_fp"] for r in eq.QUERIES["link_pagerank"](spark, "x").collect()
     )
     assert cli == cat
+
+
+# ---------------------------------------------------------------------------
+# graph_summary (r5k)
+# ---------------------------------------------------------------------------
+
+from geospatial_web_scraper_spark.operators.graph import (  # noqa: E402
+    graph_summary,
+)
+
+
+def test_graph_summary_hand_graph(spark):
+    # 0→1, 1→0 (reciprocal pair), 0→2, 2→2 (self-loop), 1→3 (3 dangling)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 2), (1, 3), (0, 1)],
+        "src long, dst long",
+    )
+    got = graph_summary(e).collect()[0].asDict()
+    assert got == {
+        "n_nodes": 4,
+        "n_edges": 4,  # distinct non-loop directed
+        "n_self_loops": 1,
+        "n_recip_pairs": 1,
+        "recip_ppm": 2 * 1_000_000 // 4,
+        "max_out_deg": 2,
+        "max_in_deg": 1,
+        "n_dangling": 1,  # node 3 never a source
+    }
+
+
+def test_graph_summary_no_edges_between_loops(spark):
+    e = spark.createDataFrame([(5, 5)], "src long, dst long")
+    got = graph_summary(e).collect()[0].asDict()
+    assert got["n_edges"] == 0 and got["n_self_loops"] == 1
+    assert got["n_nodes"] == 1 and got["recip_ppm"] == 0
+    assert got["n_dangling"] == 0  # the self-loop IS an outlink
